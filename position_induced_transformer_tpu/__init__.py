@@ -1,0 +1,25 @@
+"""position_induced_transformer_tpu — a TPU-native operator-learning framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the Position-induced Transformer
+(PiT, Chen & Wu, ICML 2024) reference implementation
+(junfeng-chen/position_induced_transformer). The compute path is pure JAX
+(jit/pjit + Pallas kernels); distances, locality masks and attention are
+designed around static shapes, precomputed mesh geometry, and MXU-friendly
+contractions rather than a translation of the reference's torch modules.
+
+Public surface (capability parity with the reference — see SURVEY.md §2):
+
+- ``ops``      : position-attention primitive, distance metrics, locality
+                 masking, metrics/losses, normalizers.
+- ``models``   : PiT (torch-semantics), PiT-TF (TF-semantics) and baseline
+                 transformer models, as flax.linen modules.
+- ``kernels``  : fused Pallas TPU kernels for position attention.
+- ``data``     : .mat/.npy/CSV loaders + synthetic per-PDE generators.
+- ``train``    : unified jitted training loop, losses, checkpointing, rollout.
+- ``parallel`` : device-mesh / sharding presets (DP, sequence-/head-parallel).
+- ``configs``  : the 7 reference benchmark configurations.
+"""
+
+__version__ = "0.1.0"
+
+from position_induced_transformer_tpu import ops  # noqa: F401

@@ -1,0 +1,100 @@
+"""Mesh geometry: precomputed distances + locality masks for a PiT model.
+
+TPU-first design point: in the reference, pairwise distances and quantile
+masks are recomputed from the mesh coordinates on **every forward call**
+(reference: pit.py:46-52), even though for six of the seven benchmarks the
+meshes never change. Here the geometry — the three distance matrices
+(encoder cross, processor self, decoder cross) and the bandwidth-independent
+locality keep-masks (see ops/locality.py) — is computed **once** per
+(mesh_in, mesh_ltt, mesh_out) triple and carried as a pytree of constants
+into the jitted step. For per-sample meshes (elasticity/NACA,
+reference: train_elasticity.py:46, train_naca.py:62-65) the same builder runs
+on traced batched arrays inside the step.
+
+Masks are stored as float32 additive biases? No — as booleans; XLA selects
+are free next to the softmax and booleans are 4x smaller than f32 in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from position_induced_transformer_tpu.ops.distances import pairwise_sq_dist
+from position_induced_transformer_tpu.ops.locality import keep_mask
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Geometry:
+    """Distances and masks binding a PiT model to a mesh triple.
+
+    ``dist_*`` are squared distances: ``dist_down`` (L_ltt, L_in) for the
+    encoder cross-attention, ``dist_proc`` (L_ltt, L_ltt) for the processor
+    self-attention blocks, ``dist_up`` (L_out, L_ltt) for the decoder. For
+    batched per-sample meshes each gains a leading batch axis. ``keep_*`` are
+    the precomputed locality masks (None = compute inside the step, or no
+    masking for the global processor). ``mesh_in`` is retained for the
+    mesh-concat encoder input (reference: train_burgers.py:45).
+    """
+
+    mesh_in: Any
+    dist_down: Any
+    dist_proc: Any
+    dist_up: Any
+    keep_down: Optional[Any] = None
+    keep_up: Optional[Any] = None
+
+    def tree_flatten(self):
+        children = (
+            self.mesh_in,
+            self.dist_down,
+            self.dist_proc,
+            self.dist_up,
+            self.keep_down,
+            self.keep_up,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+def build_geometry(
+    mesh_in: jnp.ndarray,
+    mesh_ltt: jnp.ndarray,
+    mesh_out: jnp.ndarray,
+    *,
+    metric: str = "euclidean",
+    en_loc: float = 0.02,
+    de_loc: float = 0.02,
+    precompute_masks: bool = True,
+) -> Geometry:
+    """Build a :class:`Geometry` for fixed (L, d) or batched (B, L, d) meshes.
+
+    ``precompute_masks=True`` materializes the boolean keep-masks eagerly —
+    the right choice for fixed meshes where this runs once outside jit. Pass
+    False to defer mask computation into the attention op (used when the
+    caller prefers recomputation over storage, e.g. enormous ZSSR decoders).
+    """
+    dist_down = pairwise_sq_dist(mesh_ltt, mesh_in, metric)
+    dist_proc = pairwise_sq_dist(mesh_ltt, mesh_ltt, metric)
+    dist_up = pairwise_sq_dist(mesh_out, mesh_ltt, metric)
+    keep_down = keep_up = None
+    if precompute_masks:
+        if en_loc < 1.0:
+            keep_down = keep_mask(dist_down, en_loc)
+        if de_loc < 1.0:
+            keep_up = keep_mask(dist_up, de_loc)
+    return Geometry(
+        mesh_in=mesh_in,
+        dist_down=dist_down,
+        dist_proc=dist_proc,
+        dist_up=dist_up,
+        keep_down=keep_down,
+        keep_up=keep_up,
+    )

@@ -1,0 +1,170 @@
+"""Position-induced Transformer — torch-semantics model family, in flax.
+
+Capability parity with the reference model zoo (reference: pit.py:73-298
+``pit``/``pit_fixed``/``pit_periodic1d``/``pit_periodic2d`` and the
+per-benchmark subclasses in the seven train scripts), re-designed TPU-first:
+
+- One ``PiT`` module covers every variant. Mesh metric and fixed-vs-batched
+  handling live in the :class:`~..models.geometry.Geometry` pytree that is
+  passed to ``__call__`` — the module itself is resolution-independent, which
+  is the invariant that makes zero-shot super-resolution work (params carry
+  no L dependence; re-binding a trained model to a finer mesh is just
+  building a new Geometry).
+- Composition flags absorb the per-benchmark subclasses: ``concat_mesh``
+  (reference: train_burgers.py:45), ``use_instance_norm``
+  (reference: train_vorticity.py:43,56-59), ``residual_output``
+  (reference: train_cylinder.py:52).
+- Initializations reproduce the reference exactly (kaiming-normal MLP
+  weights, torch-default uniform biases, U[0,1) bandwidths) so weight
+  transplants between the two frameworks are loss-preserving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from position_induced_transformer_tpu.models.geometry import Geometry
+from position_induced_transformer_tpu.ops.initializers import (
+    kaiming_normal,
+    torch_linear_bias,
+    uniform01,
+)
+from position_induced_transformer_tpu.ops.normalization import instance_norm
+from position_induced_transformer_tpu.ops.posatt import position_attention
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch ``nn.Linear`` parameterization.
+
+    Kernel is stored (fan_in, features); weight init kaiming-normal
+    (reference: pit.py:18-19), bias init U(+-1/sqrt(fan_in)) (torch default,
+    which the reference keeps).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal, (fan_in, self.features))
+        bias = self.param("bias", torch_linear_bias(fan_in), (self.features,))
+        return x @ kernel + bias
+
+
+class KaimingMLP(nn.Module):
+    """Two-layer MLP with exact (erf) GELU between (reference: pit.py:13-26)."""
+
+    hidden: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchLinear(self.hidden, name="mlp1")(x)
+        x = nn.gelu(x, approximate=False)
+        return TorchLinear(self.features, name="mlp2")(x)
+
+
+class PosAtt(nn.Module):
+    """Self position-attention block with residual-by-concat.
+
+    Holds only the (n_head, 1, 1) bandwidth parameter; distances and masks
+    come from the Geometry (reference: pit.py:28-57).
+    """
+
+    n_head: int
+    locality: float = 1.0
+
+    @nn.compact
+    def __call__(self, dist, inputs, keep=None):
+        lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
+        conv = position_attention(dist, lmda, inputs, self.locality, keep)
+        return jnp.concatenate([inputs, conv], axis=-1)
+
+
+class PosAttCross(nn.Module):
+    """Cross position-attention: convolution only, no concat
+    (reference: pit.py:59-71)."""
+
+    n_head: int
+    locality: float
+
+    @nn.compact
+    def __call__(self, dist, inputs, keep=None):
+        lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
+        return position_attention(dist, lmda, inputs, self.locality, keep)
+
+
+class PiT(nn.Module):
+    """Encoder -> Processor -> Decoder position-induced transformer.
+
+    ``__call__(geom, func_in)`` with ``func_in`` (B, L_in, in_dim) returns
+    (B, L_out, out_dim). Structure mirrors reference pit.py:73-127:
+
+    - encoder: [optional mesh-coord concat ->] cross-posatt down onto the
+      latent cloud -> MLP(H*(in+space) -> hid -> hid) -> GELU
+    - processor: n_blocks x [global self-posatt (concat residual) ->
+      MLP((1+H)*hid -> hid -> hid) -> GELU]
+    - decoder: cross-posatt up -> MLP(H*hid -> hid -> out_dim)
+    """
+
+    space_dim: int
+    in_dim: int
+    out_dim: int
+    hid_dim: int
+    n_head: int
+    n_blocks: int
+    en_loc: float
+    de_loc: float
+    concat_mesh: bool = True
+    use_instance_norm: bool = False
+    residual_output: bool = False
+
+    def setup(self):
+        self.down = PosAttCross(self.n_head, self.en_loc)
+        self.en_layer = KaimingMLP(self.hid_dim, self.hid_dim)
+        self.conv = [
+            PosAtt(self.n_head, 1.0) for _ in range(self.n_blocks)
+        ]
+        self.mlp = [
+            KaimingMLP(self.hid_dim, self.hid_dim) for _ in range(self.n_blocks)
+        ]
+        self.up = PosAttCross(self.n_head, self.de_loc)
+        self.de = KaimingMLP(self.hid_dim, self.out_dim)
+
+    def encoder(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:
+        if self.concat_mesh:
+            mesh = geom.mesh_in
+            if mesh.ndim == 2:  # fixed mesh: broadcast over batch
+                mesh = jnp.broadcast_to(
+                    mesh[None], (func_in.shape[0],) + mesh.shape
+                )
+            func_in = jnp.concatenate([mesh, func_in], axis=-1)
+        f = self.down(geom.dist_down, func_in, geom.keep_down)
+        f = self.en_layer(f)
+        return nn.gelu(f, approximate=False)
+
+    def processor(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
+        for a, w in zip(self.conv, self.mlp):
+            f = a(geom.dist_proc, f)
+            f = w(f)
+            f = nn.gelu(f, approximate=False)
+        return f
+
+    def decoder(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
+        f = self.up(geom.dist_up, f, geom.keep_up)
+        return self.de(f)
+
+    def __call__(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:
+        f = self.encoder(geom, func_in)
+        if self.use_instance_norm:
+            f = instance_norm(f)
+        f = self.processor(geom, f)
+        if self.use_instance_norm:
+            f = instance_norm(f)
+        out = self.decoder(geom, f)
+        if self.residual_output:
+            out = out + func_in
+        return out

@@ -1,0 +1,66 @@
+"""Weight transplant between reference torch checkpoints and flax params.
+
+Lets users of the reference bring trained ``model.pth`` state dicts
+(reference: train_burgers.py:116 et al.) into this framework, and lets the
+test suite validate bit-level forward parity. Torch itself is not imported
+here — callers pass a mapping of parameter name -> numpy array.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _strip_compile_prefix(name: str) -> str:
+    # torch.compile wraps state dicts with an ``_orig_mod.`` prefix.
+    return name[len("_orig_mod."):] if name.startswith("_orig_mod.") else name
+
+
+def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
+    """Convert a reference ``pit`` state dict to this framework's PiT params.
+
+    Mapping (reference names -> flax tree):
+      down.lmda            -> down/lmda
+      en_layer.mlpN.weight -> en_layer/mlpN/kernel (transposed: torch stores
+                              (out, in), flax (in, out))
+      conv.<i>.lmda        -> conv_<i>/lmda
+      mlp.<i>.mlpN.*       -> mlp_<i>/mlpN/*
+      up.lmda, de.mlpN.*   -> up/lmda, de/mlpN/*
+      norm.*               -> dropped (InstanceNorm1d has no params with the
+                              reference's affine=False default)
+    """
+    params: Dict = {}
+
+    def put(path, value):
+        node = params
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = jnp.asarray(value)
+
+    for raw_name, value in state.items():
+        name = _strip_compile_prefix(raw_name)
+        parts = name.split(".")
+        arr = np.asarray(value)
+        if parts[-1] == "lmda":
+            if parts[0] in ("down", "up"):
+                put((parts[0], "lmda"), arr)
+            else:  # conv.<i>.lmda
+                put((f"{parts[0]}_{parts[1]}", "lmda"), arr)
+        elif parts[-1] in ("weight", "bias"):
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            if leaf == "kernel":
+                arr = arr.T
+            if parts[0] in ("en_layer", "de"):  # en_layer.mlp1.weight
+                put((parts[0], parts[1], leaf), arr)
+            elif parts[0] == "mlp":  # mlp.<i>.mlp1.weight
+                put((f"mlp_{parts[1]}", parts[2], leaf), arr)
+            elif parts[0] == "norm":
+                continue
+            else:
+                raise KeyError(f"unrecognized reference parameter {name!r}")
+        else:
+            raise KeyError(f"unrecognized reference parameter {name!r}")
+    return params
