@@ -1,0 +1,93 @@
+"""Benchmark: Burgers-config training throughput on the default backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity is full training steps/second (forward + backward +
+Adam + cosine LR) at the reference Burgers configuration
+(L=1024 -> latent 256, hid 64, 2 heads, 5 blocks, batch 8 —
+reference: train_burgers.py:51-78). ``vs_baseline`` is the ratio against
+the torch reference implementation executing the same step on this host's
+CPU (measured by scripts/measure_torch_baseline.py and recorded in
+BASELINE.md; the reference repo publishes no numbers of its own).
+"""
+
+import json
+import os
+import sys
+import time
+
+# Baseline: torch-2.13-CPU reference train-step throughput on this host
+# (see BASELINE.md "Measured baselines").
+TORCH_CPU_STEPS_PER_SEC = None  # filled from BASELINE_local.json when present
+
+
+def _load_local_baseline():
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_local.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get("torch_cpu_steps_per_sec")
+    return None
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "")
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import dataclasses
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import (
+        benchmarks,
+        runner,
+    )
+    from position_induced_transformer_tpu.train.loop import (
+        epoch_permutation,
+        make_optimizer,
+        make_train_epoch,
+    )
+
+    cfg = configs.BURGERS
+    ntrain, batch = 256, cfg.batch_size
+    problem = benchmarks.setup(cfg, ntrain=ntrain, ntest=batch)
+    n_batches = ntrain // batch
+
+    optimizer = make_optimizer(cfg.lr, 500 * n_batches)
+    state = runner.init_state(problem, optimizer, seed=0)
+    train_epoch = make_train_epoch(problem.task, optimizer)
+
+    perm = epoch_permutation(0, ntrain, batch)
+    # compile + warm up
+    state, loss = jax.block_until_ready(train_epoch(state, problem.geom, problem.train_data, perm))
+    # timed epochs
+    n_epochs = 5
+    t0 = time.perf_counter()
+    for i in range(n_epochs):
+        perm = epoch_permutation(i + 1, ntrain, batch)
+        state, loss = train_epoch(state, problem.geom, problem.train_data, perm)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_epochs * n_batches / dt
+
+    baseline = _load_local_baseline()
+    vs = steps_per_sec / baseline if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "burgers_train_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(vs, 3) if vs else None,
+                "backend": jax.devices()[0].platform,
+                "final_loss": float(loss) / ntrain,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""Command-line interface.
+
+Replaces the reference's seven argument-less driver scripts with one entry
+point (SURVEY.md §1 L4 "experiment drivers"):
+
+    python -m position_induced_transformer_tpu train --benchmark burgers
+    python -m position_induced_transformer_tpu evaluate --benchmark darcy \
+        --checkpoint ckpt/ --zssr
+    python -m position_induced_transformer_tpu benchmarks
+
+Data defaults to the synthetic generators; pass --data-path to use the real
+datasets (reference: README.md:17-22 download links).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--benchmark", required=True, help="benchmark name")
+    p.add_argument("--data-path", default=None, help="dataset file/dir")
+    p.add_argument("--ntrain", type=int, default=None)
+    p.add_argument("--ntest", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (e.g. 'cpu'); default = environment's "
+        "backend (TPU when available)",
+    )
+
+
+def _apply_platform(args):
+    platform = getattr(args, "platform", None)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="position_induced_transformer_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a benchmark")
+    _add_common(p_train)
+    p_train.add_argument("--epochs", type=int, default=None)
+    p_train.add_argument("--checkpoint", default=None, help="save path")
+    p_train.add_argument("--log", default=None, help="JSONL metrics path")
+    p_train.add_argument(
+        "--save-pred", default=None, help="save test predictions (.mat)"
+    )
+
+    p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    _add_common(p_eval)
+    p_eval.add_argument("--checkpoint", required=True)
+    p_eval.add_argument(
+        "--zssr", action="store_true",
+        help="Darcy zero-shot super-resolution at full 421^2 resolution",
+    )
+    p_eval.add_argument("--save-pred", default=None)
+
+    sub.add_parser("benchmarks", help="list available benchmarks")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "benchmarks":
+        from position_induced_transformer_tpu.configs import REGISTRY
+
+        for name, cfg in sorted(REGISTRY.items()):
+            m = cfg.model
+            print(
+                f"{name:12s} hid={m.hid_dim:<4d} heads={m.n_head} "
+                f"blocks={m.n_blocks} metric={cfg.metric:10s} "
+                f"epochs={cfg.epochs}"
+            )
+        return 0
+
+    _apply_platform(args)
+    from position_induced_transformer_tpu.train import runner
+
+    if args.command == "train":
+        problem, state, history = runner.train(
+            args.benchmark,
+            data_path=args.data_path,
+            epochs=args.epochs,
+            ntrain=args.ntrain,
+            ntest=args.ntest,
+            seed=args.seed,
+            log_path=args.log,
+            checkpoint_path=args.checkpoint,
+        )
+        final = history[-1] if history else {}
+        print(json.dumps({"final": final}))
+        if args.save_pred:
+            from scipy.io import savemat
+            import numpy as np
+
+            pred = runner.predict(problem, state)
+            savemat(
+                args.save_pred,
+                {
+                    "pred": pred,
+                    "trueX": np.asarray(problem.test_data["x"]),
+                    "trueY": np.asarray(problem.test_data["y"]),
+                },
+            )
+        return 0
+
+    if args.command == "evaluate":
+        from position_induced_transformer_tpu.train import evaluate
+
+        result = evaluate.evaluate(
+            args.benchmark,
+            checkpoint_path=args.checkpoint,
+            data_path=args.data_path,
+            ntest=args.ntest,
+            zssr=args.zssr,
+            save_pred=args.save_pred,
+        )
+        print(json.dumps(result))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

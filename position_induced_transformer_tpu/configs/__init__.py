@@ -1,0 +1,133 @@
+"""Benchmark configurations — the seven reference experiments as data.
+
+The reference hard-codes hyperparameters as module constants in seven
+driver scripts (e.g. train_burgers.py:51-57, train_darcy.py:62-71); here
+they are frozen dataclasses consumed by one unified runner
+(``position_induced_transformer_tpu.train.runner``). Values mirror
+BASELINE.md / SURVEY.md §6 exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    space_dim: int
+    in_dim: int
+    out_dim: int
+    hid_dim: int
+    n_head: int
+    n_blocks: int
+    en_loc: float
+    de_loc: float
+    concat_mesh: bool = True
+    use_instance_norm: bool = False
+    residual_output: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchmarkConfig:
+    name: str
+    model: ModelConfig
+    metric: str  # 'euclidean' | 'periodic1d' | 'periodic2d'
+    ntrain: int
+    ntest: int
+    batch_size: int
+    epochs: int
+    lr: float = 1e-3
+    loss_p: int = 2
+    eval_batch_size: Optional[int] = None
+    rollout_steps: int = 0  # BPTT rollout length during training
+    memory: int = 0  # input time-window width (vorticity)
+    swap_loss_args: bool = False  # reference passes (pred, true) here
+    normalize_x: bool = False
+    normalize_y: bool = False  # denormalize inside the loss (Darcy)
+    grid: Optional[Tuple[int, ...]] = None  # spatial grid, e.g. (43, 43)
+    latent_grid: Optional[Tuple[int, ...]] = None
+    domain: Tuple[float, float] = (0.0, 1.0)
+    periodic_grid: bool = False  # drop grid endpoint
+    seed: int = 0
+
+
+BURGERS = BenchmarkConfig(
+    name="burgers",
+    # reference: train_burgers.py:51-78
+    model=ModelConfig(1, 1, 1, 64, 2, 5, 0.02, 0.02),
+    metric="periodic1d",
+    ntrain=1024, ntest=128, batch_size=8, epochs=500, loss_p=1,
+    grid=(1024,), latent_grid=(256,), periodic_grid=True,
+)
+
+SOD = BenchmarkConfig(
+    name="sod",
+    # reference: train_sod.py:55-84 (mesh resolution comes from the data)
+    model=ModelConfig(1, 3, 3, 32, 1, 2, 0.02, 0.02),
+    metric="euclidean",
+    ntrain=1024, ntest=128, batch_size=8, epochs=500, loss_p=1,
+    grid=None, latent_grid=(256,), domain=(-5.0, 5.0), periodic_grid=True,
+)
+
+DARCY = BenchmarkConfig(
+    name="darcy",
+    # reference: train_darcy.py:62-118 (30 epochs; ZSSR eval at 421^2)
+    model=ModelConfig(2, 1, 1, 64, 2, 4, 0.02, 0.02),
+    metric="euclidean",
+    ntrain=1024, ntest=100, batch_size=8, eval_batch_size=10, epochs=30,
+    loss_p=2, normalize_x=True, normalize_y=True,
+    grid=(43, 43), latent_grid=(16, 16),
+)
+
+VORTICITY = BenchmarkConfig(
+    name="vorticity",
+    # reference: train_vorticity.py:65-113
+    model=ModelConfig(2, 10, 1, 256, 2, 4, 0.02, 0.02, use_instance_norm=True),
+    metric="periodic2d",
+    ntrain=1000, ntest=200, batch_size=20, epochs=500, loss_p=2,
+    rollout_steps=20, memory=10, swap_loss_args=True,
+    grid=(64, 64), latent_grid=(16, 16), periodic_grid=True,
+)
+
+ELASTICITY = BenchmarkConfig(
+    name="elasticity",
+    # reference: train_elasticity.py:56-81 (per-sample point clouds,
+    # latent mesh == output mesh, encoder without mesh concat)
+    model=ModelConfig(2, 44, 1, 256, 2, 4, 0.02, 0.02, concat_mesh=False),
+    metric="euclidean",
+    ntrain=1000, ntest=200, batch_size=10, epochs=500, loss_p=2,
+)
+
+NACA = BenchmarkConfig(
+    name="naca",
+    # reference: train_naca.py:68-95 (latent = [::4,::4] slice of the C-grid)
+    model=ModelConfig(2, 2, 4, 128, 1, 4, 0.02, 0.02, concat_mesh=False),
+    metric="euclidean",
+    ntrain=1000, ntest=200, batch_size=20, epochs=500, loss_p=2,
+    grid=(221, 51), latent_grid=(56, 13),
+)
+
+CYLINDER = BenchmarkConfig(
+    name="cylinder",
+    # reference: train_cylinder.py:55-91 (one-step residual training,
+    # 10-step rollout at eval; 10 pairs per trajectory)
+    model=ModelConfig(2, 3, 3, 256, 1, 4, 0.01, 0.01, residual_output=True),
+    metric="euclidean",
+    ntrain=10000, ntest=1000, batch_size=200, epochs=500, loss_p=2,
+    swap_loss_args=True,
+)
+
+REGISTRY = {
+    c.name: c
+    for c in (BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER)
+}
+
+
+def get(name: str) -> BenchmarkConfig:
+    try:
+        return REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown benchmark {name!r}; available: {sorted(REGISTRY)}"
+        ) from None

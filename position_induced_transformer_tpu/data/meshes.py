@@ -1,0 +1,29 @@
+"""Mesh builders for regular grids (the reference builds these inline in
+each driver, e.g. train_burgers.py:59-60, train_darcy.py:83-96,
+train_vorticity.py:77-91)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def grid_1d(n: int, lo: float = 0.0, hi: float = 1.0, endpoint: bool = False):
+    """(n, 1) uniform 1-D mesh. ``endpoint=False`` drops the final point
+    (periodic convention, reference: train_burgers.py:59)."""
+    pts = np.linspace(lo, hi, n if endpoint else n + 1)
+    if not endpoint:
+        pts = pts[:-1]
+    return pts.reshape(-1, 1).astype(np.float32)
+
+
+def grid_2d(s: int, endpoint: bool = True):
+    """(s, s, 2) uniform 2-D mesh on [0,1]^2, 'xy' meshgrid stacking order
+    matching the reference (train_darcy.py:83-88). ``endpoint=False`` for
+    periodic domains (train_vorticity.py:78-82)."""
+    if endpoint:
+        xs = np.linspace(0, 1, s)
+    else:
+        xs = np.linspace(0, 1, s + 1)[:-1]
+    xx, yy = np.meshgrid(xs, xs)
+    mesh = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+    return mesh.reshape(s, s, 2).astype(np.float32)

@@ -1,0 +1,180 @@
+"""Synthetic dataset generators for the seven reference benchmarks.
+
+The reference ships git-LFS-stubbed ``.mat`` files and points at external
+downloads (reference: README.md:17-22), so CI and smoke training need
+self-contained generators. Each generator reproduces the *shapes and
+statistics* of the corresponding benchmark (SURVEY.md §2.3) with targets
+that are smooth deterministic functionals of the inputs, so short training
+runs measurably reduce the loss.
+
+All outputs are float32 numpy arrays, shaped exactly as the reference
+loaders emit them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fourier_series_1d(rng, n, L, n_modes=8, decay=1.5):
+    """Random smooth periodic functions on [0,1): (n, L)."""
+    x = np.linspace(0, 1, L, endpoint=False)
+    k = np.arange(1, n_modes + 1)
+    amp = rng.standard_normal((n, n_modes)) / k[None, :] ** decay
+    phase = rng.uniform(0, 2 * np.pi, (n, n_modes))
+    return np.sum(
+        amp[:, None, :] * np.sin(2 * np.pi * k[None, None, :] * x[None, :, None]
+                                 + phase[:, None, :]),
+        axis=-1,
+    ).astype(np.float32)
+
+
+def burgers(n=1152, L=1024, seed=0):
+    """(x, y) pairs shaped (n, L, 1) — smooth periodic initial conditions and
+    a nonlinearly advected target (stand-in for the inviscid Burgers
+    solution operator of reference: train_burgers.py:7-17)."""
+    rng = np.random.default_rng(seed)
+    u0 = _fourier_series_1d(rng, n, L)
+    # target: advect each profile by a profile-dependent shift + steepen
+    shift = (L * 0.1 * np.tanh(u0.mean(axis=1, keepdims=True))).astype(int)
+    idx = (np.arange(L)[None, :] - shift) % L
+    y = np.take_along_axis(u0, idx, axis=1)
+    y = y - 0.2 * y * np.gradient(y, axis=1)
+    return u0[..., None], y.astype(np.float32)[..., None]
+
+
+def sod(n=1152, L=1024, seed=0):
+    """(x, y) shaped (n, L, 3): smooth Riemann-like primitive-variable
+    profiles (rho, u, p) and an evolved target (reference: train_sod.py:7-21
+    emits primitive variables after its conservative->primitive transform)."""
+    rng = np.random.default_rng(seed)
+    s = np.linspace(-5, 5, L, endpoint=False)
+    xc = rng.uniform(-1, 1, (n, 1))
+    w = rng.uniform(0.3, 1.0, (n, 1))
+    step = 0.5 * (1 + np.tanh((s[None, :] - xc) / w))
+    rho = (1.0 - 0.875 * step).astype(np.float32)
+    p = (1.0 - 0.9 * step).astype(np.float32)
+    u = np.zeros_like(rho)
+    x = np.stack([rho, u, p], axis=-1)
+    # evolved: shifted, smoothed profiles with a velocity bump
+    shift = (0.08 * L / 10 * (1 + rng.random((n, 1)))).astype(int)
+    idx = np.clip(np.arange(L)[None, :] - shift, 0, L - 1)
+    rho2 = np.take_along_axis(rho, idx, axis=1)
+    p2 = np.take_along_axis(p, idx, axis=1)
+    u2 = 0.9 * (p - p2) / (rho + 0.1)
+    y = np.stack([rho2, u2, p2], axis=-1)
+    return x.astype(np.float32), y.astype(np.float32)
+
+
+def _grf_2d(rng, n, s, n_modes=6, decay=2.0):
+    x = np.linspace(0, 1, s)
+    kx = np.arange(1, n_modes + 1)
+    field = np.zeros((n, s, s))
+    for i in kx:
+        for j in kx:
+            amp = rng.standard_normal((n, 1, 1)) / (i * i + j * j) ** (decay / 2)
+            field += amp * np.sin(np.pi * i * x)[None, :, None] * np.sin(
+                np.pi * j * x
+            )[None, None, :]
+    return field.astype(np.float32)
+
+
+def darcy(n=1124, s=43, seed=0):
+    """(x, y) shaped (n, s, s, 1): thresholded Gaussian-random-field
+    permeability (values 4/12 like the FNO dataset) and a smooth pressure
+    stand-in (reference: train_darcy.py:7-23)."""
+    rng = np.random.default_rng(seed)
+    g = _grf_2d(rng, n, s)
+    coeff = np.where(g >= 0, 12.0, 4.0).astype(np.float32)
+    # smooth functional of the coefficient field as a solution stand-in
+    from scipy.ndimage import gaussian_filter
+
+    sol = np.stack(
+        [gaussian_filter(1.0 / c, sigma=max(1, s // 14)) for c in coeff]
+    ).astype(np.float32)
+    return coeff[..., None], sol[..., None]
+
+
+def vorticity(n=1200, s=64, frames=30, seed=0):
+    """(n, s, s, frames) rotating-advecting vorticity-like trajectories
+    (reference: train_vorticity.py:7-21 slices [:memory] / [memory:memory+steps])."""
+    rng = np.random.default_rng(seed)
+    base = _grf_2d(rng, n, s)
+    traj = np.empty((n, s, s, frames), np.float32)
+    for t in range(frames):
+        rolled = np.roll(np.roll(base, shift=t, axis=1), shift=2 * t, axis=2)
+        traj[..., t] = 0.97**t * rolled
+    return traj
+
+
+def elasticity(n=1200, L=972, seed=0):
+    """(X, ext, Y): X (n, L, 44) = coords ++ broadcast 42-dim radius vector,
+    ext (n, L, 2) point cloud, Y (n, L, 1) stress stand-in
+    (reference: train_elasticity.py:7-16)."""
+    rng = np.random.default_rng(seed)
+    theta = np.sort(rng.uniform(0, 2 * np.pi, (n, L)), axis=1)
+    r_inner = 0.2 + 0.05 * rng.standard_normal((n, 42))
+    # smooth radius profile per angle from the 42 control values
+    kk = np.arange(1, 8)
+    amp = rng.standard_normal((n, 7)) * 0.03 / kk
+    radius = 0.35 + np.sum(
+        amp[:, None, :] * np.cos(theta[..., None] * kk[None, None, :]), axis=-1
+    )
+    ext = np.stack(
+        [0.5 + radius * np.cos(theta), 0.5 + radius * np.sin(theta)], axis=-1
+    ).astype(np.float32)
+    rvec = np.repeat((5 * r_inner - 1)[:, None, :], L, axis=1).astype(np.float32)
+    X = np.concatenate([ext, rvec], axis=-1)
+    Y = (np.sin(3 * ext[..., :1]) * np.cos(2 * ext[..., 1:2])
+         + 0.1 * rvec[..., :1]).astype(np.float32)
+    return X, ext, Y
+
+
+def naca(n=1200, n_shape=120, nx=221, ny=51, seed=0):
+    """(coords, X, Y): airfoil shape coords (n, n_shape, 2), C-grid vertices
+    (n, nx, ny, 2), 4-variable flow field (n, nx, ny, 4)
+    (reference: train_naca.py:7-15)."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 2 * np.pi, n_shape, endpoint=False)
+    thick = rng.uniform(0.08, 0.18, (n, 1))
+    camber = rng.uniform(-0.04, 0.04, (n, 1))
+    xs = 0.5 * (1 + np.cos(t))[None, :]
+    ys = thick * np.sin(t)[None, :] * np.sqrt(np.clip(xs, 0, 1)) + camber * xs * (1 - xs)
+    coords = np.stack([xs * np.ones((n, 1)), ys], axis=-1).astype(np.float32)
+
+    u = np.linspace(-1, 2, nx)
+    v = np.linspace(0, 1, ny)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    X = np.empty((n, nx, ny, 2), np.float32)
+    X[..., 0] = uu[None]
+    X[..., 1] = (vv[None] * (1 + thick[:, :, None])) - 0.5
+    rsq = (X[..., 0] - 0.5) ** 2 + X[..., 1] ** 2
+    base = np.exp(-2 * rsq)
+    Y = np.stack(
+        [1 + 0.2 * base, 0.8 * base, 0.1 * base * X[..., 1], 1 + 0.5 * base],
+        axis=-1,
+    ).astype(np.float32)
+    return coords, X, Y
+
+
+def cylinder(n_traj=1100, L=4390, n_small=896, steps=11, seed=0):
+    """(trajectories, vertices, vertices_small): trajectories
+    (n_traj, L, 3, steps) on a synthetic 2-D wake-like point cloud
+    (reference: train_cylinder.py:8-16,65-66)."""
+    rng = np.random.default_rng(seed)
+    verts = np.stack(
+        [rng.uniform(0, 2.2, L), rng.uniform(0, 0.41, L)], axis=-1
+    ).astype(np.float32)
+    # latent cloud: subsample
+    idx = rng.choice(L, n_small, replace=False)
+    verts_small = verts[idx]
+    phase = rng.uniform(0, 2 * np.pi, (n_traj, 1, 1))
+    k = rng.uniform(2, 6, (n_traj, 1, 1))
+    traj = np.empty((n_traj, L, 3, steps), np.float32)
+    for t in range(steps):
+        arg = k * verts[None, :, 0:1] - 0.5 * t + phase
+        u = 1.0 + 0.3 * np.sin(arg) * np.exp(-((verts[None, :, 1:2] - 0.2) ** 2) * 30)
+        v = 0.3 * np.cos(arg) * np.exp(-((verts[None, :, 1:2] - 0.2) ** 2) * 30)
+        p = 0.5 * np.sin(arg) * (2.2 - verts[None, :, 0:1]) / 2.2
+        traj[..., t] = np.concatenate([u, v, p], axis=-1)
+    return traj, verts, verts_small

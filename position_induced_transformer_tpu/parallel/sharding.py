@@ -1,0 +1,142 @@
+"""Device-mesh sharding presets: the framework's distributed layer.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: no DP/TP/SP, no
+comm backend). Here multi-chip scaling is first-class and TPU-idiomatic:
+a ``jax.sharding.Mesh`` with ``('data', 'model')`` axes, ``NamedSharding``
+annotations on inputs/params, and XLA GSPMD inserting the collectives
+(gradient psum over 'data', MLP all-reduce over 'model') on ICI.
+
+Strategies provided:
+
+- **Data parallel**: batch axis sharded over 'data'; params replicated;
+  the backward-pass gradient all-reduce is inserted by XLA.
+- **Tensor parallel (MLP + heads)**: the two-layer MLPs are column- then
+  row-parallel over 'model' (mlp1 kernel split on its output features,
+  mlp2 on its input features -> one psum per MLP); position-attention
+  bandwidths (n_head, 1, 1) are sharded over 'model' when n_head divides
+  the axis, making heads embarrassingly parallel.
+- **Sequence parallel** (for ZSSR-scale decoding): shard the output-mesh
+  row axis of the decoder cross-attention — each device computes the
+  attention rows for its slab of query points against the (small,
+  replicated) latent cloud; no ring pass is needed because K/V side is the
+  latent bottleneck (SURVEY.md §5 long-context).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh from the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        n_data = max(1, n // n_model)
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_spec(leaf) -> P:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return P("data", *([None] * (leaf.ndim - 1)))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Sharding constraint pytree for a batch dict (apply inside jit)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, batch_spec(a))
+        ),
+        batch,
+    )
+
+
+def _param_pspec(path, leaf, n_head: int, model_axis_size: int) -> P:
+    """Tensor-parallel PartitionSpec for a PiT parameter leaf."""
+    keys = [getattr(k, "key", str(k)) for k in path]
+    if model_axis_size <= 1:
+        return P()
+    name = keys[-1]
+    if name == "lmda" and leaf.shape[0] % model_axis_size == 0:
+        return P("model", None, None)
+    if "mlp1" in keys and name == "kernel":
+        return P(None, "model")  # column parallel
+    if "mlp1" in keys and name == "bias":
+        return P("model")
+    if "mlp2" in keys and name == "kernel":
+        return P("model", None)  # row parallel (psum after)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params, n_head: int = 1):
+    """NamedSharding pytree for a PiT parameter tree (TP over 'model')."""
+    model_size = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _param_pspec(path, leaf, n_head, model_size)
+        ),
+        params,
+    )
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_state(mesh: Mesh, state, n_head: int = 1):
+    """Place a TrainState: params and Adam moments TP-sharded over 'model',
+    scalars replicated. Works because optimizer-moment leaf paths embed the
+    corresponding parameter path (optax mirrors the param treedef), so the
+    same spec rule applies."""
+    model_size = mesh.shape.get("model", 1)
+
+    def place(path, leaf):
+        leaf = jax.numpy.asarray(leaf)
+        spec = (
+            _param_pspec(path, leaf, n_head, model_size)
+            if leaf.ndim > 0
+            else P()
+        )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return type(state)(
+        jax.tree_util.tree_map_with_path(place, state.params),
+        jax.tree_util.tree_map_with_path(place, state.opt_state),
+        jax.device_put(state.step, replicated(mesh)),
+    )
+
+
+def replicate_tree(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, replicated(mesh)), tree
+    )
+
+
+def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data"):
+    """Shard the decoder's output-mesh rows over a mesh axis (sequence
+    parallelism for ZSSR-scale decode). ``dist_up``/``keep_up`` rows are
+    distributed; everything else stays replicated."""
+
+    def row_shard(a):
+        if a is None:
+            return None
+        return jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        )
+
+    import dataclasses
+
+    return dataclasses.replace(
+        geom,
+        dist_up=row_shard(geom.dist_up),
+        keep_up=row_shard(geom.keep_up) if geom.keep_up is not None else None,
+    )

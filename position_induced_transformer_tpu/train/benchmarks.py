@@ -1,0 +1,290 @@
+"""Per-benchmark problem setup: data -> meshes -> Geometry -> Task.
+
+Each ``setup_<name>`` returns a :class:`Problem` that the unified runner
+consumes. This replaces the bespoke glue in each reference driver script
+(mesh construction, normalization placement, latent-mesh selection) with
+data declared next to the config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from position_induced_transformer_tpu.configs import BenchmarkConfig
+from position_induced_transformer_tpu.data import loaders, meshes
+from position_induced_transformer_tpu.models import Geometry, PiT, build_geometry
+from position_induced_transformer_tpu.ops.normalization import PixelWiseNormalizer
+from position_induced_transformer_tpu.train.loop import Task
+
+
+@dataclasses.dataclass
+class Problem:
+    config: BenchmarkConfig
+    model: PiT
+    task: Task
+    geom: Optional[Geometry]  # static geometry (None for per-sample meshes)
+    train_data: Dict[str, jnp.ndarray]
+    test_data: Dict[str, jnp.ndarray]
+    n_train: int
+    n_test: int
+    x_normalizer: Optional[PixelWiseNormalizer] = None
+    y_normalizer: Optional[PixelWiseNormalizer] = None
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def _make_model(cfg: BenchmarkConfig) -> PiT:
+    m = cfg.model
+    return PiT(
+        space_dim=m.space_dim,
+        in_dim=m.in_dim,
+        out_dim=m.out_dim,
+        hid_dim=m.hid_dim,
+        n_head=m.n_head,
+        n_blocks=m.n_blocks,
+        en_loc=m.en_loc,
+        de_loc=m.de_loc,
+        concat_mesh=m.concat_mesh,
+        use_instance_norm=m.use_instance_norm,
+        residual_output=m.residual_output,
+    )
+
+
+def _task_kwargs(cfg: BenchmarkConfig) -> dict:
+    return dict(
+        loss_p=cfg.loss_p,
+        out_dim=cfg.model.out_dim,
+        swap_loss_args=cfg.swap_loss_args,
+        rollout_steps=cfg.rollout_steps,
+    )
+
+
+def setup_burgers(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    x_tr, y_tr, x_te, y_te = loaders.burgers(
+        data_path, ntrain, ntest, L=(cfg.grid or (1024,))[0]
+    )
+    L = x_tr.shape[1]
+    mesh = jnp.asarray(meshes.grid_1d(L))
+    mesh_ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0]))
+    geom = build_geometry(
+        mesh, mesh_ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(model=model, **_task_kwargs(cfg))
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
+        ntrain, ntest,
+    )
+
+
+def setup_sod(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    x_tr, y_tr, x_te, y_te = loaders.sod(
+        data_path, ntrain, ntest, L=(cfg.grid or (1024,))[0]
+    )
+    L = x_tr.shape[1]
+    lo, hi = cfg.domain
+    mesh = jnp.asarray(meshes.grid_1d(L, lo, hi))
+    mesh_ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0], lo, hi))
+    geom = build_geometry(
+        mesh, mesh_ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(model=model, **_task_kwargs(cfg))
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
+        ntrain, ntest,
+    )
+
+
+def darcy_geometry(cfg, s: int) -> Geometry:
+    """Geometry at resolution s (re-built at 421 for ZSSR eval,
+    reference: train_darcy.py:151-180)."""
+    mesh = jnp.asarray(meshes.grid_2d(s).reshape(-1, 2))
+    mesh_ltt = jnp.asarray(meshes.grid_2d(cfg.latent_grid[0]).reshape(-1, 2))
+    return build_geometry(
+        mesh, mesh_ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+
+
+def setup_darcy(
+    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10
+) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    train_path = test_path = None
+    if data_path:
+        train_path = f"{data_path}/piececonst_r421_N1024_smooth1.mat"
+        test_path = f"{data_path}/piececonst_r421_N1024_smooth2.mat"
+    x_tr, y_tr, x_te, y_te = loaders.darcy(
+        train_path, test_path, downsampling, ntrain, ntest
+    )
+    s = x_tr.shape[1]
+    x_norm = PixelWiseNormalizer.fit(jnp.asarray(x_tr))
+    y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
+    x_tr_n = np.asarray(x_norm.normalize(jnp.asarray(x_tr)))
+    x_te_n = np.asarray(x_norm.normalize(jnp.asarray(x_te)))
+
+    geom = darcy_geometry(cfg, s)
+    model = _make_model(cfg)
+
+    def denorm(out):  # (B, L, 1) -> denormalized grid
+        out = out.reshape(out.shape[0], s, s, 1)
+        return y_norm.denormalize(out)
+
+    task = Task(model=model, postprocess=denorm, **_task_kwargs(cfg))
+    flat = lambda a: jnp.asarray(a).reshape(a.shape[0], -1, a.shape[-1])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": flat(x_tr_n), "y": jnp.asarray(y_tr)},
+        {"x": flat(x_te_n), "y": jnp.asarray(y_te)},
+        ntrain, ntest, x_normalizer=x_norm, y_normalizer=y_norm,
+        extras={"s": s, "downsampling": downsampling},
+    )
+
+
+def setup_vorticity(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    x_tr, y_tr, x_te, y_te = loaders.vorticity(
+        data_path, ntrain, ntest, cfg.memory, cfg.rollout_steps
+    )
+    s = x_tr.shape[1]
+    mesh = jnp.asarray(meshes.grid_2d(s, endpoint=False).reshape(-1, 2))
+    mesh_ltt = jnp.asarray(
+        meshes.grid_2d(cfg.latent_grid[0], endpoint=False).reshape(-1, 2)
+    )
+    geom = build_geometry(
+        mesh, mesh_ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(model=model, **_task_kwargs(cfg))
+    flat = lambda a: jnp.asarray(a).reshape(a.shape[0], s * s, a.shape[-1])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": flat(x_tr), "y": flat(y_tr)},
+        {"x": flat(x_te), "y": flat(y_te)},
+        ntrain, ntest, extras={"s": s},
+    )
+
+
+def setup_elasticity(
+    cfg, data_path=None, ntrain=None, ntest=None, n_points=972
+) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    X_tr, ext_tr, Y_tr, X_te, ext_te, Y_te = loaders.elasticity(
+        data_path, ntrain, ntest, n_points=n_points
+    )
+    model = _make_model(cfg)
+
+    def geom_fn(batch):
+        # latent mesh == output mesh == input cloud, per sample
+        # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone())
+        m = batch["mesh"]
+        return build_geometry(
+            m, m, m, metric=cfg.metric,
+            en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+            precompute_masks=False,
+        )
+
+    task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
+    return Problem(
+        cfg, model, task, None,
+        {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr), "y": jnp.asarray(Y_tr)},
+        {"x": jnp.asarray(X_te), "mesh": jnp.asarray(ext_te), "y": jnp.asarray(Y_te)},
+        ntrain, ntest,
+    )
+
+
+def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    c_tr, X_tr, Y_tr, c_te, X_te, Y_te = loaders.naca(
+        data_path, ntrain, ntest, nx=cfg.grid[0], ny=cfg.grid[1]
+    )
+    xd = yd = 4  # latent downsampling strides (reference: train_naca.py:86-87)
+    x_res, y_res = cfg.latent_grid
+
+    def prep(coords, X, Y):
+        # latent mesh: strided slice of the output C-grid per sample
+        # (reference: train_naca.py:62-65)
+        ltt = X[:, ::xd, ::yd, :][:, :x_res, :y_res, :].reshape(X.shape[0], -1, 2)
+        out = X.reshape(X.shape[0], -1, 2)
+        return {
+            "x": jnp.asarray(coords),
+            "mesh_in": jnp.asarray(coords),
+            "mesh_ltt": jnp.asarray(ltt),
+            "mesh_out": jnp.asarray(out),
+            "y": jnp.asarray(Y),
+        }
+
+    model = _make_model(cfg)
+
+    def geom_fn(batch):
+        return build_geometry(
+            batch["mesh_in"], batch["mesh_ltt"], batch["mesh_out"],
+            metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+            precompute_masks=False,
+        )
+
+    task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
+    return Problem(
+        cfg, model, task, None,
+        prep(c_tr, X_tr, Y_tr), prep(c_te, X_te, Y_te), ntrain, ntest,
+    )
+
+
+def setup_cylinder(
+    cfg, data_path=None, ntrain=None, ntest=None, n_points=4390, n_latent=896
+) -> Problem:
+    n_traj_train = (ntrain or cfg.ntrain) // 10
+    n_traj_test = (ntest or cfg.ntest) // 10
+    paths = (None,) * 4
+    if data_path:
+        paths = (
+            f"{data_path}/WakeCylinder_train.mat",
+            f"{data_path}/WakeCylinder_test.mat",
+            f"{data_path}/vertices.csv",
+            f"{data_path}/vertices_small.csv",
+        )
+    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, test_traj = loaders.cylinder(
+        *paths, ntrain=n_traj_train, ntest=n_traj_test,
+        n_points=n_points, n_latent=n_latent,
+    )
+    geom = build_geometry(
+        jnp.asarray(mesh), jnp.asarray(mesh_ltt), jnp.asarray(mesh),
+        metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(model=model, **_task_kwargs(cfg))
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
+        x_tr.shape[0], x_te.shape[0],
+        extras={"test_trajectories": test_traj},
+    )
+
+
+SETUPS: Dict[str, Callable[..., Problem]] = {
+    "burgers": setup_burgers,
+    "sod": setup_sod,
+    "darcy": setup_darcy,
+    "vorticity": setup_vorticity,
+    "elasticity": setup_elasticity,
+    "naca": setup_naca,
+    "cylinder": setup_cylinder,
+}
+
+
+def setup(cfg: BenchmarkConfig, data_path=None, **kw) -> Problem:
+    return SETUPS[cfg.name](cfg, data_path, **kw)

@@ -1,0 +1,211 @@
+"""Unified jitted training loop for all seven benchmarks.
+
+TPU-first redesign of the reference's seven hand-rolled driver loops
+(reference: train_burgers.py:82-114 et al.):
+
+- The **whole epoch** — batch gather, forward, backward, Adam update,
+  cosine LR step — is one jitted ``lax.scan`` over a shuffled index matrix.
+  The reference crosses host<->device per batch (DataLoader + ``.item()``);
+  here the dataset lives on device and the epoch executes as a single XLA
+  program.
+- The cosine schedule is stepped **per batch** exactly like the reference
+  (``scheduler.step()`` after each optimizer step — train_burgers.py:93);
+  optax schedules index by update count, which matches.
+- Autoregressive rollout training (vorticity, reference:
+  train_vorticity.py:118-129) is a ``lax.scan`` over time steps inside the
+  loss, with optional per-step rematerialization (``jax.checkpoint``) so
+  20-step BPTT fits in HBM.
+- Per-sample-mesh benchmarks (elasticity/NACA) pass a ``geom_fn`` that
+  rebuilds batched geometry from the batch inside the step.
+
+Losses replicate the reference's argument conventions, including the
+vorticity/cylinder drivers' swapped (pred, true) order
+(reference: train_vorticity.py:124 ``myloss(out, y[...,t:t+1])``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from position_induced_transformer_tpu.ops.metrics import rel_lp_norm
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    lr: float, total_steps: int, eta_min: float = 0.0
+) -> optax.GradientTransformation:
+    """Adam + per-step cosine annealing to ``eta_min``
+    (reference: train_burgers.py:75-76)."""
+    schedule = optax.cosine_decay_schedule(
+        init_value=lr, decay_steps=total_steps, alpha=eta_min / lr if lr else 0.0
+    )
+    return optax.adam(learning_rate=schedule)
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """A model bound to its loss/rollout/normalization conventions."""
+
+    model: Any  # flax module with __call__(geom, x)
+    loss_p: int = 2
+    out_dim: int = 1
+    swap_loss_args: bool = False  # vorticity/cylinder pass (pred, true)
+    postprocess: Optional[Callable] = None  # e.g. y-normalizer denormalize
+    rollout_steps: int = 0
+    remat_rollout: bool = True
+    geom_fn: Optional[Callable] = None  # batch -> Geometry (per-sample meshes)
+
+    def _geometry(self, geom, batch):
+        return self.geom_fn(batch) if self.geom_fn is not None else geom
+
+    def forward(self, params, geom, batch):
+        out = self.model.apply(
+            {"params": params}, self._geometry(geom, batch), batch["x"]
+        )
+        if self.postprocess is not None:
+            out = self.postprocess(out)
+        return out
+
+    def _loss(self, true, pred):
+        if self.swap_loss_args:
+            true, pred = pred, true
+        return rel_lp_norm(true, pred, self.out_dim, self.loss_p)
+
+    def loss_fn(self, params, geom, batch):
+        """Batch-summed training loss (divide by n_samples outside)."""
+        if self.rollout_steps == 0:
+            return self._loss(batch["y"], self.forward(params, geom, batch))
+
+        g = self._geometry(geom, batch)
+        apply = lambda p, xx: self.model.apply({"params": p}, g, xx)
+        if self.remat_rollout:
+            apply = jax.checkpoint(apply)
+        y = batch["y"]  # (B, L, steps)
+
+        def step(window, t):
+            out = apply(params, window)
+            y_t = jax.lax.dynamic_slice_in_dim(y, t, 1, axis=-1)
+            loss_t = self._loss(y_t, out)
+            window = jnp.concatenate([window[..., 1:], out], axis=-1)
+            return window, loss_t
+
+        _, losses = jax.lax.scan(
+            step, batch["x"], jnp.arange(self.rollout_steps)
+        )
+        return jnp.sum(losses)
+
+    def rollout(self, params, geom, x, steps: int):
+        """Autoregressive prediction, returns (B, L, steps)
+        (reference eval rollouts: train_vorticity.py:151-161,
+        train_cylinder.py:144-153)."""
+        g = self._geometry(geom, {"x": x})
+
+        def step(window, _):
+            out = self.model.apply({"params": params}, g, window)
+            if self.postprocess is not None:
+                out = self.postprocess(out)
+            if self.rollout_steps or window.shape[-1] > out.shape[-1]:
+                window = jnp.concatenate([window[..., 1:], out], axis=-1)
+            else:  # one-step residual models (cylinder): feed output back
+                window = out
+            return window, out
+
+        _, outs = jax.lax.scan(step, x, None, length=steps)
+        return jnp.moveaxis(outs, 0, -1)  # (B, L, d, steps) or (B, L, steps)
+
+
+def _gather(tree, idx):
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), tree)
+
+
+def make_train_epoch(
+    task: Task, optimizer: optax.GradientTransformation, mesh=None
+):
+    """Whole-epoch train function: jitted scan over a (n_batches, B) index
+    matrix. Donates the TrainState so parameters update in place in HBM.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — each
+    batch is sharding-constrained across it (data parallelism; gradient
+    all-reduce over ICI is inserted by XLA GSPMD)."""
+
+    def train_epoch(state: TrainState, geom, data, perm):
+        def step(carry, idx):
+            params, opt_state = carry
+            batch = _gather(data, idx)
+            if mesh is not None:
+                from position_induced_transformer_tpu.parallel.sharding import (
+                    shard_batch,
+                )
+
+                batch = shard_batch(mesh, batch)
+            loss, grads = jax.value_and_grad(task.loss_fn)(params, geom, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (state.params, state.opt_state), perm
+        )
+        return (
+            TrainState(params, opt_state, state.step + perm.shape[0]),
+            jnp.sum(losses),
+        )
+
+    return jax.jit(train_epoch, donate_argnums=(0,))
+
+
+def make_eval_epoch(
+    task: Task, metrics: dict[str, Callable] | None = None, mesh=None
+):
+    """Jitted full-dataset evaluation over a (n_batches, B) index matrix.
+
+    ``metrics`` maps name -> fn(true, pred) with batch-summed outputs;
+    defaults to the task loss. Returns name -> scalar sum (divide by n_test
+    outside, matching the reference's convention)."""
+
+    def eval_epoch(state: TrainState, geom, data, perm):
+        def step(_, idx):
+            batch = _gather(data, idx)
+            if mesh is not None:
+                from position_induced_transformer_tpu.parallel.sharding import (
+                    shard_batch,
+                )
+
+                batch = shard_batch(mesh, batch)
+            if task.rollout_steps or metrics is None:
+                return None, {"loss": task.loss_fn(state.params, geom, batch)}
+            pred = task.forward(state.params, geom, batch)
+            return None, {
+                name: fn(batch["y"], pred) for name, fn in metrics.items()
+            }
+
+        _, sums = jax.lax.scan(step, None, perm)
+        return jax.tree_util.tree_map(jnp.sum, sums)
+
+    return jax.jit(eval_epoch)
+
+
+def epoch_permutation(rng: "jax.Array | int", n: int, batch_size: int):
+    """Shuffled (n_batches, batch_size) index matrix; drops the remainder
+    exactly like ``ntrain // batch`` in the reference iteration count."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    n_batches = n // batch_size
+    perm = jax.random.permutation(rng, n)[: n_batches * batch_size]
+    return perm.reshape(n_batches, batch_size)
+
+
+def eval_permutation(n: int, batch_size: int):
+    """Sequential index matrix covering the first n//batch*batch samples."""
+    n_batches = n // batch_size
+    return jnp.arange(n_batches * batch_size).reshape(n_batches, batch_size)

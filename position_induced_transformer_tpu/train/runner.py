@@ -1,0 +1,132 @@
+"""Unified benchmark runner: the framework's L4 layer.
+
+Replaces the reference's seven driver scripts with one loop
+(SURVEY.md §1 L4). Per epoch it executes a single jitted whole-epoch train
+scan and a jitted eval scan, prints the same columns the reference prints
+(epoch, seconds, train loss, test metrics — e.g. train_burgers.py:114), and
+appends structured JSONL metrics. Checkpoints via train/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from position_induced_transformer_tpu.configs import BenchmarkConfig, get
+from position_induced_transformer_tpu.ops.metrics import rel_lp_norm, rel_max_norm
+from position_induced_transformer_tpu.train import benchmarks
+from position_induced_transformer_tpu.train import checkpoint as ckpt
+from position_induced_transformer_tpu.train.loop import (
+    TrainState,
+    epoch_permutation,
+    eval_permutation,
+    make_eval_epoch,
+    make_optimizer,
+    make_train_epoch,
+)
+
+
+def init_state(problem, optimizer, seed: int = 0) -> TrainState:
+    """Initialize parameters (reference inits under torch seed 0 —
+    pit.py:3) and optimizer state."""
+    data = jax.tree_util.tree_map(lambda a: a[:2], problem.train_data)
+    geom = problem.geom
+    if problem.task.geom_fn is not None:
+        geom = problem.task.geom_fn(data)
+    variables = problem.model.init(jax.random.PRNGKey(seed), geom, data["x"])
+    params = variables["params"]
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def default_metrics(out_dim: int):
+    return {
+        "rel_l1": partial(rel_lp_norm, out_dim=out_dim, p=1),
+        "rel_l2": partial(rel_lp_norm, out_dim=out_dim, p=2),
+        "rel_max": partial(rel_max_norm, out_dim=out_dim),
+    }
+
+
+def train(
+    config: "BenchmarkConfig | str",
+    data_path: Optional[str] = None,
+    epochs: Optional[int] = None,
+    ntrain: Optional[int] = None,
+    ntest: Optional[int] = None,
+    seed: Optional[int] = None,
+    log_path: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    verbose: bool = True,
+    setup_kwargs: Optional[dict] = None,
+):
+    """Train a benchmark end to end; returns (problem, state, history)."""
+    cfg = get(config) if isinstance(config, str) else config
+    problem = benchmarks.setup(
+        cfg, data_path, ntrain=ntrain, ntest=ntest, **(setup_kwargs or {})
+    )
+    epochs = epochs if epochs is not None else cfg.epochs
+    seed = seed if seed is not None else cfg.seed
+
+    n_batches = problem.n_train // cfg.batch_size
+    total_steps = epochs * n_batches  # reference: train_burgers.py:56
+    optimizer = make_optimizer(cfg.lr, total_steps)
+    state = init_state(problem, optimizer, seed)
+
+    train_epoch = make_train_epoch(problem.task, optimizer)
+    metrics = None if cfg.rollout_steps else default_metrics(cfg.model.out_dim)
+    eval_epoch = make_eval_epoch(problem.task, metrics)
+    eval_bs = cfg.eval_batch_size or cfg.batch_size
+    eval_perm = eval_permutation(problem.n_test, eval_bs)
+    n_eval = int(eval_perm.size)
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    logf = open(log_path, "a") if log_path else None
+    for ep in range(epochs):
+        t0 = time.perf_counter()
+        key, sub = jax.random.split(key)
+        perm = epoch_permutation(sub, problem.n_train, cfg.batch_size)
+        state, train_loss = train_epoch(state, problem.geom, problem.train_data, perm)
+        evals = eval_epoch(state, problem.geom, problem.test_data, eval_perm)
+        train_loss = float(train_loss) / (n_batches * cfg.batch_size)
+        evals = {k: float(v) / n_eval for k, v in evals.items()}
+        if cfg.rollout_steps:  # reference divides by ntest*steps
+            evals = {k: v / cfg.rollout_steps for k, v in evals.items()}
+            train_loss /= cfg.rollout_steps
+        dt = time.perf_counter() - t0
+        row = {"epoch": ep, "seconds": dt, "train_loss": train_loss, **evals}
+        history.append(row)
+        if verbose:
+            print(
+                ep, f"{dt:.3f}", f"{train_loss:.6f}",
+                *(f"{v:.6f}" for v in evals.values()),
+                flush=True,
+            )
+        if logf:
+            logf.write(json.dumps(row) + "\n")
+            logf.flush()
+    if logf:
+        logf.close()
+    if checkpoint_path:
+        ckpt.save(checkpoint_path, {"params": state.params})
+    return problem, state, history
+
+
+def predict(problem, state, data=None, batch_size: Optional[int] = None):
+    """Full-dataset predictions (reference final predict loops, e.g.
+    train_burgers.py:118-126)."""
+    data = data if data is not None else problem.test_data
+    n = data["x"].shape[0]
+    bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
+    fwd = jax.jit(problem.task.forward)
+    outs = []
+    for i in range(0, n - n % bs, bs):
+        batch = jax.tree_util.tree_map(lambda a: a[i : i + bs], data)
+        outs.append(np.asarray(fwd(state.params, problem.geom, batch)))
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,246 @@
+"""Model-level tests: shapes, resolution independence, torch forward parity.
+
+The parity tests instantiate the reference ``pit`` family, transplant its
+weights into our flax ``PiT`` via ``torch_state_dict_to_flax``, and compare
+full encoder->processor->decoder forwards.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from position_induced_transformer_tpu.models import PiT, build_geometry
+from position_induced_transformer_tpu.utils import count_params
+from position_induced_transformer_tpu.utils.torch_compat import (
+    torch_state_dict_to_flax,
+)
+
+from reference_oracle import load_reference
+
+REF = load_reference()
+needs_ref = pytest.mark.skipif(REF is None, reason="torch reference unavailable")
+
+
+def _mk_model(**kw):
+    defaults = dict(
+        space_dim=1,
+        in_dim=1,
+        out_dim=1,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=2,
+        en_loc=0.3,
+        de_loc=0.3,
+    )
+    defaults.update(kw)
+    return PiT(**defaults)
+
+
+def test_forward_shapes_and_param_count():
+    rng = np.random.default_rng(0)
+    model = _mk_model()
+    mesh_in = jnp.linspace(0, 1, 33)[:-1].reshape(-1, 1)
+    mesh_ltt = jnp.linspace(0, 1, 9)[:-1].reshape(-1, 1)
+    geom = build_geometry(mesh_in, mesh_ltt, mesh_in, metric="periodic1d")
+    x = jnp.asarray(rng.random((4, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), geom, x)
+    out = jax.jit(model.apply)(params, geom, x)
+    assert out.shape == (4, 32, 1)
+    # resolution independence: params carry no mesh-size dimension, so the
+    # count is a pure function of the width hyperparameters
+    hid, H, blocks = 16, 2, 2
+    expected = (
+        H  # down lmda
+        + (H * 2 * hid + hid) + (hid * hid + hid)  # en_layer
+        + blocks * H  # conv lmdas
+        + blocks * (((1 + H) * hid * hid + hid) + (hid * hid + hid))  # mlps
+        + H  # up lmda
+        + (H * hid * hid + hid) + (hid * 1 + 1)  # de
+    )
+    assert count_params(params) == expected
+
+
+def test_resolution_transfer_zero_shot():
+    """Same params must apply at a finer resolution (ZSSR invariant,
+    reference: train_darcy.py:151-180)."""
+    rng = np.random.default_rng(1)
+    model = _mk_model()
+    mesh_c = jnp.linspace(0, 1, 17)[:-1].reshape(-1, 1)
+    mesh_ltt = jnp.linspace(0, 1, 9)[:-1].reshape(-1, 1)
+    geom_c = build_geometry(mesh_c, mesh_ltt, mesh_c, metric="periodic1d")
+    x_c = jnp.asarray(rng.random((2, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), geom_c, x_c)
+
+    mesh_f = jnp.linspace(0, 1, 65)[:-1].reshape(-1, 1)
+    geom_f = build_geometry(mesh_f, mesh_ltt, mesh_f, metric="periodic1d")
+    x_f = jnp.asarray(rng.random((2, 64, 1)), jnp.float32)
+    out = jax.jit(model.apply)(params, geom_f, x_f)
+    assert out.shape == (2, 64, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _torch_state(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+@needs_ref
+def test_pit_fixed_forward_parity():
+    """Full-model parity vs reference pit_fixed (pit.py:161-184) with the
+    mesh-concat driver composition (train_sod.py:44-53)."""
+    import torch
+
+    ref_pit, _ = REF
+    rng = np.random.default_rng(2)
+    L, L_ltt, B, in_dim, out_dim = 48, 12, 3, 3, 3
+    mesh = np.linspace(-5, 5, L + 1)[:-1].reshape(-1, 1).astype(np.float32)
+    mesh_ltt = np.linspace(-5, 5, L_ltt + 1)[:-1].reshape(-1, 1).astype(np.float32)
+    x = rng.random((B, L, in_dim)).astype(np.float32)
+
+    tmod = ref_pit.pit_fixed(
+        space_dim=1,
+        in_dim=in_dim,  # the reference adds space_dim internally for the concat
+        out_dim=out_dim,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=2,
+        mesh_ltt=torch.from_numpy(mesh_ltt),
+        en_loc=0.3,
+        de_loc=0.3,
+    )
+    with torch.no_grad():
+        tm = torch.from_numpy(mesh)
+        tx = torch.from_numpy(x)
+        fin = torch.cat((tm.unsqueeze(0).expand(B, -1, -1), tx), -1)
+        f = tmod.encoder(tm, fin, tmod.mesh_ltt)
+        f = tmod.processor(f, tmod.mesh_ltt)
+        ref_out = tmod.decoder(tmod.mesh_ltt, f, tm).numpy()
+
+    model = PiT(
+        space_dim=1,
+        in_dim=in_dim,
+        out_dim=out_dim,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=2,
+        en_loc=0.3,
+        de_loc=0.3,
+        concat_mesh=True,
+    )
+    geom = build_geometry(
+        jnp.asarray(mesh), jnp.asarray(mesh_ltt), jnp.asarray(mesh),
+        metric="euclidean", en_loc=0.3, de_loc=0.3,
+    )
+    params = {"params": torch_state_dict_to_flax(_torch_state(tmod))}
+    out = jax.jit(model.apply)(params, geom, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=3e-4, atol=3e-5)
+
+
+@needs_ref
+def test_pit_batched_forward_parity_elasticity_style():
+    """Batched per-sample meshes with latent == output mesh and no mesh
+    concat (reference: train_elasticity.py:18-54)."""
+    import torch
+
+    ref_pit, _ = REF
+    rng = np.random.default_rng(3)
+    B, L, in_dim = 2, 40, 6
+    mesh = rng.random((B, L, 2)).astype(np.float32)
+    x = rng.random((B, L, in_dim)).astype(np.float32)
+
+    tmod = ref_pit.pit(
+        space_dim=2,
+        in_dim=in_dim,
+        out_dim=1,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=2,
+        mesh_ltt=None,
+        en_loc=0.3,
+        de_loc=0.3,
+    )
+    # elasticity overrides the encoder MLP input width (no mesh concat)
+    tmod.en_layer = ref_pit.kaiming_mlp(2 * in_dim, 16, 16)
+    with torch.no_grad():
+        tm = torch.from_numpy(mesh)
+        tx = torch.from_numpy(x)
+        f = tmod.encoder(tm, tx, tm)
+        f = tmod.processor(f, tm)
+        ref_out = tmod.decoder(tm, f, tm).numpy()
+
+    model = PiT(
+        space_dim=2,
+        in_dim=in_dim,
+        out_dim=1,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=2,
+        en_loc=0.3,
+        de_loc=0.3,
+        concat_mesh=False,
+    )
+    jm = jnp.asarray(mesh)
+    geom = build_geometry(jm, jm, jm, metric="euclidean", en_loc=0.3, de_loc=0.3)
+    params = {"params": torch_state_dict_to_flax(_torch_state(tmod))}
+    out = jax.jit(model.apply)(params, geom, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=3e-4, atol=3e-5)
+
+
+@needs_ref
+def test_pit_periodic1d_burgers_composition_parity():
+    """Burgers driver composition: periodic1d metric + mesh concat
+    (reference: train_burgers.py:19-49)."""
+    import torch
+
+    ref_pit, _ = REF
+    rng = np.random.default_rng(4)
+    L, L_ltt, B = 64, 16, 2
+    mesh = np.linspace(0, 1, L + 1)[:-1].reshape(-1, 1).astype(np.float32)
+    mesh_ltt = np.linspace(0, 1, L_ltt + 1)[:-1].reshape(-1, 1).astype(np.float32)
+    x = rng.random((B, L, 1)).astype(np.float32)
+    loc = 10.5 / (L - 1)  # tie-safe (see test_ops_core)
+
+    tmod = ref_pit.pit_periodic1d(
+        space_dim=1,
+        in_dim=1,
+        out_dim=1,
+        hid_dim=16,
+        n_head=2,
+        n_blocks=3,
+        mesh_ltt=torch.from_numpy(mesh_ltt),
+        en_loc=loc,
+        de_loc=loc,
+    )
+    with torch.no_grad():
+        tm = torch.from_numpy(mesh)
+        tx = torch.from_numpy(x)
+        fin = torch.cat((tm.unsqueeze(0).expand(B, -1, -1), tx), -1)
+        f = tmod.encoder(tm, fin, tmod.mesh_ltt)
+        f = tmod.processor(f, tmod.mesh_ltt)
+        ref_out = tmod.decoder(tmod.mesh_ltt, f, tm).numpy()
+
+    model = PiT(
+        space_dim=1, in_dim=1, out_dim=1, hid_dim=16, n_head=2, n_blocks=3,
+        en_loc=loc, de_loc=loc, concat_mesh=True,
+    )
+    geom = build_geometry(
+        jnp.asarray(mesh), jnp.asarray(mesh_ltt), jnp.asarray(mesh),
+        metric="periodic1d", en_loc=loc, de_loc=loc,
+    )
+    params = {"params": torch_state_dict_to_flax(_torch_state(tmod))}
+    out = jax.jit(model.apply)(params, geom, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=3e-4, atol=3e-5)
+
+
+def test_instance_norm_and_residual_flags():
+    rng = np.random.default_rng(5)
+    mesh = jnp.linspace(0, 1, 17)[:-1].reshape(-1, 1)
+    geom = build_geometry(mesh, mesh, mesh, metric="euclidean")
+    x = jnp.asarray(rng.random((2, 16, 1)), jnp.float32)
+    base = _mk_model()
+    p = base.init(jax.random.PRNGKey(0), geom, x)
+    o1 = base.apply(p, geom, x)
+    o2 = _mk_model(use_instance_norm=True).apply(p, geom, x)
+    o3 = _mk_model(residual_output=True).apply(p, geom, x)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o1) + np.asarray(x))
