@@ -26,6 +26,9 @@ class ModelConfig:
     concat_mesh: bool = True
     use_instance_norm: bool = False
     residual_output: bool = False
+    # fused Pallas position attention: engaged automatically on TPU for
+    # shapes where it wins (models/pit.py _dispatch_posatt)
+    fused_kernel: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

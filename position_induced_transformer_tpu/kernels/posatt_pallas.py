@@ -1,0 +1,216 @@
+"""Fused position-attention Pallas TPU kernel.
+
+The single native-code obligation of this framework (SURVEY.md §2): the
+reference's hot op — pairwise-distance attention (scale -> locality mask ->
+softmax -> value contraction, reference: pit.py:46-57) — as one fused kernel
+that never materializes the (L_out, L_in) attention matrix in HBM.
+
+Design (flash-attention-style streaming softmax):
+
+- Grid ``(H, B, Lo/TLo, Li/TLi)`` with the last axis a reduction
+  ("arbitrary" semantics); VMEM scratch carries the running row max ``m``,
+  normalizer ``l`` and accumulator ``acc`` across the Li tiles.
+- The locality mask is applied in-kernel from a precomputed per-row
+  quantile **threshold** (L_out, 1) — valid because the threshold is
+  independent of the learnable bandwidth (ops/locality.py) — so the kernel
+  reads O(Lo*Li) distances once and writes only the (Lo, D) output tile:
+  HBM traffic drops from 3x (logits out + in + output) to ~1x vs the XLA
+  path, which is the dominant cost since this op is bandwidth-bound at the
+  reference's head dims.
+- Masked logits use a large-negative sentinel; tiles that are fully masked
+  are neutralized by the online-softmax rescale (every row keeps >= 1 entry
+  globally, since a quantile threshold is >= the row minimum).
+- Backward pass: a custom VJP recomputes attention with standard XLA ops
+  (distances and thresholds are constants; only the bandwidths and values
+  carry gradients), trading a cheap recompute for not storing A.
+
+The pure-jnp oracle lives in ops/posatt.py; tests/test_pallas.py checks
+bit-level agreement in interpret mode (CPU) and on TPU when available.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from position_induced_transformer_tpu.ops.locality import quantile_threshold
+from position_induced_transformer_tpu.ops.posatt import bandwidth_scale
+
+_NEG = -1e38  # mask sentinel (finite: avoids -inf - -inf NaNs in the online max)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _posatt_kernel(
+    scale_ref,  # (H, 1) SMEM — per-head bandwidth scales (indexed by grid h)
+    thr_ref,  # (TLo, 1) VMEM — per-row locality threshold on raw distances
+    dist_ref,  # (TLo, TLi) VMEM
+    u_ref,  # (TLi, D) VMEM
+    out_ref,  # (TLo, D) VMEM
+    m_ref,  # scratch (TLo, 1)
+    l_ref,  # scratch (TLo, 1)
+    acc_ref,  # scratch (TLo, D)
+):
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = dist_ref[:]
+    s = scale_ref[pl.program_id(0), 0]
+    logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, u_ref[0], preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out_ref[0, 0] = acc_ref[:] / l_ref[:]
+
+
+def _pick_tiles(L_out: int, L_in: int, D: int):
+    TLo = min(_round_up(L_out, 8), 256)
+    TLi = min(_round_up(L_in, 128), 512)
+    return TLo, TLi
+
+
+def _pad_rows(x, target, fill=0.0):
+    pad = target - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_fixed_raw(dist, thr, scale, u, *, interpret=False):
+    """(H, B, L_out, D) = streamed softmax(-scale_h * masked dist) @ u.
+
+    dist: (L_out, L_in); thr: (L_out, 1); scale: (H, 1); u: (B, L_in, D).
+    """
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out = dist.shape[0]
+    TLo, TLi = _pick_tiles(L_out, L_in, D)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+
+    # pad: distance pad rows/cols get +inf distance (masked everywhere);
+    # threshold pad rows get +inf so padded rows stay finite (softmax over
+    # uniform sentinel; rows are dropped on slice-out).
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+    u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
+
+    grid = (H, B, Lo_p // TLo, Li_p // TLi)
+    out = pl.pallas_call(
+        _posatt_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (H, 1) scale table
+            pl.BlockSpec((TLo, 1), lambda h, b, i, j: (i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda h, b, i, j: (i, j)),
+            pl.BlockSpec((1, TLi, D), lambda h, b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TLo, D), lambda h, b, i, j: (h, b, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, B, Lo_p, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * B * Lo_p * Li_p * D + 5 * H * B * Lo_p * Li_p,
+            bytes_accessed=4
+            * (H * B * Lo_p * Li_p // max(1, B) + B * Li_p * D + H * B * Lo_p * D),
+            transcendentals=H * B * Lo_p * Li_p,
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr, dist_p, u_p)
+    return out[:, :, :L_out, :]
+
+
+def _reference_forward(dist, thr, scale, u):
+    """XLA oracle/backward path (same contract as _posatt_fixed_raw)."""
+    logits = jnp.where(dist <= thr, -dist[None] * scale[:, :, None], _NEG)
+    att = jax.nn.softmax(logits, axis=-1)  # (H, Lo, Li)
+    return jnp.einsum("hnj,bjd->hbnd", att, u)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _posatt_fixed(dist, thr, scale, u, interpret=False):
+    return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+
+
+def _posatt_fixed_fwd(dist, thr, scale, u, interpret):
+    out = _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+    return out, (dist, thr, scale, u)
+
+
+def _posatt_fixed_bwd(interpret, residuals, g):
+    dist, thr, scale, u = residuals
+    # recompute attention in XLA; only scale and u need gradients
+    def f(scale, u):
+        return _reference_forward(dist, thr, scale, u)
+
+    _, vjp = jax.vjp(f, scale, u)
+    dscale, du = vjp(g)
+    return None, None, dscale, du
+
+
+_posatt_fixed.defvjp(_posatt_fixed_fwd, _posatt_fixed_bwd)
+
+
+def position_attention_fixed(
+    dist: jnp.ndarray,
+    lmda: jnp.ndarray,
+    inputs: jnp.ndarray,
+    locality: float,
+    thr: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in fused equivalent of ``ops.posatt.position_attention`` for
+    fixed meshes: returns (B, L_out, H*D).
+
+    ``thr``: optional precomputed per-row quantile threshold (L_out, 1); it
+    is computed on the fly (XLA sort) when absent and ``locality < 1``.
+    """
+    H = lmda.shape[0]
+    B = inputs.shape[0]
+    L_out = dist.shape[0]
+    if locality >= 1.0:
+        thr = jnp.full((L_out, 1), jnp.inf, jnp.float32)
+    elif thr is None:
+        thr = quantile_threshold(dist, locality)
+    scale = bandwidth_scale(lmda).reshape(H, 1)
+    out = _posatt_fixed(dist, thr, scale, inputs, interpret)  # (H, B, Lo, D)
+    out = jnp.transpose(out, (1, 2, 0, 3))  # (B, Lo, H, D)
+    return out.reshape(B, L_out, H * inputs.shape[-1])

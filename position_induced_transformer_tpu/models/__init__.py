@@ -1,5 +1,12 @@
 """PiT model families (flax.linen)."""
 
+from position_induced_transformer_tpu.models.baselines import (
+    LiteTransformer,
+    MultiHeadSelfAtt,
+    SelfMultiHeadPosAtt,
+    SelfPiT,
+    Transformer,
+)
 from position_induced_transformer_tpu.models.geometry import Geometry, build_geometry
 from position_induced_transformer_tpu.models.pit import (
     KaimingMLP,
@@ -7,6 +14,13 @@ from position_induced_transformer_tpu.models.pit import (
     PosAtt,
     PosAttCross,
     TorchLinear,
+)
+from position_induced_transformer_tpu.models.pit_tf import (
+    MultiHeadPosAtt,
+    PiTTF,
+    TFGeometry,
+    pairwise_dist_half,
+    pairwise_dist_periodic_1d,
 )
 
 __all__ = [
@@ -17,4 +31,14 @@ __all__ = [
     "PosAttCross",
     "KaimingMLP",
     "TorchLinear",
+    "PiTTF",
+    "TFGeometry",
+    "MultiHeadPosAtt",
+    "pairwise_dist_periodic_1d",
+    "pairwise_dist_half",
+    "MultiHeadSelfAtt",
+    "SelfMultiHeadPosAtt",
+    "LiteTransformer",
+    "Transformer",
+    "SelfPiT",
 ]

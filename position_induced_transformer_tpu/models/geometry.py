@@ -24,29 +24,34 @@ import jax
 import jax.numpy as jnp
 
 from position_induced_transformer_tpu.ops.distances import pairwise_sq_dist
-from position_induced_transformer_tpu.ops.locality import keep_mask
+from position_induced_transformer_tpu.ops.locality import quantile_threshold
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Geometry:
-    """Distances and masks binding a PiT model to a mesh triple.
+    """Distances and locality thresholds binding a PiT model to a mesh triple.
 
     ``dist_*`` are squared distances: ``dist_down`` (L_ltt, L_in) for the
     encoder cross-attention, ``dist_proc`` (L_ltt, L_ltt) for the processor
     self-attention blocks, ``dist_up`` (L_out, L_ltt) for the decoder. For
-    batched per-sample meshes each gains a leading batch axis. ``keep_*`` are
-    the precomputed locality masks (None = compute inside the step, or no
-    masking for the global processor). ``mesh_in`` is retained for the
-    mesh-concat encoder input (reference: train_burgers.py:45).
+    batched per-sample meshes each gains a leading batch axis.
+
+    ``thr_*`` are precomputed per-row locality quantile thresholds
+    (..., L_rows, 1): bandwidth-independent (ops/locality.py), 4*L bytes vs
+    an L^2 boolean mask, and directly consumable by the fused Pallas kernel.
+    None = compute inside the step (batched meshes) or unmasked.
+
+    ``mesh_in`` is retained for the mesh-concat encoder input
+    (reference: train_burgers.py:45).
     """
 
     mesh_in: Any
     dist_down: Any
     dist_proc: Any
     dist_up: Any
-    keep_down: Optional[Any] = None
-    keep_up: Optional[Any] = None
+    thr_down: Optional[Any] = None
+    thr_up: Optional[Any] = None
 
     def tree_flatten(self):
         children = (
@@ -54,8 +59,8 @@ class Geometry:
             self.dist_down,
             self.dist_proc,
             self.dist_up,
-            self.keep_down,
-            self.keep_up,
+            self.thr_down,
+            self.thr_up,
         )
         return children, None
 
@@ -76,25 +81,25 @@ def build_geometry(
 ) -> Geometry:
     """Build a :class:`Geometry` for fixed (L, d) or batched (B, L, d) meshes.
 
-    ``precompute_masks=True`` materializes the boolean keep-masks eagerly —
-    the right choice for fixed meshes where this runs once outside jit. Pass
-    False to defer mask computation into the attention op (used when the
-    caller prefers recomputation over storage, e.g. enormous ZSSR decoders).
+    ``precompute_masks=True`` materializes the per-row locality thresholds
+    eagerly — the right choice for fixed meshes where this runs once outside
+    jit. Pass False to defer the quantile into the attention op (per-sample
+    meshes rebuilt inside the step each batch).
     """
     dist_down = pairwise_sq_dist(mesh_ltt, mesh_in, metric)
     dist_proc = pairwise_sq_dist(mesh_ltt, mesh_ltt, metric)
     dist_up = pairwise_sq_dist(mesh_out, mesh_ltt, metric)
-    keep_down = keep_up = None
+    thr_down = thr_up = None
     if precompute_masks:
         if en_loc < 1.0:
-            keep_down = keep_mask(dist_down, en_loc)
+            thr_down = quantile_threshold(dist_down, en_loc)
         if de_loc < 1.0:
-            keep_up = keep_mask(dist_up, de_loc)
+            thr_up = quantile_threshold(dist_up, de_loc)
     return Geometry(
         mesh_in=mesh_in,
         dist_down=dist_down,
         dist_proc=dist_proc,
         dist_up=dist_up,
-        keep_down=keep_down,
-        keep_up=keep_up,
+        thr_down=thr_down,
+        thr_up=thr_up,
     )

@@ -67,20 +67,51 @@ class KaimingMLP(nn.Module):
         return TorchLinear(self.features, name="mlp2")(x)
 
 
+_FUSED_MIN_ATT_BYTES = 32 * 1024 * 1024
+
+
+def _dispatch_posatt(dist, lmda, inputs, locality, thr, fused: bool):
+    """Route to the fused Pallas kernel or the XLA path.
+
+    The fused kernel's advantage is never materializing the (H, L_out,
+    L_in) attention matrix in HBM; measured on TPU v5e it wins ~2x once
+    that matrix is tens of MB (ZSSR-scale decode) and loses below that,
+    where XLA's single einsum amortizes the attention across the batch
+    (scripts/tpu_checks.py). Shapes are static under jit, so the choice is
+    made at trace time.
+    """
+    import jax
+
+    if fused and dist.ndim == 2 and jax.default_backend() == "tpu":
+        att_bytes = 4 * lmda.shape[0] * dist.shape[0] * dist.shape[1]
+        if att_bytes >= _FUSED_MIN_ATT_BYTES:
+            from position_induced_transformer_tpu.kernels import (
+                position_attention_fixed,
+            )
+
+            return position_attention_fixed(
+                dist, lmda, inputs, locality, thr=thr
+            )
+    return position_attention(dist, lmda, inputs, locality, thr=thr)
+
+
 class PosAtt(nn.Module):
     """Self position-attention block with residual-by-concat.
 
-    Holds only the (n_head, 1, 1) bandwidth parameter; distances and masks
-    come from the Geometry (reference: pit.py:28-57).
+    Holds only the (n_head, 1, 1) bandwidth parameter; distances and
+    locality thresholds come from the Geometry (reference: pit.py:28-57).
     """
 
     n_head: int
     locality: float = 1.0
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, keep=None):
+    def __call__(self, dist, inputs, thr=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
-        conv = position_attention(dist, lmda, inputs, self.locality, keep)
+        conv = _dispatch_posatt(
+            dist, lmda, inputs, self.locality, thr, self.fused
+        )
         return jnp.concatenate([inputs, conv], axis=-1)
 
 
@@ -90,11 +121,14 @@ class PosAttCross(nn.Module):
 
     n_head: int
     locality: float
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, keep=None):
+    def __call__(self, dist, inputs, thr=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
-        return position_attention(dist, lmda, inputs, self.locality, keep)
+        return _dispatch_posatt(
+            dist, lmda, inputs, self.locality, thr, self.fused
+        )
 
 
 class PiT(nn.Module):
@@ -121,17 +155,19 @@ class PiT(nn.Module):
     concat_mesh: bool = True
     use_instance_norm: bool = False
     residual_output: bool = False
+    fused_kernel: bool = False  # fused Pallas posatt (fixed meshes, TPU)
 
     def setup(self):
-        self.down = PosAttCross(self.n_head, self.en_loc)
+        self.down = PosAttCross(self.n_head, self.en_loc, self.fused_kernel)
         self.en_layer = KaimingMLP(self.hid_dim, self.hid_dim)
         self.conv = [
-            PosAtt(self.n_head, 1.0) for _ in range(self.n_blocks)
+            PosAtt(self.n_head, 1.0, self.fused_kernel)
+            for _ in range(self.n_blocks)
         ]
         self.mlp = [
             KaimingMLP(self.hid_dim, self.hid_dim) for _ in range(self.n_blocks)
         ]
-        self.up = PosAttCross(self.n_head, self.de_loc)
+        self.up = PosAttCross(self.n_head, self.de_loc, self.fused_kernel)
         self.de = KaimingMLP(self.hid_dim, self.out_dim)
 
     def encoder(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +178,7 @@ class PiT(nn.Module):
                     mesh[None], (func_in.shape[0],) + mesh.shape
                 )
             func_in = jnp.concatenate([mesh, func_in], axis=-1)
-        f = self.down(geom.dist_down, func_in, geom.keep_down)
+        f = self.down(geom.dist_down, func_in, geom.thr_down)
         f = self.en_layer(f)
         return nn.gelu(f, approximate=False)
 
@@ -154,7 +190,7 @@ class PiT(nn.Module):
         return f
 
     def decoder(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
-        f = self.up(geom.dist_up, f, geom.keep_up)
+        f = self.up(geom.dist_up, f, geom.thr_up)
         return self.de(f)
 
     def __call__(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:

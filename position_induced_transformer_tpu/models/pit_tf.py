@@ -1,0 +1,175 @@
+"""TF-semantics PiT family (the original paper implementation's conventions).
+
+The reference ships a second, older implementation under ``tensorflow/``
+whose position-attention differs from the torch one in ways that matter for
+ablation parity (SURVEY.md §2.2): the value projection lives *inside* the
+attention op with ``v_dim = hid/heads`` and a trailing GELU
+(tensorflow/1_InviscidBurgers/utils.py:87-146), locality is a percentile in
+[0, 100] with >100 meaning global, the processor uses **additive** residuals
+``MLP(PA(x)) + W(x)`` (utils.py:200-203), distance matrices are precomputed
+constants, and the bandwidth scale function varies per experiment
+(tan-sin: Burgers/Darcy; r^2: ShockTube/Elasticity utils.py:90; tan(r) with
+a non-negativity constraint: NACA utils.py:102,115).
+
+Implemented here as flax modules over the same Geometry-style precomputed
+distances; everything still jit/shard-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from position_induced_transformer_tpu.ops.initializers import he_normal_tf
+
+
+class TFGeometry(NamedTuple):
+    """Precomputed distance matrices (tensorflow/*/utils.py pass these to the
+    model constructor; here they ride alongside the params)."""
+
+    m_qry: jnp.ndarray  # (L_qry, L_qry)
+    m_cross: jnp.ndarray  # (L_qry, L_ltt)
+    m_ltt: Optional[jnp.ndarray] = None  # (L_ltt, L_ltt)
+
+
+def _bandwidth(r: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "tan_sin":  # tensorflow/1_InviscidBurgers/utils.py:123
+        return jnp.tan(0.25 * jnp.pi * (1 - 1e-7) * (1.0 + jnp.sin(r)))
+    if kind == "square":  # tensorflow/2_ShockTube/utils.py:118
+        return r * r
+    if kind == "tan":  # tensorflow/6_NACA/utils.py:102 (NonNeg-constrained r)
+        return jnp.tan(jnp.maximum(r, 0.0))
+    raise ValueError(f"unknown bandwidth kind {kind!r}")
+
+
+class MultiHeadPosAtt(nn.Module):
+    """Position attention with in-op value projection and percentile
+    locality (reference: tensorflow/1_InviscidBurgers/utils.py:87-146).
+
+    ``locality`` is a percentile in [0, 100]; > 100 disables masking.
+    """
+
+    n_head: int
+    hid_dim: int
+    locality: float
+    bandwidth: str = "tan_sin"
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+        v_dim = round(self.hid_dim / self.n_head)
+        r = self.param(
+            "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
+        )
+        w = self.param(
+            "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
+        )
+        scaled = dist * _bandwidth(r, self.bandwidth)  # (H, Lq, Lk)
+        if self.locality <= 100:
+            mask = jnp.quantile(
+                scaled, self.locality / 100.0, axis=-1, keepdims=True
+            )
+            scaled = jnp.where(
+                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+            )
+        att = nn.softmax(-scaled, axis=-1)
+        value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
+        out = jnp.einsum("hnj,bhjd->bhnd", att, value)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            inputs.shape[0], -1, self.hid_dim
+        )
+        return nn.gelu(out, approximate=False)
+
+
+class TFMlp(nn.Module):
+    """Dense(gelu) -> Dense, he_normal (tensorflow/1_InviscidBurgers/utils.py:63-78)."""
+
+    width1: int
+    width2: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.width1, kernel_init=he_normal_tf, name="mlp1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.width2, kernel_init=he_normal_tf, name="mlp2")(x)
+
+
+class PiTTF(nn.Module):
+    """TF-semantics PiT (reference: tensorflow/1_InviscidBurgers/utils.py:148-228).
+
+    Encoder: Dense(hid, gelu) on [mesh ++ input] -> cross-att down.
+    Processor: n_blocks x (MLP(PA(x)) + W(x), gelu) — additive residual.
+    Decoder: cross-att up [-> optional self-att up2 with MLP/W residual,
+    present in the 1-D experiments] -> MLP head.
+    """
+
+    out_dim: int
+    hid_dim: int
+    n_head: int
+    locality_encoder: float  # percentile, 0-100
+    locality_decoder: float
+    n_blocks: int = 4
+    bandwidth: str = "tan_sin"
+    use_decoder_selfatt: bool = True  # up2 path (1-D dirs)
+
+    @nn.compact
+    def __call__(self, geom: TFGeometry, mesh: jnp.ndarray, inputs: jnp.ndarray):
+        # Encoder (mesh generated from resolution in TF — utils.py:212-215;
+        # here passed in, broadcast over batch)
+        if mesh.ndim == 2:
+            mesh = jnp.broadcast_to(
+                mesh[None], (inputs.shape[0],) + mesh.shape
+            )
+        en = jnp.concatenate([mesh, inputs], axis=-1)
+        en = nn.Dense(self.hid_dim, kernel_init=he_normal_tf, name="en_layer")(en)
+        en = nn.gelu(en, approximate=False)
+        x = MultiHeadPosAtt(
+            self.n_head, self.hid_dim, self.locality_encoder, self.bandwidth,
+            name="down",
+        )(geom.m_cross.T, en)
+
+        # Processor: locality 200 => global (utils.py:181)
+        for i in range(self.n_blocks):
+            pa = MultiHeadPosAtt(
+                self.n_head, self.hid_dim, 200.0, self.bandwidth,
+                name=f"MHPA_{i}",
+            )(geom.m_ltt, x)
+            x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + nn.Dense(
+                self.hid_dim, kernel_init=he_normal_tf, name=f"W_{i}"
+            )(x)
+            x = nn.gelu(x, approximate=False)
+
+        # Decoder
+        de = MultiHeadPosAtt(
+            self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
+            name="up",
+        )(geom.m_cross, x)
+        if self.use_decoder_selfatt:
+            de2 = MultiHeadPosAtt(
+                self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
+                name="up2",
+            )(geom.m_qry, de)
+            de = TFMlp(self.hid_dim, self.hid_dim, name="mlp")(de2) + nn.Dense(
+                self.hid_dim, kernel_init=he_normal_tf, name="w"
+            )(de)
+            de = nn.gelu(de, approximate=False)
+        return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)
+
+
+def pairwise_dist_periodic_1d(res1: int, res2: int) -> jnp.ndarray:
+    """Periodic 1-D grid distance^2 normalized by its max (0.25)
+    (reference: tensorflow/1_InviscidBurgers/utils.py:34-48)."""
+    g1 = jnp.linspace(0, 1, res1 + 1)[:-1].reshape(-1, 1)
+    g2 = jnp.linspace(0, 1, res2 + 1)[:-1].reshape(1, -1)
+    d2 = (g1 - g2) ** 2
+    d2 = jnp.minimum(d2, (g1 + 1 - g2) ** 2)
+    d2 = jnp.minimum(d2, (g1 - 1 - g2) ** 2)
+    return (d2 / 0.25).astype(jnp.float32)
+
+
+def pairwise_dist_half(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:
+    """dist^2 / 2 between two point sets (reference:
+    tensorflow/3_Darcy2D/utils.py:53-76, 5_Elasticity/utils.py:172-177)."""
+    diff = mesh1[:, None, :] - mesh2[None, :, :]
+    return 0.5 * jnp.sum(diff * diff, axis=-1).astype(jnp.float32)

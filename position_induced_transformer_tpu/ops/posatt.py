@@ -52,6 +52,7 @@ def attention_weights(
     locality: float,
     keep: jnp.ndarray | None = None,
     *,
+    thr: jnp.ndarray | None = None,
     exact_torch_quantile: bool = False,
 ) -> jnp.ndarray:
     """Distance matrix -> masked softmax attention weights.
@@ -60,10 +61,12 @@ def attention_weights(
     (B, H, L_out, L_in) for batched meshes (dist.ndim == 3).
 
     ``keep`` optionally supplies a precomputed locality mask (same leading
-    shape as ``dist``); see ops/locality.py for why the mask is
-    bandwidth-independent and can be hoisted out of the train step.
-    ``exact_torch_quantile`` forces the reference's per-head quantile over the
-    *scaled* distances (slow path, used for parity testing).
+    shape as ``dist``); ``thr`` a precomputed per-row quantile threshold
+    (..., L_out, 1) from which the mask is derived elementwise — see
+    ops/locality.py for why both are bandwidth-independent and can be
+    hoisted out of the train step. ``exact_torch_quantile`` forces the
+    reference's per-head quantile over the *scaled* distances (slow path,
+    used for parity testing).
     """
     scale = bandwidth_scale(lmda)  # (H, 1, 1)
     if dist.ndim == 2:  # fixed mesh: (L_out, L_in) -> (H, L_out, L_in)
@@ -79,7 +82,7 @@ def attention_weights(
             scaled = jnp.where(scaled <= thr, scaled, _F32_MAX)
         else:
             if keep is None:
-                keep = keep_mask(dist, locality)
+                keep = (dist <= thr) if thr is not None else keep_mask(dist, locality)
             scaled = jnp.where(expand(keep), scaled, _F32_MAX)
     # locality >= 1.0 keeps every entry (quantile at 1.0 is the row max and
     # d <= max is always true — reference: pit.py:102 uses locality=1.0 for
@@ -111,10 +114,12 @@ def position_attention(
     locality: float,
     keep: jnp.ndarray | None = None,
     *,
+    thr: jnp.ndarray | None = None,
     exact_torch_quantile: bool = False,
 ) -> jnp.ndarray:
-    """Full fused op: distances -> attention -> value contraction."""
+    """Full op: distances -> attention -> value contraction (XLA path)."""
     att = attention_weights(
-        dist, lmda, locality, keep, exact_torch_quantile=exact_torch_quantile
+        dist, lmda, locality, keep, thr=thr,
+        exact_torch_quantile=exact_torch_quantile,
     )
     return convolve(att, inputs)

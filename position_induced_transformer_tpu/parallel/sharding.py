@@ -123,7 +123,7 @@ def replicate_tree(mesh: Mesh, tree):
 
 def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data"):
     """Shard the decoder's output-mesh rows over a mesh axis (sequence
-    parallelism for ZSSR-scale decode). ``dist_up``/``keep_up`` rows are
+    parallelism for ZSSR-scale decode). ``dist_up``/``thr_up`` rows are
     distributed; everything else stays replicated."""
 
     def row_shard(a):
@@ -138,5 +138,5 @@ def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data"):
     return dataclasses.replace(
         geom,
         dist_up=row_shard(geom.dist_up),
-        keep_up=row_shard(geom.keep_up) if geom.keep_up is not None else None,
+        thr_up=row_shard(geom.thr_up) if geom.thr_up is not None else None,
     )

@@ -50,6 +50,7 @@ def _make_model(cfg: BenchmarkConfig) -> PiT:
         concat_mesh=m.concat_mesh,
         use_instance_norm=m.use_instance_norm,
         residual_output=m.residual_output,
+        fused_kernel=m.fused_kernel,
     )
 
 
