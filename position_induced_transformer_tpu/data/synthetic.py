@@ -86,6 +86,11 @@ def darcy(n=1124, s=43, seed=0):
     rng = np.random.default_rng(seed)
     g = _grf_2d(rng, n, s)
     coeff = np.where(g >= 0, 12.0, 4.0).astype(np.float32)
+    # tiny jitter so per-pixel std never vanishes on small sample counts
+    # (a zero std turns PixelWiseNormalizer's resized statistics into a
+    # divide-by-eps blow-up at off-grid pixels during ZSSR; the real FNO
+    # dataset's 1024 samples never have constant pixels)
+    coeff += rng.normal(0, 0.05, coeff.shape).astype(np.float32)
     # smooth functional of the coefficient field as a solution stand-in
     from scipy.ndimage import gaussian_filter
 

@@ -120,8 +120,13 @@ def darcy_geometry(cfg, s: int) -> Geometry:
 
 
 def setup_darcy(
-    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10
+    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10,
+    normalizers=None,
 ) -> Problem:
+    """``normalizers``: optional (x_norm, y_norm) fitted at the *training*
+    resolution — passed during ZSSR evaluation so the 421^2 run uses
+    bilinearly-resized 43^2 statistics exactly like the reference
+    (train_darcy.py:151-157 reuses x_normalizer/y_normalizer)."""
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
     train_path = test_path = None
     if data_path:
@@ -131,8 +136,11 @@ def setup_darcy(
         train_path, test_path, downsampling, ntrain, ntest
     )
     s = x_tr.shape[1]
-    x_norm = PixelWiseNormalizer.fit(jnp.asarray(x_tr))
-    y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
+    if normalizers is not None:
+        x_norm, y_norm = normalizers
+    else:
+        x_norm = PixelWiseNormalizer.fit(jnp.asarray(x_tr))
+        y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
     x_tr_n = np.asarray(x_norm.normalize(jnp.asarray(x_tr)))
     x_te_n = np.asarray(x_norm.normalize(jnp.asarray(x_te)))
 

@@ -32,19 +32,35 @@ def evaluate(
     data_path: Optional[str] = None,
     ntest: Optional[int] = None,
     zssr: bool = False,
+    zssr_downsampling: int = 1,
     save_pred: Optional[str] = None,
+    setup_kwargs: Optional[dict] = None,
 ) -> dict:
     cfg = get(config) if isinstance(config, str) else config
-    setup_kwargs = {}
+    restored = ckpt.restore(checkpoint_path)
+    params = restored["params"] if "params" in restored else restored
+
+    setup_kwargs = dict(setup_kwargs or {})
     if zssr:
         if cfg.name != "darcy":
             raise ValueError("--zssr is a Darcy-benchmark capability")
-        setup_kwargs["downsampling"] = 1  # full 421^2 resolution
-    problem = benchmarks.setup(cfg, data_path, ntest=ntest, **setup_kwargs)
+        setup_kwargs["downsampling"] = zssr_downsampling  # 1 = full 421^2
+    if cfg.name == "darcy" and "y_normalizer" in restored:
+        # use the training-resolution statistics (bilinearly resized on
+        # apply) rather than refitting at the eval resolution
+        from position_induced_transformer_tpu.ops.normalization import (
+            PixelWiseNormalizer,
+        )
 
-    restored = ckpt.restore(checkpoint_path)
-    params = restored["params"] if "params" in restored else restored
+        setup_kwargs["normalizers"] = (
+            PixelWiseNormalizer(**restored["x_normalizer"]),
+            PixelWiseNormalizer(**restored["y_normalizer"]),
+        )
+    problem = benchmarks.setup(cfg, data_path, ntest=ntest, **setup_kwargs)
     state = TrainState(params, None, 0)
+
+    if cfg.rollout_steps:
+        return _evaluate_rollout(cfg, problem, state, zssr, save_pred)
 
     pred = predict(problem, state)
     true = np.asarray(problem.test_data["y"])[: pred.shape[0]]
@@ -57,6 +73,71 @@ def evaluate(
         "rel_l1": float(rel_lp_norm(true, pred, out_dim, 1)) / n,
         "rel_l2": float(rel_lp_norm(true, pred, out_dim, 2)) / n,
         "rel_max": float(rel_max_norm(true, pred, out_dim)) / n,
+    }
+    if cfg.name == "cylinder" and "test_trajectories" in problem.extras:
+        result.update(_cylinder_rollout(cfg, problem, state))
+    if save_pred:
+        from scipy.io import savemat
+
+        savemat(save_pred, {"pred": pred, "true": true})
+    return result
+
+
+def _cylinder_rollout(cfg, problem, state):
+    """10-step closed-loop rollout from each test trajectory's initial state
+    (reference: train_cylinder.py:137-157)."""
+    import jax
+
+    traj = np.asarray(problem.extras["test_trajectories"])  # (N, L, 3, T)
+    steps = traj.shape[-1] - 1
+    rollout = jax.jit(
+        lambda p, g, x: problem.task.rollout(p, g, x, steps)
+    )
+    x0 = traj[..., 0]  # (N, L, 3)
+    pred = np.asarray(rollout(state.params, problem.geom, x0))  # (N, L, 3, steps)
+    true = traj[..., 1:]
+    from position_induced_transformer_tpu.ops.metrics import rel_norm_step
+
+    step_err = np.asarray(rel_norm_step(true, pred))
+    return {
+        "rollout_steps": steps,
+        "rollout_rel_l2_step": [float(v) for v in step_err],
+        "rollout_rel_l2_mean": float(step_err.mean()),
+    }
+
+
+def _evaluate_rollout(cfg, problem, state, zssr, save_pred):
+    """Autoregressive rollout metrics (reference: train_vorticity.py:148-161;
+    stepwise/trajectory rel-L2 per tensorflow/4_Vorticity/utils.py)."""
+    import jax
+
+    from position_induced_transformer_tpu.ops.metrics import (
+        rel_norm_step,
+        rel_norm_traj,
+    )
+
+    steps = cfg.rollout_steps
+    bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
+    data = problem.test_data
+    n = data["x"].shape[0]
+    rollout = jax.jit(
+        lambda p, g, x: problem.task.rollout(p, g, x, steps)
+    )
+    preds = []
+    for i in range(0, n - n % bs, bs):
+        x = data["x"][i : i + bs]
+        preds.append(np.asarray(rollout(state.params, problem.geom, x)))
+    pred = np.concatenate(preds, axis=0)  # (N, L, steps)
+    true = np.asarray(data["y"])[: pred.shape[0]]
+    step_err = np.asarray(rel_norm_step(true, pred))
+    result = {
+        "benchmark": cfg.name,
+        "n_test": int(pred.shape[0]),
+        "zssr": zssr,
+        "rollout_steps": steps,
+        "rel_l2_step": [float(v) for v in step_err],
+        "rel_l2_traj": float(rel_norm_traj(true, pred)),
+        "rel_l2_mean_step": float(step_err.mean()),
     }
     if save_pred:
         from scipy.io import savemat

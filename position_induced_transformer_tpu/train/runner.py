@@ -81,7 +81,7 @@ def train(
     train_epoch = make_train_epoch(problem.task, optimizer)
     metrics = None if cfg.rollout_steps else default_metrics(cfg.model.out_dim)
     eval_epoch = make_eval_epoch(problem.task, metrics)
-    eval_bs = cfg.eval_batch_size or cfg.batch_size
+    eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
     eval_perm = eval_permutation(problem.n_test, eval_bs)
     n_eval = int(eval_perm.size)
 
@@ -114,7 +114,14 @@ def train(
     if logf:
         logf.close()
     if checkpoint_path:
-        ckpt.save(checkpoint_path, {"params": state.params})
+        payload = {"params": state.params}
+        for name, norm in (
+            ("x_normalizer", problem.x_normalizer),
+            ("y_normalizer", problem.y_normalizer),
+        ):
+            if norm is not None:
+                payload[name] = {"mean": norm.mean, "std": norm.std}
+        ckpt.save(checkpoint_path, payload)
     return problem, state, history
 
 
