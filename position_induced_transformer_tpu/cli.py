@@ -52,6 +52,19 @@ def main(argv=None):
     p_train.add_argument(
         "--save-pred", default=None, help="save test predictions (.mat)"
     )
+    p_train.add_argument(
+        "--profile", default=None, help="capture a jax.profiler trace dir"
+    )
+    p_train.add_argument(
+        "--history-csv", default=None, help="write training history CSV"
+    )
+    p_train.add_argument(
+        "--history-plot", default=None, help="write log-scale history PNG"
+    )
+    p_train.add_argument(
+        "--debug-nans", action="store_true",
+        help="abort on the first NaN under jit (numerics sanitizer)",
+    )
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     _add_common(p_eval)
@@ -82,6 +95,12 @@ def main(argv=None):
     from position_induced_transformer_tpu.train import runner
 
     if args.command == "train":
+        if args.debug_nans:
+            from position_induced_transformer_tpu.utils.profiling import (
+                debug_nans,
+            )
+
+            debug_nans(True)
         problem, state, history = runner.train(
             args.benchmark,
             data_path=args.data_path,
@@ -91,6 +110,9 @@ def main(argv=None):
             seed=args.seed,
             log_path=args.log,
             checkpoint_path=args.checkpoint,
+            profile_dir=args.profile,
+            history_csv=args.history_csv,
+            history_plot=args.history_plot,
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))

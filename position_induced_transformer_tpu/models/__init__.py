@@ -7,7 +7,11 @@ from position_induced_transformer_tpu.models.baselines import (
     SelfPiT,
     Transformer,
 )
-from position_induced_transformer_tpu.models.geometry import Geometry, build_geometry
+from position_induced_transformer_tpu.models.geometry import (
+    Geometry,
+    build_geometry,
+    build_geometry_host,
+)
 from position_induced_transformer_tpu.models.pit import (
     KaimingMLP,
     PiT,
@@ -26,6 +30,7 @@ from position_induced_transformer_tpu.models.pit_tf import (
 __all__ = [
     "Geometry",
     "build_geometry",
+    "build_geometry_host",
     "PiT",
     "PosAtt",
     "PosAttCross",

@@ -103,3 +103,41 @@ def build_geometry(
         thr_down=thr_down,
         thr_up=thr_up,
     )
+
+
+def build_geometry_host(
+    mesh_in,
+    mesh_ltt,
+    mesh_out,
+    *,
+    metric: str = "euclidean",
+    en_loc: float = 0.02,
+    de_loc: float = 0.02,
+) -> Geometry:
+    """Fixed-mesh geometry via the native multithreaded C++ builder
+    (native/geometry.cpp): distances + nth_element quantile thresholds on
+    the host, one HBM upload. Falls back to :func:`build_geometry` when the
+    native library is unavailable. Host-only (concrete meshes, not traced).
+    """
+    import numpy as np
+
+    from position_induced_transformer_tpu.data import native
+
+    if native.load() is None:
+        return build_geometry(
+            jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
+            metric=metric, en_loc=en_loc, de_loc=de_loc,
+        )
+    mi, ml, mo = (np.asarray(m, np.float32) for m in (mesh_in, mesh_ltt, mesh_out))
+    dist_down, thr_down = native.geometry_host(ml, mi, metric, en_loc)
+    dist_proc, _ = native.geometry_host(ml, ml, metric, 1.0)
+    dist_up, thr_up = native.geometry_host(mo, ml, metric, de_loc)
+    as_dev = lambda a: None if a is None else jnp.asarray(a)
+    return Geometry(
+        mesh_in=jnp.asarray(mi),
+        dist_down=as_dev(dist_down),
+        dist_proc=as_dev(dist_proc),
+        dist_up=as_dev(dist_up),
+        thr_down=as_dev(thr_down),
+        thr_up=as_dev(thr_up),
+    )

@@ -16,7 +16,12 @@ import numpy as np
 
 from position_induced_transformer_tpu.configs import BenchmarkConfig
 from position_induced_transformer_tpu.data import loaders, meshes
-from position_induced_transformer_tpu.models import Geometry, PiT, build_geometry
+from position_induced_transformer_tpu.models import (
+    Geometry,
+    PiT,
+    build_geometry,
+    build_geometry_host,
+)
 from position_induced_transformer_tpu.ops.normalization import PixelWiseNormalizer
 from position_induced_transformer_tpu.train.loop import Task
 
@@ -71,7 +76,7 @@ def setup_burgers(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     L = x_tr.shape[1]
     mesh = jnp.asarray(meshes.grid_1d(L))
     mesh_ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0]))
-    geom = build_geometry(
+    geom = build_geometry_host(
         mesh, mesh_ltt, mesh, metric=cfg.metric,
         en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
     )
@@ -94,7 +99,7 @@ def setup_sod(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     lo, hi = cfg.domain
     mesh = jnp.asarray(meshes.grid_1d(L, lo, hi))
     mesh_ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0], lo, hi))
-    geom = build_geometry(
+    geom = build_geometry_host(
         mesh, mesh_ltt, mesh, metric=cfg.metric,
         en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
     )
@@ -113,7 +118,7 @@ def darcy_geometry(cfg, s: int) -> Geometry:
     reference: train_darcy.py:151-180)."""
     mesh = jnp.asarray(meshes.grid_2d(s).reshape(-1, 2))
     mesh_ltt = jnp.asarray(meshes.grid_2d(cfg.latent_grid[0]).reshape(-1, 2))
-    return build_geometry(
+    return build_geometry_host(
         mesh, mesh_ltt, mesh, metric=cfg.metric,
         en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
     )
@@ -172,7 +177,7 @@ def setup_vorticity(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     mesh_ltt = jnp.asarray(
         meshes.grid_2d(cfg.latent_grid[0], endpoint=False).reshape(-1, 2)
     )
-    geom = build_geometry(
+    geom = build_geometry_host(
         mesh, mesh_ltt, mesh, metric=cfg.metric,
         en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
     )
@@ -269,8 +274,8 @@ def setup_cylinder(
         *paths, ntrain=n_traj_train, ntest=n_traj_test,
         n_points=n_points, n_latent=n_latent,
     )
-    geom = build_geometry(
-        jnp.asarray(mesh), jnp.asarray(mesh_ltt), jnp.asarray(mesh),
+    geom = build_geometry_host(
+        mesh, mesh_ltt, mesh,
         metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
     )
     model = _make_model(cfg)

@@ -64,6 +64,9 @@ def train(
     checkpoint_path: Optional[str] = None,
     verbose: bool = True,
     setup_kwargs: Optional[dict] = None,
+    profile_dir: Optional[str] = None,
+    history_csv: Optional[str] = None,
+    history_plot: Optional[str] = None,
 ):
     """Train a benchmark end to end; returns (problem, state, history)."""
     cfg = get(config) if isinstance(config, str) else config
@@ -92,7 +95,17 @@ def train(
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         perm = epoch_permutation(sub, problem.n_train, cfg.batch_size)
-        state, train_loss = train_epoch(state, problem.geom, problem.train_data, perm)
+        if profile_dir and ep == 1:  # epoch 0 pays compile; trace epoch 1
+            from position_induced_transformer_tpu.utils.profiling import trace
+
+            with trace(profile_dir):
+                state, train_loss = jax.block_until_ready(
+                    train_epoch(state, problem.geom, problem.train_data, perm)
+                )
+        else:
+            state, train_loss = train_epoch(
+                state, problem.geom, problem.train_data, perm
+            )
         evals = eval_epoch(state, problem.geom, problem.test_data, eval_perm)
         train_loss = float(train_loss) / (n_batches * cfg.batch_size)
         evals = {k: float(v) / n_eval for k, v in evals.items()}
@@ -113,6 +126,8 @@ def train(
             logf.flush()
     if logf:
         logf.close()
+    if history_csv or history_plot:
+        save_history(history, history_csv, history_plot)
     if checkpoint_path:
         payload = {"params": state.params}
         for name, norm in (
@@ -123,6 +138,36 @@ def train(
                 payload[name] = {"mean": norm.mean, "std": norm.std}
         ckpt.save(checkpoint_path, payload)
     return problem, state, history
+
+
+def save_history(history, csv_path=None, plot_path=None):
+    """Training-history artifacts (parity with the TF drivers' CSV +
+    log-scale PNG, reference: tensorflow/1_InviscidBurgers/train.py:62-74)."""
+    if not history:
+        return
+    keys = list(history[0].keys())
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for row in history:
+                f.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
+    if plot_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(6, 4), dpi=120)
+        epochs = [r["epoch"] for r in history]
+        for k in keys:
+            if k in ("epoch", "seconds"):
+                continue
+            plt.semilogy(epochs, [r[k] for r in history], label=k)
+        plt.xlabel("epoch")
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(plot_path)
+        plt.close()
 
 
 def predict(problem, state, data=None, batch_size: Optional[int] = None):
