@@ -121,9 +121,35 @@ CYLINDER = BenchmarkConfig(
     swap_loss_args=True,
 )
 
+# --- TF-semantics family (the original paper implementation's experiments,
+# reference: tensorflow/*/train.py hyperparameters). Locality values are
+# percentiles in [0, 100]; latent resolution can equal the query resolution.
+BURGERS_TF = BenchmarkConfig(
+    name="burgers_tf",
+    # reference: tensorflow/1_InviscidBurgers/train.py:14-38
+    model=ModelConfig(1, 1, 1, 64, 2, 4, en_loc=1.0, de_loc=8.0),
+    metric="periodic1d",
+    ntrain=950, ntest=128, batch_size=5, epochs=500, loss_p=1,
+    eval_batch_size=128,
+    grid=(1024,), latent_grid=(1024,), periodic_grid=True,
+)
+
+DARCY_TF = BenchmarkConfig(
+    name="darcy_tf",
+    # reference: tensorflow/3_Darcy2D/train.py (hid 128, ltt 32^2, loc 2/2)
+    model=ModelConfig(2, 1, 1, 128, 2, 4, en_loc=2.0, de_loc=2.0),
+    metric="euclidean",
+    ntrain=1024, ntest=100, batch_size=8, epochs=500, loss_p=2,
+    normalize_y=True,
+    grid=(43, 43), latent_grid=(32, 32),
+)
+
 REGISTRY = {
     c.name: c
-    for c in (BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER)
+    for c in (
+        BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER,
+        BURGERS_TF, DARCY_TF,
+    )
 }
 
 

@@ -39,6 +39,8 @@ class Problem:
     x_normalizer: Optional[PixelWiseNormalizer] = None
     y_normalizer: Optional[PixelWiseNormalizer] = None
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    init_fn: Optional[Callable] = None  # (rng, sample_data) -> variables,
+    # for models whose call signature differs from (geom, x)
 
 
 def _make_model(cfg: BenchmarkConfig) -> PiT:
@@ -289,6 +291,105 @@ def setup_cylinder(
     )
 
 
+def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    """TF-family Burgers: PiTTF over precomputed normalized periodic
+    distance matrices (reference: tensorflow/1_InviscidBurgers/train.py:34-44,
+    utils.py:34-48)."""
+    from position_induced_transformer_tpu.models import (
+        PiTTF,
+        TFGeometry,
+        pairwise_dist_periodic_1d,
+    )
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    L = (cfg.grid or (1024,))[0]
+    Lt = (cfg.latent_grid or (1024,))[0]
+    x_tr, y_tr, x_te, y_te = loaders.burgers(data_path, ntrain, ntest, L=L)
+    geom = TFGeometry(
+        m_qry=pairwise_dist_periodic_1d(L, L),
+        m_cross=pairwise_dist_periodic_1d(L, Lt),
+        m_ltt=pairwise_dist_periodic_1d(Lt, Lt),
+    )
+    mesh = jnp.asarray(meshes.grid_1d(L))
+    m = cfg.model
+    model = PiTTF(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks, use_decoder_selfatt=True,
+    )
+
+    def apply_fn(params, geom, batch):
+        return model.apply({"params": params}, geom, mesh, batch["x"])
+
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    init_fn = lambda rng, data: model.init(rng, geom, mesh, data["x"])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
+        ntrain, ntest, init_fn=init_fn,
+    )
+
+
+def setup_darcy_tf(
+    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10
+) -> Problem:
+    """TF-family Darcy: PiTTF (no decoder self-attention) over dist^2/2
+    matrices on endpoint-dropped grids, Y-denormalization inside the model
+    call (reference: tensorflow/3_Darcy2D/utils.py:53-76,180-246)."""
+    from position_induced_transformer_tpu.models import (
+        PiTTF,
+        TFGeometry,
+        pairwise_dist_half,
+    )
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    train_path = test_path = None
+    if data_path:
+        train_path = f"{data_path}/piececonst_r421_N1024_smooth1.mat"
+        test_path = f"{data_path}/piececonst_r421_N1024_smooth2.mat"
+    x_tr, y_tr, x_te, y_te = loaders.darcy(
+        train_path, test_path, downsampling, ntrain, ntest
+    )
+    s = x_tr.shape[1]
+    st = cfg.latent_grid[0]
+    grid_q = jnp.asarray(meshes.grid_2d(s, endpoint=False).reshape(-1, 2))
+    grid_l = jnp.asarray(meshes.grid_2d(st, endpoint=False).reshape(-1, 2))
+    geom = TFGeometry(
+        m_qry=pairwise_dist_half(grid_q, grid_q),
+        m_cross=pairwise_dist_half(grid_q, grid_l),
+        m_ltt=pairwise_dist_half(grid_l, grid_l),
+    )
+    y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
+    m = cfg.model
+    model = PiTTF(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks, use_decoder_selfatt=False,
+    )
+
+    def apply_fn(params, geom, batch):
+        out = model.apply({"params": params}, geom, grid_q, batch["x"])
+        return y_norm.denormalize(out.reshape(out.shape[0], s, s, m.out_dim))
+
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    flat = lambda a: jnp.asarray(a).reshape(a.shape[0], -1, a.shape[-1])
+    init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": flat(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": flat(x_te), "y": jnp.asarray(y_te)},
+        ntrain, ntest, y_normalizer=y_norm,
+        extras={"s": s, "downsampling": downsampling}, init_fn=init_fn,
+    )
+
+
 SETUPS: Dict[str, Callable[..., Problem]] = {
     "burgers": setup_burgers,
     "sod": setup_sod,
@@ -297,6 +398,8 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
     "elasticity": setup_elasticity,
     "naca": setup_naca,
     "cylinder": setup_cylinder,
+    "burgers_tf": setup_burgers_tf,
+    "darcy_tf": setup_darcy_tf,
 }
 
 

@@ -64,14 +64,22 @@ class Task:
     rollout_steps: int = 0
     remat_rollout: bool = True
     geom_fn: Optional[Callable] = None  # batch -> Geometry (per-sample meshes)
+    apply_fn: Optional[Callable] = None  # (params, geom, batch) -> out,
+    # overriding model.apply(geom, x) — used by the TF-semantics family
+    # whose call signature differs (geom, mesh, inputs)
+    batch_mean_loss: bool = False  # TF loss convention: mean over batch
+    # (reference: tensorflow/1_InviscidBurgers/utils.py:25 reduce_mean)
 
     def _geometry(self, geom, batch):
         return self.geom_fn(batch) if self.geom_fn is not None else geom
 
     def forward(self, params, geom, batch):
-        out = self.model.apply(
-            {"params": params}, self._geometry(geom, batch), batch["x"]
-        )
+        if self.apply_fn is not None:
+            out = self.apply_fn(params, self._geometry(geom, batch), batch)
+        else:
+            out = self.model.apply(
+                {"params": params}, self._geometry(geom, batch), batch["x"]
+            )
         if self.postprocess is not None:
             out = self.postprocess(out)
         return out
@@ -79,7 +87,10 @@ class Task:
     def _loss(self, true, pred):
         if self.swap_loss_args:
             true, pred = pred, true
-        return rel_lp_norm(true, pred, self.out_dim, self.loss_p)
+        loss = rel_lp_norm(true, pred, self.out_dim, self.loss_p)
+        if self.batch_mean_loss:
+            loss = loss / true.shape[0]
+        return loss
 
     def loss_fn(self, params, geom, batch):
         """Batch-summed training loss (divide by n_samples outside)."""

@@ -37,10 +37,15 @@ def init_state(problem, optimizer, seed: int = 0) -> TrainState:
     """Initialize parameters (reference inits under torch seed 0 —
     pit.py:3) and optimizer state."""
     data = jax.tree_util.tree_map(lambda a: a[:2], problem.train_data)
-    geom = problem.geom
-    if problem.task.geom_fn is not None:
-        geom = problem.task.geom_fn(data)
-    variables = problem.model.init(jax.random.PRNGKey(seed), geom, data["x"])
+    if problem.init_fn is not None:
+        variables = problem.init_fn(jax.random.PRNGKey(seed), data)
+    else:
+        geom = problem.geom
+        if problem.task.geom_fn is not None:
+            geom = problem.task.geom_fn(data)
+        variables = problem.model.init(
+            jax.random.PRNGKey(seed), geom, data["x"]
+        )
     params = variables["params"]
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
@@ -107,7 +112,8 @@ def train(
                 state, problem.geom, problem.train_data, perm
             )
         evals = eval_epoch(state, problem.geom, problem.test_data, eval_perm)
-        train_loss = float(train_loss) / (n_batches * cfg.batch_size)
+        denom = n_batches if problem.task.batch_mean_loss else n_batches * cfg.batch_size
+        train_loss = float(train_loss) / denom
         evals = {k: float(v) / n_eval for k, v in evals.items()}
         if cfg.rollout_steps:  # reference divides by ntest*steps
             evals = {k: v / cfg.rollout_steps for k, v in evals.items()}

@@ -75,3 +75,20 @@ def test_cylinder_e2e_residual():
     traj = problem.task.rollout(state.params, problem.geom, x0, steps=3)
     assert traj.shape == x0.shape + (3,)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_burgers_tf_family_e2e():
+    cfg = _tiny(
+        configs.BURGERS_TF, grid=(64,), latent_grid=(32,), batch_size=8
+    )
+    _run(cfg)
+
+
+def test_darcy_tf_family_e2e():
+    cfg = _tiny(
+        configs.DARCY_TF, grid=(22, 22), latent_grid=(8, 8), batch_size=8
+    )
+    problem, state, history = _run(
+        cfg, setup_kwargs={"downsampling": 20}
+    )
+    assert problem.y_normalizer is not None
