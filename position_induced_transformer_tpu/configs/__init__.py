@@ -144,11 +144,23 @@ DARCY_TF = BenchmarkConfig(
     grid=(43, 43), latent_grid=(32, 32),
 )
 
+VORTICITY_TF = BenchmarkConfig(
+    name="vorticity_tf",
+    # reference: tensorflow/4_Vorticity/train.py:14-34 (hid 256, 1 head,
+    # loc 1/8, 20-step recurrent rollout compiled into the graph — here the
+    # rollout is the same lax.scan used by the torch-family config)
+    model=ModelConfig(2, 10, 1, 256, 1, en_loc=1.0, de_loc=8.0, n_blocks=4),
+    metric="periodic2d",
+    ntrain=1000, ntest=200, batch_size=8, epochs=500, loss_p=2,
+    rollout_steps=20, memory=10,
+    grid=(64, 64), latent_grid=(16, 16), periodic_grid=True,
+)
+
 REGISTRY = {
     c.name: c
     for c in (
         BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER,
-        BURGERS_TF, DARCY_TF,
+        BURGERS_TF, DARCY_TF, VORTICITY_TF,
     )
 }
 

@@ -153,8 +153,106 @@ def _posatt_fixed_raw(dist, thr, scale, u, *, interpret=False):
             transcendentals=H * B * Lo_p * Li_p,
         ),
         interpret=interpret,
-    )(scale.reshape(H, 1), thr, dist_p, u_p)
+    )(scale.reshape(H, 1), thr_p, dist_p, u_p)
     return out[:, :, :L_out, :]
+
+
+def _posatt_kernel_v2(
+    scale_ref,  # (H, 1) SMEM
+    thr_ref,  # (TLo, 1)
+    dist_ref,  # (TLo, TLi)
+    u_ref,  # (TLi, TN) — values with batch folded into the N axis
+    out_ref,  # (TLo, TN)
+    m_ref,
+    l_ref,
+    acc_ref,  # (TLo, TN)
+):
+    """Batch-folded variant: values are (L_in, B*D) so one distance-tile
+    fetch feeds a (TLo, TLi) x (TLi, TN) MXU matmul across the whole batch.
+    Grid (H, N, I, J): the distance matrix is read H * ceil(B*D/TN) times
+    instead of v1's H * B times — the decisive traffic term when dist is the
+    big operand (ZSSR decode: 181 MB vs sub-MB values)."""
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = dist_ref[:]
+    s = scale_ref[pl.program_id(0), 0]
+    logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, u_ref[:], preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out_ref[0] = acc_ref[:] / l_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False):
+    """(H, B, L_out, D) via the batch-folded kernel."""
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out = dist.shape[0]
+    TLo, TLi = _pick_tiles(L_out, L_in, D)
+    BD = B * D
+    TN = min(_round_up(BD, 128), 512)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+    BD_p = _round_up(BD, TN)
+
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+    u_folded = jnp.transpose(u, (1, 0, 2)).reshape(L_in, BD)
+    u_p = jnp.pad(u_folded, ((0, Li_p - L_in), (0, BD_p - BD)))
+
+    grid = (H, BD_p // TN, Lo_p // TLo, Li_p // TLi)
+    out = pl.pallas_call(
+        _posatt_kernel_v2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TLo, 1), lambda h, n, i, j: (i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda h, n, i, j: (i, j)),
+            pl.BlockSpec((TLi, TN), lambda h, n, i, j: (j, n)),
+        ],
+        out_specs=pl.BlockSpec((1, TLo, TN), lambda h, n, i, j: (h, i, n)),
+        out_shape=jax.ShapeDtypeStruct((H, Lo_p, BD_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, TN), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * Lo_p * Li_p * BD_p + 5 * H * Lo_p * Li_p,
+            bytes_accessed=4
+            * (
+                H * (BD_p // TN) * Lo_p * Li_p
+                + H * Li_p * BD_p
+                + H * Lo_p * BD_p
+            ),
+            transcendentals=H * (BD_p // TN) * Lo_p * Li_p,
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr_p, dist_p, u_p)
+    out = out[:, :L_out, :BD].reshape(H, L_out, B, D)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (H, B, L_out, D)
 
 
 def _reference_forward(dist, thr, scale, u):
@@ -164,17 +262,21 @@ def _reference_forward(dist, thr, scale, u):
     return jnp.einsum("hnj,bjd->hbnd", att, u)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _posatt_fixed(dist, thr, scale, u, interpret=False):
-    return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+def _raw_fn(version):
+    return _posatt_fixed_raw_v2 if version == 2 else _posatt_fixed_raw
 
 
-def _posatt_fixed_fwd(dist, thr, scale, u, interpret):
-    out = _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _posatt_fixed(dist, thr, scale, u, interpret=False, version=2):
+    return _raw_fn(version)(dist, thr, scale, u, interpret=interpret)
+
+
+def _posatt_fixed_fwd(dist, thr, scale, u, interpret, version):
+    out = _raw_fn(version)(dist, thr, scale, u, interpret=interpret)
     return out, (dist, thr, scale, u)
 
 
-def _posatt_fixed_bwd(interpret, residuals, g):
+def _posatt_fixed_bwd(interpret, version, residuals, g):
     dist, thr, scale, u = residuals
     # recompute attention in XLA; only scale and u need gradients
     def f(scale, u):
@@ -196,12 +298,15 @@ def position_attention_fixed(
     thr: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
+    version: int = 2,
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of ``ops.posatt.position_attention`` for
     fixed meshes: returns (B, L_out, H*D).
 
     ``thr``: optional precomputed per-row quantile threshold (L_out, 1); it
     is computed on the fly (XLA sort) when absent and ``locality < 1``.
+    ``version``: 2 = batch-folded values (default; minimal distance-matrix
+    traffic), 1 = per-(head, batch) grid.
     """
     H = lmda.shape[0]
     B = inputs.shape[0]
@@ -211,6 +316,6 @@ def position_attention_fixed(
     elif thr is None:
         thr = quantile_threshold(dist, locality)
     scale = bandwidth_scale(lmda).reshape(H, 1)
-    out = _posatt_fixed(dist, thr, scale, inputs, interpret)  # (H, B, Lo, D)
+    out = _posatt_fixed(dist, thr, scale, inputs, interpret, version)
     out = jnp.transpose(out, (1, 2, 0, 3))  # (B, Lo, H, D)
     return out.reshape(B, L_out, H * inputs.shape[-1])

@@ -173,3 +173,15 @@ def pairwise_dist_half(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:
     tensorflow/3_Darcy2D/utils.py:53-76, 5_Elasticity/utils.py:172-177)."""
     diff = mesh1[:, None, :] - mesh2[None, :, :]
     return 0.5 * jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
+
+
+def pairwise_dist_periodic_2d(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:
+    """2-D torus distance^2 via the minimum over the direct and four
+    unit-shifted images (reference: tensorflow/4_Vorticity/utils.py:36-61)."""
+    shifts = jnp.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]],
+        jnp.float32,
+    )
+    diff = mesh1[:, None, :] - mesh2[None, :, :]  # (L1, L2, 2)
+    d = jnp.linalg.norm(diff[None] + shifts[:, None, None, :], axis=-1)
+    return (jnp.min(d, axis=0) ** 2).astype(jnp.float32)

@@ -390,6 +390,55 @@ def setup_darcy_tf(
     )
 
 
+def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    """TF-family vorticity: PiTTF (no decoder self-attention) over 4-shift
+    periodic distance matrices, 20-step rollout
+    (reference: tensorflow/4_Vorticity/train.py:30-34, utils.py:36-61,108-135)."""
+    from position_induced_transformer_tpu.models import (
+        PiTTF,
+        TFGeometry,
+    )
+    from position_induced_transformer_tpu.models.pit_tf import (
+        pairwise_dist_periodic_2d,
+    )
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    x_tr, y_tr, x_te, y_te = loaders.vorticity(
+        data_path, ntrain, ntest, cfg.memory, cfg.rollout_steps
+    )
+    s = x_tr.shape[1]
+    st = cfg.latent_grid[0]
+    grid_q = jnp.asarray(meshes.grid_2d(s, endpoint=False).reshape(-1, 2))
+    grid_l = jnp.asarray(meshes.grid_2d(st, endpoint=False).reshape(-1, 2))
+    geom = TFGeometry(
+        m_qry=pairwise_dist_periodic_2d(grid_q, grid_q),
+        m_cross=pairwise_dist_periodic_2d(grid_q, grid_l),
+        m_ltt=pairwise_dist_periodic_2d(grid_l, grid_l),
+    )
+    m = cfg.model
+    model = PiTTF(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks, use_decoder_selfatt=False,
+    )
+
+    def apply_fn(params, geom, batch):
+        return model.apply({"params": params}, geom, grid_q, batch["x"])
+
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])
+    flat = lambda a: jnp.asarray(a).reshape(a.shape[0], s * s, a.shape[-1])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": flat(x_tr), "y": flat(y_tr)},
+        {"x": flat(x_te), "y": flat(y_te)},
+        ntrain, ntest, extras={"s": s}, init_fn=init_fn,
+    )
+
+
 SETUPS: Dict[str, Callable[..., Problem]] = {
     "burgers": setup_burgers,
     "sod": setup_sod,
@@ -400,6 +449,7 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
     "cylinder": setup_cylinder,
     "burgers_tf": setup_burgers_tf,
     "darcy_tf": setup_darcy_tf,
+    "vorticity_tf": setup_vorticity_tf,
 }
 
 

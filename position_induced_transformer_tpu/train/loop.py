@@ -73,13 +73,13 @@ class Task:
     def _geometry(self, geom, batch):
         return self.geom_fn(batch) if self.geom_fn is not None else geom
 
-    def forward(self, params, geom, batch):
+    def _apply(self, params, geom, x):
         if self.apply_fn is not None:
-            out = self.apply_fn(params, self._geometry(geom, batch), batch)
-        else:
-            out = self.model.apply(
-                {"params": params}, self._geometry(geom, batch), batch["x"]
-            )
+            return self.apply_fn(params, geom, {"x": x})
+        return self.model.apply({"params": params}, geom, x)
+
+    def forward(self, params, geom, batch):
+        out = self._apply(params, self._geometry(geom, batch), batch["x"])
         if self.postprocess is not None:
             out = self.postprocess(out)
         return out
@@ -98,7 +98,7 @@ class Task:
             return self._loss(batch["y"], self.forward(params, geom, batch))
 
         g = self._geometry(geom, batch)
-        apply = lambda p, xx: self.model.apply({"params": p}, g, xx)
+        apply = lambda p, xx: self._apply(p, g, xx)
         if self.remat_rollout:
             apply = jax.checkpoint(apply)
         y = batch["y"]  # (B, L, steps)
@@ -122,7 +122,7 @@ class Task:
         g = self._geometry(geom, {"x": x})
 
         def step(window, _):
-            out = self.model.apply({"params": params}, g, window)
+            out = self._apply(params, g, window)
             if self.postprocess is not None:
                 out = self.postprocess(out)
             if self.rollout_steps or window.shape[-1] > out.shape[-1]:

@@ -44,29 +44,35 @@ def check(L_out, L_in, B, H, D, loc, label):
     lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
     u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
 
-    fused = jax.jit(
-        lambda d, l, x: position_attention_fixed(d, l, x, loc, thr=thr)
+    fused1 = jax.jit(
+        lambda d, l, x: position_attention_fixed(d, l, x, loc, thr=thr, version=1)
+    )
+    fused2 = jax.jit(
+        lambda d, l, x: position_attention_fixed(d, l, x, loc, thr=thr, version=2)
     )
     oracle = jax.jit(lambda d, l, x: position_attention(d, l, x, loc))
 
-    got = jax.block_until_ready(fused(dist, lmda, u))
     want = jax.block_until_ready(oracle(dist, lmda, u))
-    err = float(jnp.max(jnp.abs(got - want)))
+    errs = {}
+    for name, fn in (("v1", fused1), ("v2", fused2)):
+        got = jax.block_until_ready(fn(dist, lmda, u))
+        errs[name] = float(jnp.max(jnp.abs(got - want)))
 
-    t_fused = timeit(fused, dist, lmda, u)
+    t1 = timeit(fused1, dist, lmda, u)
+    t2 = timeit(fused2, dist, lmda, u)
     t_oracle = timeit(oracle, dist, lmda, u)
     flops = 2 * H * B * L_out * L_in * D
-    hbm_bytes = 4 * (L_out * L_in + B * L_in * D + B * L_out * H * D)
     print(
         json.dumps(
             {
                 "case": label,
-                "max_abs_err": err,
-                "fused_us": round(t_fused * 1e6, 1),
+                "err_v1": errs["v1"],
+                "err_v2": errs["v2"],
+                "v1_us": round(t1 * 1e6, 1),
+                "v2_us": round(t2 * 1e6, 1),
                 "xla_us": round(t_oracle * 1e6, 1),
-                "speedup": round(t_oracle / t_fused, 2),
-                "fused_gflops": round(flops / t_fused / 1e9, 1),
-                "fused_gbps": round(hbm_bytes / t_fused / 1e9, 1),
+                "v2_speedup_vs_xla": round(t_oracle / t2, 2),
+                "v2_gflops": round(flops / t2 / 1e9, 1),
             }
         ),
         flush=True,

@@ -19,6 +19,7 @@ from position_induced_transformer_tpu.ops import (
 INTERPRET = jax.devices()[0].platform != "tpu"
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize(
     "L_out,L_in,B,H,D,loc",
     [
@@ -28,7 +29,7 @@ INTERPRET = jax.devices()[0].platform != "tpu"
         (100, 48, 2, 2, 16, 0.5),  # L_out not tile-aligned
     ],
 )
-def test_fused_matches_oracle(L_out, L_in, B, H, D, loc):
+def test_fused_matches_oracle(L_out, L_in, B, H, D, loc, version):
     rng = np.random.default_rng(0)
     mesh_out = jnp.asarray(rng.random((L_out, 2)), jnp.float32)
     mesh_in = jnp.asarray(rng.random((L_in, 2)), jnp.float32)
@@ -37,7 +38,7 @@ def test_fused_matches_oracle(L_out, L_in, B, H, D, loc):
     u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
 
     want = position_attention(dist, lmda, u, loc)
-    got = position_attention_fixed(dist, lmda, u, loc, interpret=INTERPRET)
+    got = position_attention_fixed(dist, lmda, u, loc, interpret=INTERPRET, version=version)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 

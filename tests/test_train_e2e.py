@@ -92,3 +92,12 @@ def test_darcy_tf_family_e2e():
         cfg, setup_kwargs={"downsampling": 20}
     )
     assert problem.y_normalizer is not None
+
+
+def test_vorticity_tf_family_e2e():
+    cfg = _tiny(
+        configs.VORTICITY_TF,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+    )
+    _run(cfg, epochs=2, ntrain=16, ntest=8)
