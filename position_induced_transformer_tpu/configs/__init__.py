@@ -144,6 +144,16 @@ DARCY_TF = BenchmarkConfig(
     grid=(43, 43), latent_grid=(32, 32),
 )
 
+SOD_TF = BenchmarkConfig(
+    name="sod_tf",
+    # reference: tensorflow/2_ShockTube/train.py:14-36 (r^2 bandwidth,
+    # qry 2048 -> latent 1024, loc 4/2, single output variable)
+    model=ModelConfig(1, 3, 1, 64, 2, 4, en_loc=4.0, de_loc=2.0),
+    metric="euclidean",
+    ntrain=1024, ntest=128, batch_size=8, epochs=500, loss_p=1,
+    grid=(2048,), latent_grid=(1024,),
+)
+
 VORTICITY_TF = BenchmarkConfig(
     name="vorticity_tf",
     # reference: tensorflow/4_Vorticity/train.py:14-34 (hid 256, 1 head,
@@ -160,7 +170,7 @@ REGISTRY = {
     c.name: c
     for c in (
         BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER,
-        BURGERS_TF, DARCY_TF, VORTICITY_TF,
+        BURGERS_TF, SOD_TF, DARCY_TF, VORTICITY_TF,
     )
 }
 

@@ -334,6 +334,49 @@ def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     )
 
 
+def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    """TF-family ShockTube: PiTTF with the r^2 bandwidth over plain 1-D grid
+    distance^2 matrices, single output variable
+    (reference: tensorflow/2_ShockTube/train.py:14-36, utils.py:33-44,118)."""
+    from position_induced_transformer_tpu.models import PiTTF, TFGeometry
+    from position_induced_transformer_tpu.ops import euclidean_sq
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    L = (cfg.grid or (2048,))[0]
+    Lt = (cfg.latent_grid or (1024,))[0]
+    x_tr, y_tr, x_te, y_te = loaders.sod(data_path, ntrain, ntest, L=L)
+    # TF variant predicts a single variable (Y[..., newaxis] of one field)
+    y_tr, y_te = y_tr[..., :1], y_te[..., :1]
+    g = lambda n: jnp.asarray(meshes.grid_1d(n))
+    geom = TFGeometry(
+        m_qry=euclidean_sq(g(L), g(L)),
+        m_cross=euclidean_sq(g(L), g(Lt)),
+        m_ltt=euclidean_sq(g(Lt), g(Lt)),
+    )
+    mesh = g(L)
+    m = cfg.model
+    model = PiTTF(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks, bandwidth="square", use_decoder_selfatt=True,
+    )
+
+    def apply_fn(params, geom, batch):
+        return model.apply({"params": params}, geom, mesh, batch["x"])
+
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    init_fn = lambda rng, data: model.init(rng, geom, mesh, data["x"])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
+        {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
+        ntrain, ntest, init_fn=init_fn,
+    )
+
+
 def setup_darcy_tf(
     cfg, data_path=None, ntrain=None, ntest=None, downsampling=10
 ) -> Problem:
@@ -448,6 +491,7 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
     "naca": setup_naca,
     "cylinder": setup_cylinder,
     "burgers_tf": setup_burgers_tf,
+    "sod_tf": setup_sod_tf,
     "darcy_tf": setup_darcy_tf,
     "vorticity_tf": setup_vorticity_tf,
 }

@@ -101,3 +101,10 @@ def test_vorticity_tf_family_e2e():
         rollout_steps=3, memory=4, batch_size=8,
     )
     _run(cfg, epochs=2, ntrain=16, ntest=8)
+
+
+def test_sod_tf_family_e2e():
+    cfg = _tiny(
+        configs.SOD_TF, grid=(64,), latent_grid=(32,), batch_size=8
+    )
+    _run(cfg)
