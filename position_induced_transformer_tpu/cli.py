@@ -65,6 +65,9 @@ def main(argv=None):
         "--debug-nans", action="store_true",
         help="abort on the first NaN under jit (numerics sanitizer)",
     )
+    p_train.add_argument(
+        "--plots", default=None, help="write prediction figures to this dir"
+    )
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     _add_common(p_eval)
@@ -74,6 +77,9 @@ def main(argv=None):
         help="Darcy zero-shot super-resolution at full 421^2 resolution",
     )
     p_eval.add_argument("--save-pred", default=None)
+    p_eval.add_argument(
+        "--plots", default=None, help="write prediction figures to this dir"
+    )
 
     sub.add_parser("benchmarks", help="list available benchmarks")
 
@@ -116,19 +122,26 @@ def main(argv=None):
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))
-        if args.save_pred:
+        if args.save_pred or args.plots:
             from scipy.io import savemat
             import numpy as np
 
             pred = runner.predict(problem, state)
-            savemat(
-                args.save_pred,
-                {
-                    "pred": pred,
-                    "trueX": np.asarray(problem.test_data["x"]),
-                    "trueY": np.asarray(problem.test_data["y"]),
-                },
-            )
+            if args.save_pred:
+                savemat(
+                    args.save_pred,
+                    {
+                        "pred": pred,
+                        "trueX": np.asarray(problem.test_data["x"]),
+                        "trueY": np.asarray(problem.test_data["y"]),
+                    },
+                )
+            if args.plots:
+                from position_induced_transformer_tpu.train.plots import (
+                    save_benchmark_plots,
+                )
+
+                save_benchmark_plots(problem, pred, args.plots)
         return 0
 
     if args.command == "evaluate":
@@ -141,6 +154,7 @@ def main(argv=None):
             ntest=args.ntest,
             zssr=args.zssr,
             save_pred=args.save_pred,
+            plots_dir=args.plots,
         )
         print(json.dumps(result))
         return 0

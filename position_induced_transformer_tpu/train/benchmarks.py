@@ -262,8 +262,8 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
 def setup_cylinder(
     cfg, data_path=None, ntrain=None, ntest=None, n_points=4390, n_latent=896
 ) -> Problem:
-    n_traj_train = (ntrain or cfg.ntrain) // 10
-    n_traj_test = (ntest or cfg.ntest) // 10
+    n_traj_train = max(1, (ntrain or cfg.ntrain) // 10)
+    n_traj_test = max(1, (ntest or cfg.ntest) // 10)
     paths = (None,) * 4
     if data_path:
         paths = (

@@ -34,6 +34,7 @@ def evaluate(
     zssr: bool = False,
     zssr_downsampling: int = 1,
     save_pred: Optional[str] = None,
+    plots_dir: Optional[str] = None,
     setup_kwargs: Optional[dict] = None,
 ) -> dict:
     cfg = get(config) if isinstance(config, str) else config
@@ -76,6 +77,12 @@ def evaluate(
     }
     if cfg.name == "cylinder" and "test_trajectories" in problem.extras:
         result.update(_cylinder_rollout(cfg, problem, state))
+    if plots_dir:
+        from position_induced_transformer_tpu.train.plots import (
+            save_benchmark_plots,
+        )
+
+        save_benchmark_plots(problem, pred, plots_dir)
     if save_pred:
         from scipy.io import savemat
 

@@ -182,6 +182,7 @@ def predict(problem, state, data=None, batch_size: Optional[int] = None):
     data = data if data is not None else problem.test_data
     n = data["x"].shape[0]
     bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
+    bs = min(bs, n)
     fwd = jax.jit(problem.task.forward)
     outs = []
     for i in range(0, n - n % bs, bs):

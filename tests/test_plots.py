@@ -1,0 +1,42 @@
+"""Plot artifacts: every benchmark family produces its reference-style
+figures without error."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from position_induced_transformer_tpu import configs
+from position_induced_transformer_tpu.train import benchmarks, runner
+from position_induced_transformer_tpu.train.plots import save_benchmark_plots
+
+
+@pytest.mark.parametrize(
+    "name,shrink,setup_kwargs",
+    [
+        ("burgers", dict(grid=(32,), latent_grid=(8,), batch_size=4), {}),
+        ("darcy", dict(grid=(22, 22), latent_grid=(8, 8), batch_size=4), {"downsampling": 20}),
+        ("vorticity", dict(grid=(8, 8), latent_grid=(4, 4), rollout_steps=2, memory=3, batch_size=4), {}),
+        ("elasticity", dict(batch_size=4), {"n_points": 32}),
+        ("cylinder", dict(batch_size=4), {"n_points": 32, "n_latent": 8}),
+    ],
+)
+def test_plots_render(tmp_path, name, shrink, setup_kwargs):
+    cfg = configs.get(name)
+    model = dataclasses.replace(cfg.model, hid_dim=8, n_blocks=1)
+    cfg = dataclasses.replace(cfg, model=model, **shrink)
+    problem = benchmarks.setup(cfg, ntrain=8, ntest=4, **setup_kwargs)
+    optimizer = runner.make_optimizer(cfg.lr, 4)
+    state = runner.init_state(problem, optimizer)
+    if cfg.rollout_steps:
+        pred = np.asarray(
+            problem.task.rollout(
+                state.params, problem.geom, problem.test_data["x"],
+                cfg.rollout_steps,
+            )
+        )
+    else:
+        pred = runner.predict(problem, state)
+    out = save_benchmark_plots(problem, pred, str(tmp_path / name))
+    assert len(os.listdir(out)) > 0
