@@ -166,11 +166,32 @@ VORTICITY_TF = BenchmarkConfig(
     grid=(64, 64), latent_grid=(16, 16), periodic_grid=True,
 )
 
+ELASTICITY_TF = BenchmarkConfig(
+    name="elasticity_tf",
+    # reference: tensorflow/5_Elasticity/train.py:10-26 (hid 512, 8 heads,
+    # loc 2/2, point-cloud model with per-sample distances)
+    model=ModelConfig(2, 44, 1, 512, 8, 4, en_loc=2.0, de_loc=2.0,
+                      concat_mesh=False),
+    metric="euclidean",
+    ntrain=1000, ntest=200, batch_size=10, epochs=500, loss_p=2,
+)
+
+NACA_TF = BenchmarkConfig(
+    name="naca_tf",
+    # reference: tensorflow/6_NACA/train.py:14-31 (hid 256, 2 heads,
+    # loc 0.5/2, tan(r) bandwidth with NonNeg r, Mach field output,
+    # index-space dist^2/2 on the 221x51 C-grid, latent 111x26)
+    model=ModelConfig(2, 2, 1, 256, 2, 4, en_loc=0.5, de_loc=2.0),
+    metric="euclidean",
+    ntrain=1000, ntest=200, batch_size=8, epochs=500, loss_p=2,
+    grid=(221, 51), latent_grid=(111, 26),
+)
+
 REGISTRY = {
     c.name: c
     for c in (
         BURGERS, SOD, DARCY, VORTICITY, ELASTICITY, NACA, CYLINDER,
-        BURGERS_TF, SOD_TF, DARCY_TF, VORTICITY_TF,
+        BURGERS_TF, SOD_TF, DARCY_TF, VORTICITY_TF, ELASTICITY_TF, NACA_TF,
     )
 }
 

@@ -27,3 +27,17 @@ def grid_2d(s: int, endpoint: bool = True):
     xx, yy = np.meshgrid(xs, xs)
     mesh = np.stack([xx.ravel(), yy.ravel()], axis=-1)
     return mesh.reshape(s, s, 2).astype(np.float32)
+
+
+def grid_2d_rect(s0: int, s1: int, endpoint: bool = False):
+    """(s0*s1, 2) structured-index grid on [0,1)^2 with dim-0 outer, matching
+    row-major flattening of (s0, s1, C) fields (used by the TF-family NACA
+    experiment's index-space distances, reference:
+    tensorflow/6_NACA/utils.py:25-43)."""
+    def axis(n):
+        pts = np.linspace(0, 1, n if endpoint else n + 1)
+        return pts if endpoint else pts[:-1]
+
+    a, b = axis(s0), axis(s1)
+    aa, bb = np.meshgrid(a, b, indexing="ij")
+    return np.stack([aa.ravel(), bb.ravel()], axis=-1).astype(np.float32)

@@ -21,10 +21,13 @@ from position_induced_transformer_tpu.models.pit import (
 )
 from position_induced_transformer_tpu.models.pit_tf import (
     MultiHeadPosAtt,
+    MultiHeadPosAttBatched,
     PiTTF,
+    PiTTFPointCloud,
     TFGeometry,
     pairwise_dist_half,
     pairwise_dist_periodic_1d,
+    pairwise_dist_periodic_2d,
 )
 
 __all__ = [
@@ -39,6 +42,9 @@ __all__ = [
     "PiTTF",
     "TFGeometry",
     "MultiHeadPosAtt",
+    "MultiHeadPosAttBatched",
+    "PiTTFPointCloud",
+    "pairwise_dist_periodic_2d",
     "pairwise_dist_periodic_1d",
     "pairwise_dist_half",
     "MultiHeadSelfAtt",

@@ -175,6 +175,90 @@ def pairwise_dist_half(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
 
 
+class MultiHeadPosAttBatched(nn.Module):
+    """Point-cloud position attention over per-sample distance matrices
+    (reference: tensorflow/5_Elasticity/utils.py:60-103: r^2 bandwidth,
+    batched (B, L, L) distances computed from the input coordinates)."""
+
+    n_head: int
+    hid_dim: int
+    locality: float  # percentile; > 100 = global
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+        v_dim = round(self.hid_dim / self.n_head)
+        r = self.param(
+            "band_width", nn.initializers.lecun_normal(), (1, self.n_head, 1, 1)
+        )
+        w = self.param(
+            "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
+        )
+        scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)
+        if self.locality <= 100:
+            mask = jnp.quantile(
+                scaled, self.locality / 100.0, axis=-1, keepdims=True
+            )
+            scaled = jnp.where(
+                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+            )
+        att = nn.softmax(-scaled, axis=-1)
+        value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
+        out = jnp.einsum("bhnj,bhjd->bhnd", att, value)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            inputs.shape[0], -1, self.hid_dim
+        )
+        return nn.gelu(out, approximate=False)
+
+
+class PiTTFPointCloud(nn.Module):
+    """TF-semantics point-cloud PiT: one per-sample dist^2/2 matrix from the
+    first two input coordinates, attention + MLP/W additive residuals at
+    encoder, processor and decoder; no latent downsampling
+    (reference: tensorflow/5_Elasticity/utils.py:113-178)."""
+
+    out_dim: int
+    hid_dim: int
+    n_head: int
+    locality_encoder: float
+    locality_decoder: float
+    n_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        coords = inputs[..., :2]
+        diff = coords[:, :, None, :] - coords[:, None, :, :]
+        m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)  # (B, L, L)
+
+        dense = lambda name: nn.Dense(
+            self.hid_dim, kernel_init=he_normal_tf, name=name
+        )
+        en = dense("en_layer")(inputs)
+        en = nn.gelu(en, approximate=False)
+        x = TFMlp(self.hid_dim, self.hid_dim, name="mlp1")(
+            MultiHeadPosAttBatched(
+                self.n_head, self.hid_dim, self.locality_encoder, name="down"
+            )(m_dist, en)
+        ) + dense("w1")(en)
+        x = nn.gelu(x, approximate=False)
+
+        for i in range(self.n_blocks):
+            pa = MultiHeadPosAttBatched(
+                self.n_head, self.hid_dim, 200.0, name=f"PA_{i}"
+            )(m_dist, x)
+            x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + dense(
+                f"W_{i}"
+            )(x)
+            x = nn.gelu(x, approximate=False)
+
+        de = TFMlp(self.hid_dim, self.hid_dim, name="mlp2")(
+            MultiHeadPosAttBatched(
+                self.n_head, self.hid_dim, self.locality_decoder, name="up"
+            )(m_dist, x)
+        ) + dense("w2")(x)
+        de = nn.gelu(de, approximate=False)
+        return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)
+
+
 def pairwise_dist_periodic_2d(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:
     """2-D torus distance^2 via the minimum over the direct and four
     unit-shifted images (reference: tensorflow/4_Vorticity/utils.py:36-61)."""

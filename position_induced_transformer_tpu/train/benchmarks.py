@@ -482,6 +482,90 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     )
 
 
+def setup_elasticity_tf(
+    cfg, data_path=None, ntrain=None, ntest=None, n_points=972
+) -> Problem:
+    """TF-family elasticity: point-cloud PiTTF with in-call per-sample
+    distances (reference: tensorflow/5_Elasticity/train.py:25,
+    utils.py:113-178)."""
+    from position_induced_transformer_tpu.models import PiTTFPointCloud
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    X_tr, ext_tr, Y_tr, X_te, ext_te, Y_te = loaders.elasticity(
+        data_path, ntrain, ntest, n_points=n_points
+    )
+    m = cfg.model
+    model = PiTTFPointCloud(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks,
+    )
+    apply_fn = lambda params, geom, batch: model.apply(
+        {"params": params}, batch["x"]
+    )
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    init_fn = lambda rng, data: model.init(rng, data["x"])
+    return Problem(
+        cfg, model, task, None,
+        {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr), "y": jnp.asarray(Y_tr)},
+        {"x": jnp.asarray(X_te), "mesh": jnp.asarray(ext_te), "y": jnp.asarray(Y_te)},
+        ntrain, ntest, init_fn=init_fn,
+    )
+
+
+def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
+    """TF-family NACA: PiTTF (tan bandwidth, no decoder self-attention)
+    over index-space dist^2/2 matrices; input = C-grid vertex coordinates,
+    output = Mach field (reference: tensorflow/6_NACA/train.py:25-34,
+    utils.py:25-52,115)."""
+    from position_induced_transformer_tpu.models import (
+        PiTTF,
+        TFGeometry,
+        pairwise_dist_half,
+    )
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    c_tr, X_tr, Y_tr, c_te, X_te, Y_te = loaders.naca(
+        data_path, ntrain, ntest, nx=cfg.grid[0], ny=cfg.grid[1]
+    )
+    # single output variable (the Mach number channel)
+    Y_tr, Y_te = Y_tr[..., :1], Y_te[..., :1]
+    nx, ny = X_tr.shape[1], X_tr.shape[2]
+    lx, ly = cfg.latent_grid
+    grid_q = jnp.asarray(meshes.grid_2d_rect(nx, ny))
+    grid_l = jnp.asarray(meshes.grid_2d_rect(lx, ly))
+    geom = TFGeometry(
+        m_qry=pairwise_dist_half(grid_q, grid_q),
+        m_cross=pairwise_dist_half(grid_q, grid_l),
+        m_ltt=pairwise_dist_half(grid_l, grid_l),
+    )
+    m = cfg.model
+    model = PiTTF(
+        out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
+        locality_encoder=m.en_loc, locality_decoder=m.de_loc,
+        n_blocks=m.n_blocks, bandwidth="tan", use_decoder_selfatt=False,
+    )
+
+    def apply_fn(params, geom, batch):
+        return model.apply({"params": params}, geom, grid_q, batch["x"])
+
+    task = Task(
+        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        **_task_kwargs(cfg),
+    )
+    init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])
+    flat = lambda a: jnp.asarray(a).reshape(a.shape[0], -1, a.shape[-1])
+    return Problem(
+        cfg, model, task, geom,
+        {"x": flat(X_tr), "y": flat(Y_tr)},
+        {"x": flat(X_te), "y": flat(Y_te)},
+        ntrain, ntest, init_fn=init_fn,
+    )
+
+
 SETUPS: Dict[str, Callable[..., Problem]] = {
     "burgers": setup_burgers,
     "sod": setup_sod,
@@ -494,6 +578,8 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
     "sod_tf": setup_sod_tf,
     "darcy_tf": setup_darcy_tf,
     "vorticity_tf": setup_vorticity_tf,
+    "elasticity_tf": setup_elasticity_tf,
+    "naca_tf": setup_naca_tf,
 }
 
 

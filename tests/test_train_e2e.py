@@ -108,3 +108,15 @@ def test_sod_tf_family_e2e():
         configs.SOD_TF, grid=(64,), latent_grid=(32,), batch_size=8
     )
     _run(cfg)
+
+
+def test_elasticity_tf_family_e2e():
+    cfg = _tiny(configs.ELASTICITY_TF, batch_size=4)
+    _run(cfg, epochs=2, ntrain=16, ntest=8, setup_kwargs={"n_points": 48})
+
+
+def test_naca_tf_family_e2e():
+    cfg = _tiny(
+        configs.NACA_TF, grid=(21, 11), latent_grid=(11, 6), batch_size=4
+    )
+    _run(cfg, epochs=2, ntrain=16, ntest=8)
