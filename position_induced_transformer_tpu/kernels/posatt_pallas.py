@@ -31,8 +31,6 @@ bit-level agreement in interpret mode (CPU) and on TPU when available.
 from __future__ import annotations
 
 import functools
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

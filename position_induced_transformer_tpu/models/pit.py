@@ -21,8 +21,6 @@ per-benchmark subclasses in the seven train scripts), re-designed TPU-first:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

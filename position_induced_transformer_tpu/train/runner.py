@@ -10,7 +10,6 @@ appends structured JSONL metrics. Checkpoints via train/checkpoint.py.
 from __future__ import annotations
 
 import json
-import os
 import time
 from functools import partial
 from typing import Optional

@@ -1,0 +1,46 @@
+"""CLI behavior tests (argument handling; training smoke is covered by the
+e2e suite and driven end-to-end in verification)."""
+
+import json
+
+import pytest
+
+from position_induced_transformer_tpu.cli import main
+
+
+def test_benchmarks_lists_all(capsys):
+    assert main(["benchmarks"]) == 0
+    out = capsys.readouterr().out
+    for name in (
+        "burgers", "sod", "darcy", "vorticity", "elasticity", "naca",
+        "cylinder", "burgers_tf", "sod_tf", "darcy_tf", "vorticity_tf",
+        "elasticity_tf", "naca_tf",
+    ):
+        assert name in out
+
+
+def test_unknown_benchmark_is_clean_error():
+    with pytest.raises(ValueError, match="unknown benchmark"):
+        main(["train", "--benchmark", "nope", "--epochs", "1"])
+
+
+def test_train_reproducible_with_seed(tmp_path):
+    """Same seed -> identical training history (determinism contract the
+    reference approximates with global seeds, pit.py:2-6)."""
+    import dataclasses
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import runner
+
+    cfg = dataclasses.replace(
+        configs.BURGERS,
+        grid=(32,), latent_grid=(8,), batch_size=4,
+        model=dataclasses.replace(configs.BURGERS.model, hid_dim=8, n_blocks=1),
+    )
+    histories = []
+    for _ in range(2):
+        _, _, h = runner.train(
+            cfg, epochs=2, ntrain=8, ntest=4, seed=7, verbose=False
+        )
+        histories.append([(r["train_loss"], r["rel_l2"]) for r in h])
+    assert histories[0] == histories[1]
