@@ -119,11 +119,24 @@ def build_geometry_host(
     the host, one HBM upload. Falls back to :func:`build_geometry` when the
     native library is unavailable. Host-only (concrete meshes, not traced).
     """
+    import os
+
     import numpy as np
 
     from position_induced_transformer_tpu.data import native
 
-    if native.load() is None:
+    # The native builder measurably poisons subsequent device dispatch in
+    # TPU-tunnel processes on this host (first call into the .so degrades
+    # epoch throughput ~10x — see CLAUDE.md), so it is engaged only on CPU
+    # backends unless explicitly forced.
+    use_native = os.environ.get("PIT_NATIVE_GEOMETRY", "auto")
+    if use_native == "never":
+        native_ok = False
+    elif use_native == "force":
+        native_ok = True
+    else:
+        native_ok = jax.default_backend() == "cpu"
+    if not native_ok or native.load() is None:
         return build_geometry(
             jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
             metric=metric, en_loc=en_loc, de_loc=de_loc,

@@ -75,6 +75,14 @@ def evaluate(
         "rel_l2": float(rel_lp_norm(true, pred, out_dim, 2)) / n,
         "rel_max": float(rel_max_norm(true, pred, out_dim)) / n,
     }
+    # rel-L1 quartiles (reference: tensorflow/1_InviscidBurgers/utils.py:27-32,
+    # printed by the TF drivers after predict)
+    from position_induced_transformer_tpu.ops.metrics import rel_l1_quartiles
+
+    q25, q50, q75 = rel_l1_quartiles(
+        true.reshape(n, -1, out_dim), pred.reshape(n, -1, out_dim)
+    )
+    result["rel_l1_quartiles"] = [float(q25), float(q50), float(q75)]
     if cfg.name == "cylinder" and "test_trajectories" in problem.extras:
         result.update(_cylinder_rollout(cfg, problem, state))
     if plots_dir:
