@@ -69,12 +69,21 @@ def main(names=None):
         }
         print(json.dumps({"benchmark": name, **results[name]}), flush=True)
 
-    out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_SWEEP.json"
+    out = os.path.abspath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_SWEEP.json"
+        )
     )
-    with open(os.path.abspath(out), "w") as f:
+    merged = {}
+    if os.path.exists(out):
+        try:
+            merged = json.load(open(out)).get("results", {})
+        except Exception:
+            pass
+    merged.update(results)
+    with open(out, "w") as f:
         json.dump(
-            {"device": str(jax.devices()[0]), "results": results}, f, indent=1
+            {"device": str(jax.devices()[0]), "results": merged}, f, indent=1
         )
 
 
