@@ -57,7 +57,16 @@ def evaluate(
             PixelWiseNormalizer(**restored["x_normalizer"]),
             PixelWiseNormalizer(**restored["y_normalizer"]),
         )
-    problem = benchmarks.setup(cfg, data_path, ntest=ntest, **setup_kwargs)
+    ntrain = None
+    if "normalizers" in setup_kwargs:
+        # normalizer statistics come from the checkpoint, so the training
+        # split is never touched — keep data loading/generation minimal
+        # (matters at ZSSR scale: the full 421^2 synthetic train set costs
+        # minutes to generate for nothing)
+        ntrain = ntest or cfg.ntest
+    problem = benchmarks.setup(
+        cfg, data_path, ntrain=ntrain, ntest=ntest, **setup_kwargs
+    )
     state = TrainState(params, None, 0)
 
     if cfg.rollout_steps:

@@ -89,3 +89,9 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_multichip_4():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)
