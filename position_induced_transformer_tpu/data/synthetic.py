@@ -66,38 +66,59 @@ def sod(n=1152, L=1024, seed=0):
     return x.astype(np.float32), y.astype(np.float32)
 
 
-def _grf_2d(rng, n, s, n_modes=6, decay=2.0):
+def _grf_modes(rng, n, n_modes=6, decay=2.0):
+    """Random mode amplitudes of a 2-D sine GRF (resolution-independent)."""
+    k = np.arange(1, n_modes + 1)
+    ksq = k[:, None] ** 2 + k[None, :] ** 2
+    return (
+        rng.standard_normal((n, n_modes, n_modes)) / ksq[None] ** (decay / 2)
+    ).astype(np.float32)
+
+
+def _eval_modes(amp, s, extra_damp=0.0):
+    """Evaluate sum_ij amp_ij * sin(i pi x) sin(j pi y) on an s x s grid,
+    with optional extra (i^2+j^2)-power damping — an analytic, resolution-
+    consistent field (the same continuous function at every s)."""
+    n_modes = amp.shape[-1]
     x = np.linspace(0, 1, s)
-    kx = np.arange(1, n_modes + 1)
-    field = np.zeros((n, s, s))
-    for i in kx:
-        for j in kx:
-            amp = rng.standard_normal((n, 1, 1)) / (i * i + j * j) ** (decay / 2)
-            field += amp * np.sin(np.pi * i * x)[None, :, None] * np.sin(
-                np.pi * j * x
-            )[None, None, :]
-    return field.astype(np.float32)
+    k = np.arange(1, n_modes + 1)
+    if extra_damp:
+        ksq = k[:, None] ** 2 + k[None, :] ** 2
+        amp = amp / ksq[None] ** extra_damp
+    sx = np.sin(np.pi * np.outer(x, k))  # (s, m)
+    # einsum over modes: (n, m, m) x (s, m) x (s, m) -> (n, s, s)
+    return np.einsum("nij,xi,yj->nxy", amp, sx, sx).astype(np.float32)
 
 
 def darcy(n=1124, s=43, seed=0):
-    """(x, y) shaped (n, s, s, 1): thresholded Gaussian-random-field
-    permeability (values 4/12 like the FNO dataset) and a smooth pressure
-    stand-in (reference: train_darcy.py:7-23)."""
+    """(x, y) shaped (n, s, s, 1): thresholded sine-GRF permeability
+    (values 4/12 like the FNO dataset) and a mode-damped solution stand-in
+    (reference: train_darcy.py:7-23).
+
+    Both fields are analytic functions of the same per-sample mode
+    amplitudes, so sampling at different resolutions yields the SAME
+    underlying operator — the property that makes the zero-shot
+    super-resolution evaluation meaningful on synthetic data."""
     rng = np.random.default_rng(seed)
-    g = _grf_2d(rng, n, s)
-    coeff = np.where(g >= 0, 12.0, 4.0).astype(np.float32)
+    amp = _grf_modes(rng, n)
+    g = _eval_modes(amp, s)
+    # sharp-but-smooth two-phase coefficient in the FNO value range [4, 12]
+    # (a hard threshold would make the inverse map to the mode amplitudes
+    # ill-conditioned and short training runs uninformative)
+    coeff = (4.0 + 8.0 / (1.0 + np.exp(-6.0 * g))).astype(np.float32)
     # tiny jitter so per-pixel std never vanishes on small sample counts
     # (a zero std turns PixelWiseNormalizer's resized statistics into a
     # divide-by-eps blow-up at off-grid pixels during ZSSR; the real FNO
     # dataset's 1024 samples never have constant pixels)
     coeff += rng.normal(0, 0.05, coeff.shape).astype(np.float32)
-    # smooth functional of the coefficient field as a solution stand-in
-    from scipy.ndimage import gaussian_filter
-
-    sol = np.stack(
-        [gaussian_filter(1.0 / c, sigma=max(1, s // 14)) for c in coeff]
-    ).astype(np.float32)
+    # solution stand-in: the same modes with extra Laplacian-like damping
+    # (resolution-consistent analogue of solving with the GRF as source)
+    sol = 0.1 * _eval_modes(amp, s, extra_damp=1.0)
     return coeff[..., None], sol[..., None]
+
+
+def _grf_2d(rng, n, s, n_modes=6, decay=2.0):
+    return _eval_modes(_grf_modes(rng, n, n_modes, decay), s)
 
 
 def vorticity(n=1200, s=64, frames=30, seed=0):
