@@ -140,14 +140,18 @@ def _gather(tree, idx):
 
 
 def make_train_epoch(
-    task: Task, optimizer: optax.GradientTransformation, mesh=None
+    task: Task, optimizer: optax.GradientTransformation, mesh=None,
+    unroll: int = 2,
 ):
     """Whole-epoch train function: jitted scan over a (n_batches, B) index
     matrix. Donates the TrainState so parameters update in place in HBM.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — each
     batch is sharding-constrained across it (data parallelism; gradient
-    all-reduce over ICI is inserted by XLA GSPMD)."""
+    all-reduce over ICI is inserted by XLA GSPMD).
+    ``unroll``: scan unroll factor; 2 measured ~1.4x epoch throughput at
+    the reference step sizes on TPU v5e (scripts/tpu_unroll_experiment.py)
+    by amortizing per-step sequencing overhead."""
 
     def train_epoch(state: TrainState, geom, data, perm):
         def step(carry, idx):
@@ -165,7 +169,7 @@ def make_train_epoch(
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            step, (state.params, state.opt_state), perm
+            step, (state.params, state.opt_state), perm, unroll=unroll
         )
         return (
             TrainState(params, opt_state, state.step + perm.shape[0]),
