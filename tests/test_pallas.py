@@ -64,3 +64,22 @@ def test_fused_gradients_match_oracle():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
         )
+
+
+def test_fused_v2_bf16_option_close_to_oracle():
+    rng = np.random.default_rng(2)
+    L_out, L_in, B, H, D, loc = 64, 96, 3, 2, 8, 0.3
+    mesh_out = jnp.asarray(rng.random((L_out, 2)), jnp.float32)
+    mesh_in = jnp.asarray(rng.random((L_in, 2)), jnp.float32)
+    dist = euclidean_sq(mesh_out, mesh_in)
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
+
+    want = position_attention(dist, lmda, u, loc)
+    got = position_attention_fixed(
+        dist, lmda, u, loc, interpret=INTERPRET, version=2, mxu_bf16=True
+    )
+    # bf16 MXU inputs: ~1e-2 relative tolerance
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
