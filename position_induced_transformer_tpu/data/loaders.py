@@ -29,7 +29,9 @@ def load_mat(path: str) -> dict:
 
     try:
         return scipy_loadmat(path)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # v7.3 files raise NotImplementedError; bare-HDF5 files (no MATLAB
+        # header) raise ValueError — both are readable through h5py
         import h5py
 
         out = {}

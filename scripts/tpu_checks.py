@@ -50,6 +50,11 @@ def check(L_out, L_in, B, H, D, loc, label):
     fused2 = jax.jit(
         lambda d, l, x: position_attention_fixed(d, l, x, loc, thr=thr, version=2)
     )
+    fused2b = jax.jit(
+        lambda d, l, x: position_attention_fixed(
+            d, l, x, loc, thr=thr, version=2, mxu_bf16=True
+        )
+    )
     oracle = jax.jit(lambda d, l, x: position_attention(d, l, x, loc))
 
     want = jax.block_until_ready(oracle(dist, lmda, u))
@@ -60,6 +65,7 @@ def check(L_out, L_in, B, H, D, loc, label):
 
     t1 = timeit(fused1, dist, lmda, u)
     t2 = timeit(fused2, dist, lmda, u)
+    t2b = timeit(fused2b, dist, lmda, u)
     t_oracle = timeit(oracle, dist, lmda, u)
     flops = 2 * H * B * L_out * L_in * D
     print(
@@ -73,6 +79,8 @@ def check(L_out, L_in, B, H, D, loc, label):
                 "xla_us": round(t_oracle * 1e6, 1),
                 "v2_speedup_vs_xla": round(t_oracle / t2, 2),
                 "v2_gflops": round(flops / t2 / 1e9, 1),
+                "v2bf16_us": round(t2b * 1e6, 1),
+                "v2bf16_gflops": round(flops / t2b / 1e9, 1),
             }
         ),
         flush=True,

@@ -1,0 +1,80 @@
+"""Loader tests against real files written on the fly (.mat both formats,
+.npy, CSV) — exercising the non-synthetic code paths."""
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+from position_induced_transformer_tpu.data import loaders
+
+
+def test_burgers_real_mat(tmp_path):
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "data_burgers.mat")
+    savemat(path, {"x": rng.random((40, 64)), "y": rng.random((40, 64))})
+    x_tr, y_tr, x_te, y_te = loaders.burgers(path, ntrain=32, ntest=8)
+    assert x_tr.shape == (32, 64, 1) and x_te.shape == (8, 64, 1)
+    assert x_tr.dtype == np.float32
+
+
+def test_sod_real_mat_primitive_transform(tmp_path):
+    rng = np.random.default_rng(1)
+    rho = rng.uniform(0.5, 2.0, (10, 32, 1))
+    u = rng.uniform(-1, 1, (10, 32, 1))
+    p = rng.uniform(0.5, 2.0, (10, 32, 1))
+    # conservative variables (rho, m=rho*u, E = p/(g-1) + rho u^2/2)
+    cons = np.concatenate(
+        [rho, rho * u, p / 0.4 + 0.5 * rho * u**2], axis=-1
+    ).astype(np.float32)
+    path = str(tmp_path / "data_sod.mat")
+    savemat(path, {"x": cons, "y": cons.copy()})
+    x_tr, y_tr, _, _ = loaders.sod(path, ntrain=8, ntest=2)
+    # loader recovers primitive variables (reference: train_sod.py:12-16)
+    np.testing.assert_allclose(x_tr[..., 1:2], u[:8], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(x_tr[..., 2:3], p[:8], rtol=1e-4, atol=1e-5)
+
+
+def test_load_mat_hdf5_fallback(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "v73.mat")
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("u", data=arr.T)  # MATLAB HDF5 is column-major
+    out = loaders.load_mat(path)
+    np.testing.assert_array_equal(out["u"], arr)
+
+
+def test_cylinder_real_files(tmp_path):
+    rng = np.random.default_rng(2)
+    traj_tr = rng.random((4, 50, 3, 11)).astype(np.float32)
+    traj_te = rng.random((2, 50, 3, 11)).astype(np.float32)
+    p_tr = str(tmp_path / "tr.mat")
+    p_te = str(tmp_path / "te.mat")
+    savemat(p_tr, {"trajectories": traj_tr})
+    savemat(p_te, {"trajectories": traj_te})
+    verts = str(tmp_path / "v.csv")
+    verts_small = str(tmp_path / "vs.csv")
+    np.savetxt(verts, rng.random((50, 2)), delimiter=",")
+    np.savetxt(verts_small, rng.random((10, 2)), delimiter=",")
+    # pad the csvs past the LFS-stub size gate
+    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, te = loaders.cylinder(
+        p_tr, p_te, verts, verts_small, ntrain=4, ntest=2
+    )
+    assert x_tr.shape == (40, 50, 3)  # 10 one-step pairs per trajectory
+    np.testing.assert_allclose(
+        x_tr[0], traj_tr[0, :, :, 0], rtol=1e-6
+    )
+    assert mesh.shape == (50, 2) and mesh_ltt.shape == (10, 2)
+    assert te.shape == (2, 50, 3, 11)
+
+
+def test_elasticity_real_npy(tmp_path):
+    rng = np.random.default_rng(3)
+    np.save(tmp_path / "Random_UnitCell_rr_10.npy", rng.random((42, 20)))
+    np.save(tmp_path / "Random_UnitCell_XY_10.npy", rng.random((30, 2, 20)))
+    np.save(tmp_path / "Random_UnitCell_sigma_10.npy", rng.random((30, 20)))
+    X, ext, Y, Xt, extt, Yt = loaders.elasticity(
+        str(tmp_path), ntrain=16, ntest=4
+    )
+    assert X.shape == (16, 30, 44)  # XY ++ broadcast 42-dim radius vector
+    assert ext.shape == (16, 30, 2) and Y.shape == (16, 30, 1)
