@@ -83,6 +83,11 @@ def main(argv=None):
 
     sub.add_parser("benchmarks", help="list available benchmarks")
 
+    p_desc = sub.add_parser(
+        "describe", help="print a model/problem summary for a benchmark"
+    )
+    _add_common(p_desc)
+
     args = parser.parse_args(argv)
 
     if args.command == "benchmarks":
@@ -99,6 +104,35 @@ def main(argv=None):
 
     _apply_platform(args)
     from position_induced_transformer_tpu.train import runner
+
+    if args.command == "describe":
+        import jax
+
+        from position_induced_transformer_tpu.train import benchmarks
+        from position_induced_transformer_tpu.train.loop import make_optimizer
+        from position_induced_transformer_tpu.configs import get as get_cfg
+        from position_induced_transformer_tpu.utils import count_params
+
+        cfg = get_cfg(args.benchmark)
+        problem = benchmarks.setup(
+            cfg, args.data_path,
+            ntrain=args.ntrain or min(cfg.ntrain, 4 * cfg.batch_size),
+            ntest=args.ntest or min(cfg.ntest, cfg.batch_size),
+        )
+        state = runner.init_state(problem, make_optimizer(cfg.lr, 1))
+        info = {
+            "benchmark": cfg.name,
+            "model": type(problem.model).__name__,
+            "params": count_params(state.params),
+            "metric": cfg.metric,
+            "loss": f"rel-L{cfg.loss_p}",
+            "rollout_steps": cfg.rollout_steps,
+            "train_shape": {
+                k: list(v.shape) for k, v in problem.train_data.items()
+            },
+        }
+        print(json.dumps(info, indent=1))
+        return 0
 
     if args.command == "train":
         if args.debug_nans:

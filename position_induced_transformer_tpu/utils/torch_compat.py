@@ -64,3 +64,31 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
         else:
             raise KeyError(f"unrecognized reference parameter {name!r}")
     return params
+
+
+def flax_params_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_state_dict_to_flax`: export PiT params as a
+    reference-compatible state-dict mapping (numpy arrays; load with
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``). Enables
+    round-tripping trained models back into the reference."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(torch_prefix: str, tree):
+        for mlp_name, leaves in tree.items():  # mlp1 / mlp2
+            out[f"{torch_prefix}.{mlp_name}.weight"] = np.asarray(
+                leaves["kernel"]
+            ).T
+            out[f"{torch_prefix}.{mlp_name}.bias"] = np.asarray(leaves["bias"])
+
+    for key, sub in params.items():
+        if key in ("down", "up"):
+            out[f"{key}.lmda"] = np.asarray(sub["lmda"])
+        elif key.startswith("conv_"):
+            out[f"conv.{key.split('_')[1]}.lmda"] = np.asarray(sub["lmda"])
+        elif key.startswith("mlp_"):
+            emit(f"mlp.{key.split('_')[1]}", sub)
+        elif key in ("en_layer", "de"):
+            emit(key, sub)
+        else:
+            raise KeyError(f"unrecognized PiT parameter subtree {key!r}")
+    return out

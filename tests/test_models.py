@@ -244,3 +244,36 @@ def test_instance_norm_and_residual_flags():
     o3 = _mk_model(residual_output=True).apply(p, geom, x)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o1) + np.asarray(x))
+
+
+@needs_ref
+def test_weight_transplant_roundtrip():
+    """flax -> torch state dict -> flax preserves every parameter, and the
+    exported dict loads into the reference model."""
+    import torch
+
+    from position_induced_transformer_tpu.utils.torch_compat import (
+        flax_params_to_torch_state_dict,
+    )
+
+    ref_pit, _ = REF
+    rng = np.random.default_rng(9)
+    mesh = jnp.linspace(0, 1, 17)[:-1].reshape(-1, 1)
+    geom = build_geometry(mesh, mesh, mesh, metric="euclidean")
+    x = jnp.asarray(rng.random((2, 16, 1)), jnp.float32)
+    model = _mk_model()
+    params = model.init(jax.random.PRNGKey(3), geom, x)["params"]
+
+    state = flax_params_to_torch_state_dict(params)
+    back = torch_state_dict_to_flax(state)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tmod = ref_pit.pit_fixed(
+        space_dim=1, in_dim=1, out_dim=1, hid_dim=16, n_head=2, n_blocks=2,
+        mesh_ltt=torch.from_numpy(np.asarray(mesh)), en_loc=0.3, de_loc=0.3,
+    )
+    tmod.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in state.items()})
