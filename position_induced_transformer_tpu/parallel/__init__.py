@@ -1,5 +1,9 @@
 """Distributed: device meshes, sharding presets, parallel training."""
 
+from position_induced_transformer_tpu.parallel.shard_map_step import (
+    make_shard_map_train_step,
+    shard_batch_arrays,
+)
 from position_induced_transformer_tpu.parallel.sharding import (
     batch_spec,
     make_mesh,
@@ -20,4 +24,6 @@ __all__ = [
     "replicated",
     "replicate_tree",
     "sequence_shard_geometry",
+    "make_shard_map_train_step",
+    "shard_batch_arrays",
 ]

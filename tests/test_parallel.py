@@ -95,3 +95,48 @@ def test_graft_dryrun_multichip_4():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_shard_map_step_matches_single_device():
+    """Explicit-collective shard_map DP step == single-device step."""
+    import optax
+
+    from position_induced_transformer_tpu.parallel.shard_map_step import (
+        make_shard_map_train_step,
+        shard_batch_arrays,
+    )
+    from position_induced_transformer_tpu.train.loop import TrainState
+
+    cfg, problem = _tiny_problem()
+    optimizer = make_optimizer(cfg.lr, 16)
+    state0 = runner.init_state(problem, optimizer, seed=0)
+    batch = jax.tree_util.tree_map(lambda a: a[:8], problem.train_data)
+
+    # single device
+    import jax.numpy as jnp2
+
+    def single_step(state, geom, batch):
+        loss, grads = jax.value_and_grad(problem.task.loss_fn)(
+            state.params, geom, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    s1, l1 = jax.jit(single_step)(state0, problem.geom, batch)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    step = make_shard_map_train_step(problem.task, optimizer, mesh)
+    state0b = runner.init_state(problem, optimizer, seed=0)
+    s2, l2 = step(
+        state0b,
+        replicate_tree(mesh, problem.geom),
+        shard_batch_arrays(mesh, batch),
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
