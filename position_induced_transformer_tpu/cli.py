@@ -68,6 +68,14 @@ def main(argv=None):
     p_train.add_argument(
         "--plots", default=None, help="write prediction figures to this dir"
     )
+    p_train.add_argument(
+        "--resume", default=None,
+        help="resume training from a checkpoint (params + optimizer + step)",
+    )
+    p_train.add_argument(
+        "--checkpoint-every", type=int, default=None,
+        help="also write the checkpoint every N epochs (mid-run recovery)",
+    )
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     _add_common(p_eval)
@@ -153,6 +161,8 @@ def main(argv=None):
             profile_dir=args.profile,
             history_csv=args.history_csv,
             history_plot=args.history_plot,
+            resume_from=args.resume,
+            checkpoint_every=args.checkpoint_every,
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))

@@ -71,8 +71,19 @@ def train(
     profile_dir: Optional[str] = None,
     history_csv: Optional[str] = None,
     history_plot: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    schedule_epochs: Optional[int] = None,
 ):
-    """Train a benchmark end to end; returns (problem, state, history)."""
+    """Train a benchmark end to end; returns (problem, state, history).
+
+    ``resume_from``: restore params + optimizer state + step from a
+    checkpoint and continue training (elastic recovery — the reference can
+    only save at the end, SURVEY.md §5). ``checkpoint_every``: also write
+    the checkpoint every N epochs, enabling mid-run recovery.
+    ``schedule_epochs``: cosine-decay horizon when it differs from
+    ``epochs`` (a partial run that will be resumed must decay over the
+    full intended horizon)."""
     cfg = get(config) if isinstance(config, str) else config
     problem = benchmarks.setup(
         cfg, data_path, ntrain=ntrain, ntest=ntest, **(setup_kwargs or {})
@@ -81,9 +92,33 @@ def train(
     seed = seed if seed is not None else cfg.seed
 
     n_batches = problem.n_train // cfg.batch_size
-    total_steps = epochs * n_batches  # reference: train_burgers.py:56
+    # reference: train_burgers.py:56
+    total_steps = (schedule_epochs or epochs) * n_batches
     optimizer = make_optimizer(cfg.lr, total_steps)
     state = init_state(problem, optimizer, seed)
+
+    def _payload(state):
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        for name, norm in (
+            ("x_normalizer", problem.x_normalizer),
+            ("y_normalizer", problem.y_normalizer),
+        ):
+            if norm is not None:
+                payload[name] = {"mean": norm.mean, "std": norm.std}
+        return payload
+
+    start_epoch = 0
+    if resume_from:
+        restored = ckpt.restore(resume_from, target=_payload(state))
+        state = TrainState(
+            restored["params"], restored["opt_state"],
+            jnp.asarray(restored["step"], jnp.int32),
+        )
+        start_epoch = int(state.step) // max(1, n_batches)
 
     train_epoch = make_train_epoch(problem.task, optimizer)
     metrics = None if cfg.rollout_steps else default_metrics(cfg.model.out_dim)
@@ -95,9 +130,10 @@ def train(
     key = jax.random.PRNGKey(seed)
     history = []
     logf = open(log_path, "a") if log_path else None
-    for ep in range(epochs):
+    for ep in range(start_epoch, epochs):
         t0 = time.perf_counter()
-        key, sub = jax.random.split(key)
+        # fold the epoch index in so resumed runs replay the same shuffles
+        sub = jax.random.fold_in(key, ep)
         perm = epoch_permutation(sub, problem.n_train, cfg.batch_size)
         if profile_dir and ep == 1:  # epoch 0 pays compile; trace epoch 1
             from position_induced_transformer_tpu.utils.profiling import trace
@@ -129,19 +165,18 @@ def train(
         if logf:
             logf.write(json.dumps(row) + "\n")
             logf.flush()
+        if (
+            checkpoint_path
+            and checkpoint_every
+            and (ep + 1) % checkpoint_every == 0
+        ):
+            ckpt.save(checkpoint_path, _payload(state))
     if logf:
         logf.close()
     if history_csv or history_plot:
         save_history(history, history_csv, history_plot)
     if checkpoint_path:
-        payload = {"params": state.params}
-        for name, norm in (
-            ("x_normalizer", problem.x_normalizer),
-            ("y_normalizer", problem.y_normalizer),
-        ):
-            if norm is not None:
-                payload[name] = {"mean": norm.mean, "std": norm.std}
-        ckpt.save(checkpoint_path, payload)
+        ckpt.save(checkpoint_path, _payload(state))
     return problem, state, history
 
 

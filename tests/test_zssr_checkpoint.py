@@ -67,3 +67,26 @@ def test_checkpoint_restores_exact_params(tmp_path):
         jax.tree_util.tree_leaves(state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_training_matches_uninterrupted(tmp_path):
+    """Train 4 epochs straight vs 2 epochs + checkpoint + resume for 2 more:
+    identical final parameters (elastic-recovery contract)."""
+    import jax
+
+    cfg = _tiny_darcy()
+    kw = dict(ntrain=32, ntest=16, verbose=False,
+              setup_kwargs={"downsampling": 40})
+    _, straight, _ = runner.train(cfg, epochs=4, **kw)
+
+    path = os.path.join(tmp_path, "mid")
+    runner.train(cfg, epochs=2, schedule_epochs=4, checkpoint_path=path, **kw)
+    _, resumed, _ = runner.train(cfg, epochs=4, resume_from=path, **kw)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
