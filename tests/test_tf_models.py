@@ -112,3 +112,39 @@ def test_baselines_forward_shapes():
                  locality_encoder=6.0, locality_decoder=6.0)
     p = sp.init(jax.random.PRNGKey(0), sq, mesh, x)
     assert sp.apply(p, sq, mesh, x).shape == (B, L, 1)
+
+
+def test_baselines_train_end_to_end():
+    """The ablation baselines optimize (one Adam step reduces loss) — they
+    are usable drop-ins in the training loop, matching the commented-out
+    alternates in the TF drivers (tensorflow/1_InviscidBurgers/train.py:39-40)."""
+    import optax
+
+    rng = np.random.default_rng(7)
+    L, Lt, B = 32, 8, 4
+    geom, mesh = _geom(L, Lt), _mesh(L)
+    x = jnp.asarray(rng.random((B, L, 1)), jnp.float32)
+    y = jnp.asarray(rng.random((B, L, 1)), jnp.float32)
+
+    cases = [
+        (LiteTransformer(out_dim=1, hid_dim=8, n_head=2, n_blocks=2),
+         lambda m, p: m.apply(p, geom, mesh, x)),
+        (Transformer(out_dim=1, hid_dim=8, n_head=2, n_blocks=2),
+         lambda m, p: m.apply(p, mesh, x)),
+    ]
+    for model, fwd in cases:
+        params = (
+            model.init(jax.random.PRNGKey(0), geom, mesh, x)
+            if isinstance(model, LiteTransformer)
+            else model.init(jax.random.PRNGKey(0), mesh, x)
+        )
+        opt = optax.adam(1e-3)
+        ost = opt.init(params)
+
+        def loss(p):
+            return jnp.mean(jnp.abs(fwd(model, p) - y))
+
+        l0, g = jax.value_and_grad(loss)(params)
+        upd, ost = opt.update(g, ost, params)
+        params = optax.apply_updates(params, upd)
+        assert float(loss(params)) < float(l0), type(model).__name__
