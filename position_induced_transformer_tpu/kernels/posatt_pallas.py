@@ -20,9 +20,14 @@ Design (flash-attention-style streaming softmax):
 - Masked logits use a large-negative sentinel; tiles that are fully masked
   are neutralized by the online-softmax rescale (every row keeps >= 1 entry
   globally, since a quantile threshold is >= the row minimum).
-- Backward pass: a custom VJP recomputes attention with standard XLA ops
-  (distances and thresholds are constants; only the bandwidths and values
-  carry gradients), trading a cheap recompute for not storing A.
+- Backward pass (custom VJP): fully fused by default. The forward saves
+  only the softmax row statistics (M, L) — O(H*L_out), not the O(L_out*
+  L_in) attention matrix — and two streaming kernels recompute attention
+  tiles from them: ``_posatt_bwd_du`` (dValues = sum_h P^T @ G, batch
+  folded) and ``_posatt_bwd_dscale`` (the bandwidth gradient collapses to
+  per-row sums r, v, w accumulated in one pass: ds = sum_i (w_i - r_i
+  v_i)). ``fused_bwd=False`` falls back to an XLA recompute that
+  materializes A.
 
 The pure-jnp oracle lives in ops/posatt.py; tests/test_pallas.py checks
 bit-level agreement in interpret mode (CPU) and on TPU when available.
@@ -273,6 +278,253 @@ def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False, mxu_bf16=False
     return jnp.transpose(out, (0, 2, 1, 3))  # (H, B, L_out, D)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_stats(dist, thr, scale, *, interpret=False):
+    """Final softmax row statistics (M, L): m_i = max_j logits_ij and
+    l_i = sum_j exp(logits_ij - m_i), per head. One streaming pass; used as
+    residuals by the fused backward so attention never needs storing."""
+    H = scale.shape[0]
+    L_out, L_in = dist.shape
+    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+
+    def kernel(scale_ref, thr_ref, dist_ref, m_out, l_out, m_ref, l_ref):
+        j = pl.program_id(2)
+        nj = pl.num_programs(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        d = dist_ref[:]
+        s = scale_ref[pl.program_id(0), 0]
+        logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=-1, keepdims=True
+        )
+        m_ref[:] = m_new
+
+        @pl.when(j == nj - 1)
+        def _fin():
+            m_out[0] = m_ref[:]
+            l_out[0] = l_ref[:]
+
+    M, L = pl.pallas_call(
+        kernel,
+        grid=(H, Lo_p // TLo, Li_p // TLi),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TLo, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda h, i, j: (i, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TLo, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, TLo, 1), lambda h, i, j: (h, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, Lo_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, Lo_p, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr_p, dist_p)
+    return M[:, :L_out], L[:, :L_out]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
+    """d(loss)/d(scale): (H, 1), without storing the attention matrix.
+
+    With P = softmax rows and T = Gf @ Uf^T (the output-cotangent/value
+    inner products), dL/dlogits = P * (T - r) with r_i = sum_j P_ij T_ij,
+    and dlogits/ds = -d on kept entries. So per row
+      r_i = sum_j P_ij T_ij,  w_i = sum_j P_ij T_ij (-d_ij),
+      v_i = sum_j P_ij (-d_ij),   ds_h = sum_i (w_i - r_i v_i)
+    — all j-sums, accumulated per row block across (j, n) tiles in one
+    streaming pass using the forward's (M, L) softmax statistics."""
+    H = scale.shape[0]
+    L_out, L_in = dist.shape
+    BD = gf.shape[-1]
+    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    TN = min(_round_up(BD, 128), 512)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+    BD_p = _round_up(BD, TN)
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+    # padded rows: l=1, g=0 -> p finite, t zero -> no contribution
+    M_p = jnp.pad(M, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    L_p = jnp.pad(L, ((0, 0), (0, Lo_p - L_out), (0, 0)), constant_values=1.0)
+    gf_p = jnp.pad(gf, ((0, 0), (0, Lo_p - L_out), (0, BD_p - BD)))
+    uf_p = jnp.pad(uf, ((0, Li_p - L_in), (0, BD_p - BD)))
+
+    def kernel(
+        scale_ref, thr_ref, m_ref, l_ref, dist_ref, g_ref, u_ref,
+        ds_out, t_acc, r_acc, v_acc, w_acc, ds_acc,
+    ):
+        i, j, n = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+        ni, nj, nn = (
+            pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+        )
+        s = scale_ref[pl.program_id(0), 0]  # hoisted: program_id is not
+        # available inside pl.when bodies under interpret mode
+        first_of_h = jnp.logical_and(
+            i == 0, jnp.logical_and(j == 0, n == 0)
+        )
+
+        @pl.when(first_of_h)
+        def _init_ds():
+            ds_acc[0, 0] = 0.0
+
+        @pl.when(jnp.logical_and(j == 0, n == 0))
+        def _init_rows():
+            r_acc[:] = jnp.zeros_like(r_acc)
+            v_acc[:] = jnp.zeros_like(v_acc)
+            w_acc[:] = jnp.zeros_like(w_acc)
+
+        @pl.when(n == 0)
+        def _init_t():
+            t_acc[:] = jnp.zeros_like(t_acc)
+
+        t_acc[:] += jnp.dot(
+            g_ref[0], u_ref[:].T, preferred_element_type=jnp.float32
+        )
+
+        @pl.when(n == nn - 1)
+        def _reduce():
+            d = dist_ref[:]
+            # exclude padding (d = +inf): with a +inf threshold (global
+            # attention) it would otherwise be "kept" and 0 * -inf = NaN
+            keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
+            p = jnp.where(keep, jnp.exp(-d * s - m_ref[0]), 0.0) / l_ref[0]
+            t = t_acc[:]
+            nd = jnp.where(keep, -d, 0.0)
+            r_acc[:] += jnp.sum(p * t, axis=-1, keepdims=True)
+            w_acc[:] += jnp.sum(p * t * nd, axis=-1, keepdims=True)
+            v_acc[:] += jnp.sum(p * nd, axis=-1, keepdims=True)
+
+        @pl.when(jnp.logical_and(j == nj - 1, n == nn - 1))
+        def _fold_rows():
+            ds_acc[0, 0] += jnp.sum(w_acc[:] - r_acc[:] * v_acc[:])
+
+        @pl.when(
+            jnp.logical_and(
+                i == ni - 1, jnp.logical_and(j == nj - 1, n == nn - 1)
+            )
+        )
+        def _fin():
+            ds_out[0, 0] = ds_acc[0, 0]
+
+    ds = pl.pallas_call(
+        kernel,
+        grid=(H, Lo_p // TLo, Li_p // TLi, BD_p // TN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TLo, 1), lambda h, i, j, n: (i, 0)),
+            pl.BlockSpec((1, TLo, 1), lambda h, i, j, n: (h, i, 0)),
+            pl.BlockSpec((1, TLo, 1), lambda h, i, j, n: (h, i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda h, i, j, n: (i, j)),
+            pl.BlockSpec((1, TLo, TN), lambda h, i, j, n: (h, i, n)),
+            pl.BlockSpec((TLi, TN), lambda h, i, j, n: (j, n)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda h, i, j, n: (h, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TLo, TLi), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "arbitrary", "arbitrary", "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr_p, M_p, L_p, dist_p, gf_p, uf_p)
+    return ds
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_bwd_du(dist, thr, scale, M, L, gf, *, interpret=False):
+    """d(loss)/d(values), folded layout (L_in, B*D) = sum_h P_h^T @ Gf_h,
+    streaming over L_out tiles with attention recomputed from (M, L)."""
+    H = scale.shape[0]
+    L_out, L_in = dist.shape
+    BD = gf.shape[-1]
+    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    TN = min(_round_up(BD, 128), 512)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+    BD_p = _round_up(BD, TN)
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+    M_p = jnp.pad(M, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    L_p = jnp.pad(L, ((0, 0), (0, Lo_p - L_out), (0, 0)), constant_values=1.0)
+    gf_p = jnp.pad(gf, ((0, 0), (0, Lo_p - L_out), (0, BD_p - BD)))
+
+    def kernel(
+        scale_ref, thr_ref, m_ref, l_ref, dist_ref, g_ref, du_out, du_acc
+    ):
+        h, i = pl.program_id(2), pl.program_id(3)
+        nh, ni = pl.num_programs(2), pl.num_programs(3)
+
+        @pl.when(jnp.logical_and(h == 0, i == 0))
+        def _init():
+            du_acc[:] = jnp.zeros_like(du_acc)
+
+        d = dist_ref[:]
+        s = scale_ref[h, 0]
+        keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
+        p = jnp.where(keep, jnp.exp(-d * s - m_ref[0]), 0.0) / l_ref[0]
+        du_acc[:] += jnp.dot(
+            p.T, g_ref[0], preferred_element_type=jnp.float32
+        )
+
+        @pl.when(jnp.logical_and(h == nh - 1, i == ni - 1))
+        def _fin():
+            du_out[:] = du_acc[:]
+
+    du = pl.pallas_call(
+        kernel,
+        grid=(Li_p // TLi, BD_p // TN, H, Lo_p // TLo),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TLo, 1), lambda j, n, h, i: (i, 0)),
+            pl.BlockSpec((1, TLo, 1), lambda j, n, h, i: (h, i, 0)),
+            pl.BlockSpec((1, TLo, 1), lambda j, n, h, i: (h, i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda j, n, h, i: (i, j)),
+            pl.BlockSpec((1, TLo, TN), lambda j, n, h, i: (h, i, n)),
+        ],
+        out_specs=pl.BlockSpec((TLi, TN), lambda j, n, h, i: (j, n)),
+        out_shape=jax.ShapeDtypeStruct((Li_p, BD_p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TLi, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr_p, M_p, L_p, dist_p, gf_p)
+    return du[:L_in, :BD]
+
+
 def _reference_forward(dist, thr, scale, u):
     """XLA oracle/backward path (same contract as _posatt_fixed_raw)."""
     logits = jnp.where(dist <= thr, -dist[None] * scale[:, :, None], _NEG)
@@ -288,24 +540,44 @@ def _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16):
     return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _posatt_fixed(dist, thr, scale, u, interpret=False, version=2, mxu_bf16=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _posatt_fixed(
+    dist, thr, scale, u, interpret=False, version=2, mxu_bf16=False,
+    fused_bwd=True,
+):
     return _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16)
 
 
-def _posatt_fixed_fwd(dist, thr, scale, u, interpret, version, mxu_bf16):
+def _posatt_fixed_fwd(dist, thr, scale, u, interpret, version, mxu_bf16, fused_bwd):
     out = _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16)
-    return out, (dist, thr, scale, u)
+    if fused_bwd:
+        M, L = _posatt_stats(dist, thr, scale, interpret=interpret)
+        return out, (dist, thr, scale, u, M, L)
+    return out, (dist, thr, scale, u, None, None)
 
 
-def _posatt_fixed_bwd(interpret, version, mxu_bf16, residuals, g):
-    dist, thr, scale, u = residuals
-    # recompute attention in XLA; only scale and u need gradients
-    def f(scale, u):
-        return _reference_forward(dist, thr, scale, u)
+def _posatt_fixed_bwd(interpret, version, mxu_bf16, fused_bwd, residuals, g):
+    dist, thr, scale, u, M, L = residuals
+    if not fused_bwd:
+        # fall back: recompute attention in XLA (materializes (H, Lo, Li))
+        def f(scale, u):
+            return _reference_forward(dist, thr, scale, u)
 
-    _, vjp = jax.vjp(f, scale, u)
-    dscale, du = vjp(g)
+        _, vjp = jax.vjp(f, scale, u)
+        dscale, du = vjp(g)
+        return None, None, dscale, du
+
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out = dist.shape[0]
+    # fold batch into the matmul N axis (same layout as the v2 forward)
+    gf = jnp.transpose(g, (0, 2, 1, 3)).reshape(H, L_out, B * D)
+    uf = jnp.transpose(u, (1, 0, 2)).reshape(L_in, B * D)
+    dscale = _posatt_bwd_dscale(
+        dist, thr, scale, M, L, gf, uf, interpret=interpret
+    )
+    duf = _posatt_bwd_du(dist, thr, scale, M, L, gf, interpret=interpret)
+    du = jnp.transpose(duf.reshape(L_in, B, D), (1, 0, 2))
     return None, None, dscale, du
 
 
@@ -322,6 +594,7 @@ def position_attention_fixed(
     interpret: bool = False,
     version: int = 2,
     mxu_bf16: bool = False,
+    fused_bwd: bool = True,
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of ``ops.posatt.position_attention`` for
     fixed meshes: returns (B, L_out, H*D).
@@ -341,6 +614,8 @@ def position_attention_fixed(
     elif thr is None:
         thr = quantile_threshold(dist, locality)
     scale = bandwidth_scale(lmda).reshape(H, 1)
-    out = _posatt_fixed(dist, thr, scale, inputs, interpret, version, mxu_bf16)
+    out = _posatt_fixed(
+        dist, thr, scale, inputs, interpret, version, mxu_bf16, fused_bwd
+    )
     out = jnp.transpose(out, (1, 2, 0, 3))  # (B, Lo, H, D)
     return out.reshape(B, L_out, H * inputs.shape[-1])

@@ -42,20 +42,31 @@ def test_fused_matches_oracle(L_out, L_in, B, H, D, loc, version):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
-def test_fused_gradients_match_oracle():
+@pytest.mark.parametrize("fused_bwd", [False, True])
+@pytest.mark.parametrize(
+    "L_out,L_in,B,H,D,loc",
+    [
+        (48, 48, 2, 2, 8, 0.4),    # self, masked
+        (16, 200, 3, 2, 4, 0.1),   # cross, unaligned L_in
+        (100, 48, 2, 1, 16, 1.0),  # global, unaligned L_out
+    ],
+)
+def test_fused_gradients_match_oracle(L_out, L_in, B, H, D, loc, fused_bwd):
     rng = np.random.default_rng(1)
-    L, B, H, D, loc = 48, 2, 2, 8, 0.4
-    mesh = jnp.asarray(rng.random((L, 1)), jnp.float32)
-    dist = euclidean_sq(mesh, mesh)
+    mesh_out = jnp.asarray(rng.random((L_out, 2)), jnp.float32)
+    mesh_in = jnp.asarray(rng.random((L_in, 2)), jnp.float32)
+    dist = euclidean_sq(mesh_out, mesh_in)
     lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
-    u = jnp.asarray(rng.random((B, L, D)), jnp.float32)
+    u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
 
     def loss_ref(lmda, u):
         return jnp.sum(position_attention(dist, lmda, u, loc) ** 2)
 
     def loss_fused(lmda, u):
         return jnp.sum(
-            position_attention_fixed(dist, lmda, u, loc, interpret=INTERPRET) ** 2
+            position_attention_fixed(
+                dist, lmda, u, loc, interpret=INTERPRET, fused_bwd=fused_bwd
+            ) ** 2
         )
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(lmda, u)
