@@ -380,7 +380,8 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
         ni, nj, nn = (
             pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
         )
-        s = scale_ref[pl.program_id(0), 0]  # hoisted: program_id is not
+        h = pl.program_id(0)
+        s = scale_ref[h, 0]  # hoisted: program_id is not
         # available inside pl.when bodies under interpret mode
         first_of_h = jnp.logical_and(
             i == 0, jnp.logical_and(j == 0, n == 0)
@@ -427,7 +428,7 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
             )
         )
         def _fin():
-            ds_out[0, 0] = ds_acc[0, 0]
+            ds_out[h, 0] = ds_acc[0, 0]
 
     ds = pl.pallas_call(
         kernel,
@@ -441,14 +442,16 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
             pl.BlockSpec((1, TLo, TN), lambda h, i, j, n: (h, i, n)),
             pl.BlockSpec((TLi, TN), lambda h, i, j, n: (j, n)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda h, i, j, n: (h, 0)),
+        # full-array SMEM output indexed by head inside the kernel (TPU
+        # lowering requires scalar-ish blocks to cover the whole array)
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((H, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TLo, TLi), jnp.float32),
             pltpu.VMEM((TLo, 1), jnp.float32),
             pltpu.VMEM((TLo, 1), jnp.float32),
             pltpu.VMEM((TLo, 1), jnp.float32),
-            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
