@@ -64,7 +64,7 @@ def main():
     # compile + warm up
     state, loss = jax.block_until_ready(train_epoch(state, problem.geom, problem.train_data, perm))
     # timed epochs
-    n_epochs = 5
+    n_epochs = 15
     t0 = time.perf_counter()
     for i in range(n_epochs):
         perm = epoch_permutation(i + 1, ntrain, batch)
