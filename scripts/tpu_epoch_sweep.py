@@ -32,7 +32,7 @@ SWEEP = {
     "burgers": dict(ntrain=256, ntest=32),
     "sod": dict(ntrain=256, ntest=32),
     "darcy": dict(ntrain=256, ntest=20),
-    "vorticity": dict(ntrain=40, ntest=20),
+    "vorticity": dict(ntrain=100, ntest=20),  # >=5 steps/epoch so eval+sync overhead does not dominate
     "elasticity": dict(ntrain=100, ntest=20),
     "naca": dict(ntrain=100, ntest=20),
     "cylinder": dict(ntrain=1000, ntest=100),
