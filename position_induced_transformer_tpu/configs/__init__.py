@@ -44,6 +44,8 @@ class BenchmarkConfig:
     loss_p: int = 2
     eval_batch_size: Optional[int] = None
     rollout_steps: int = 0  # BPTT rollout length during training
+    trajectory_loss: bool = False  # TF rollout loss: one rel_norm_step over
+    # the whole unrolled trajectory (tensorflow/4_Vorticity/train.py:40)
     memory: int = 0  # input time-window width (vorticity)
     swap_loss_args: bool = False  # reference passes (pred, true) here
     normalize_x: bool = False
@@ -136,11 +138,13 @@ BURGERS_TF = BenchmarkConfig(
 
 DARCY_TF = BenchmarkConfig(
     name="darcy_tf",
-    # reference: tensorflow/3_Darcy2D/train.py (hid 128, ltt 32^2, loc 2/2)
-    model=ModelConfig(2, 1, 1, 128, 2, 4, en_loc=2.0, de_loc=2.0),
+    # reference: tensorflow/3_Darcy2D/train.py:14-27 (hid 128, ltt 32^2,
+    # loc en 2 / de 5; trained checkpoints also exist at 43^2 — the
+    # resolution evaluate.py rebuilds before the 421^2 ZSSR transplant)
+    model=ModelConfig(2, 1, 1, 128, 2, 4, en_loc=2.0, de_loc=5.0),
     metric="euclidean",
     ntrain=1024, ntest=100, batch_size=8, epochs=500, loss_p=2,
-    normalize_y=True,
+    normalize_x=True, normalize_y=True,
     grid=(43, 43), latent_grid=(32, 32),
 )
 
@@ -162,7 +166,7 @@ VORTICITY_TF = BenchmarkConfig(
     model=ModelConfig(2, 10, 1, 256, 1, en_loc=1.0, de_loc=8.0, n_blocks=4),
     metric="periodic2d",
     ntrain=1000, ntest=200, batch_size=8, epochs=500, loss_p=2,
-    rollout_steps=20, memory=10,
+    rollout_steps=20, trajectory_loss=True, memory=10,
     grid=(64, 64), latent_grid=(16, 16), periodic_grid=True,
 )
 

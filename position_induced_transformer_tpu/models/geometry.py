@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from position_induced_transformer_tpu.ops.distances import pairwise_sq_dist
-from position_induced_transformer_tpu.ops.locality import quantile_threshold
+from position_induced_transformer_tpu.ops.locality import (
+    quantile_threshold,
+    topk_threshold,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -78,6 +81,7 @@ def build_geometry(
     en_loc: float = 0.02,
     de_loc: float = 0.02,
     precompute_masks: bool = True,
+    threshold_impl: str = "quantile",
 ) -> Geometry:
     """Build a :class:`Geometry` for fixed (L, d) or batched (B, L, d) meshes.
 
@@ -85,16 +89,25 @@ def build_geometry(
     eagerly — the right choice for fixed meshes where this runs once outside
     jit. Pass False to defer the quantile into the attention op (per-sample
     meshes rebuilt inside the step each batch).
+
+    ``threshold_impl``: 'quantile' (exact linear-interpolation quantile, a
+    full-row sort) or 'topk' (c-th smallest distance — the same keep-mask
+    absent ties at a fraction of the cost; see ops/locality.py). 'topk' is
+    the right choice when the builder runs traced inside the train step on
+    per-sample meshes (elasticity/NACA).
     """
     dist_down = pairwise_sq_dist(mesh_ltt, mesh_in, metric)
     dist_proc = pairwise_sq_dist(mesh_ltt, mesh_ltt, metric)
     dist_up = pairwise_sq_dist(mesh_out, mesh_ltt, metric)
     thr_down = thr_up = None
     if precompute_masks:
+        thr_fn = {"quantile": quantile_threshold, "topk": topk_threshold}[
+            threshold_impl
+        ]
         if en_loc < 1.0:
-            thr_down = quantile_threshold(dist_down, en_loc)
+            thr_down = thr_fn(dist_down, en_loc)
         if de_loc < 1.0:
-            thr_up = quantile_threshold(dist_up, de_loc)
+            thr_up = thr_fn(dist_up, de_loc)
     return Geometry(
         mesh_in=mesh_in,
         dist_down=dist_down,

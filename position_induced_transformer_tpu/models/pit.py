@@ -77,12 +77,24 @@ def _dispatch_posatt(dist, lmda, inputs, locality, thr, fused: bool):
     where XLA's single einsum amortizes the attention across the batch
     (scripts/tpu_checks.py). Shapes are static under jit, so the choice is
     made at trace time.
+
+    ``PIT_FUSED_MODE`` env var overrides the shape heuristic: 'always'
+    forces the kernel for every fixed-mesh call, 'never' disables it
+    (measurement harness: scripts/tpu_fused_experiment.py).
     """
+    import os
+
     import jax
 
-    if fused and dist.ndim == 2 and jax.default_backend() == "tpu":
+    mode = os.environ.get("PIT_FUSED_MODE", "auto")
+    if (
+        fused
+        and mode != "never"
+        and dist.ndim == 2
+        and jax.default_backend() == "tpu"
+    ):
         att_bytes = 4 * lmda.shape[0] * dist.shape[0] * dist.shape[1]
-        if att_bytes >= _FUSED_MIN_ATT_BYTES:
+        if mode == "always" or att_bytes >= _FUSED_MIN_ATT_BYTES:
             from position_induced_transformer_tpu.kernels import (
                 position_attention_fixed,
             )

@@ -39,8 +39,12 @@ def _bandwidth(r: jnp.ndarray, kind: str) -> jnp.ndarray:
         return jnp.tan(0.25 * jnp.pi * (1 - 1e-7) * (1.0 + jnp.sin(r)))
     if kind == "square":  # tensorflow/2_ShockTube/utils.py:118
         return r * r
-    if kind == "tan":  # tensorflow/6_NACA/utils.py:102 (NonNeg-constrained r)
-        return jnp.tan(jnp.maximum(r, 0.0))
+    if kind == "tan":  # tensorflow/6_NACA/utils.py:102. The NonNeg
+        # constraint on r is keras' project-after-update semantics,
+        # reproduced by Task.param_constraint (train/benchmarks.py
+        # nonneg_bandwidths) — NOT a clamp here, which would zero the
+        # gradient at r < 0 and leave stored params negative.
+        return jnp.tan(r)
     raise ValueError(f"unknown bandwidth kind {kind!r}")
 
 

@@ -23,6 +23,7 @@ exact_torch_quantile=True)`` in ops/posatt.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,6 +44,42 @@ def keep_mask(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
     reference: pit.py:50).
     """
     return dist <= quantile_threshold(dist, locality)
+
+
+def topk_threshold(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
+    """Tie-free fast equivalent of :func:`quantile_threshold`.
+
+    The linear-interpolation quantile falls in ``[d_(c), d_(c+1))`` with
+    ``c = topk_keep_count(L, locality)`` (1-indexed sorted row), so the mask
+    ``d <= thr`` is identical whether ``thr`` is the interpolated quantile or
+    simply the c-th smallest distance — whenever the quantile does not land
+    inside a tie group (see test_ops_core.py on fp-fragility of regular
+    grids). Cost is one ``lax.top_k`` of c ≪ L entries per row instead of a
+    full-row sort, which is what makes per-sample-mesh geometry cheap enough
+    to rebuild inside every training step (reference recomputes a full
+    ``torch.quantile`` per forward: pit.py:49, train_elasticity.py:41-54).
+    """
+    c = topk_keep_count(dist.shape[-1], locality)
+    if c >= dist.shape[-1]:
+        return jnp.max(dist, axis=-1, keepdims=True)
+    if c <= 32:
+        # c-pass masked-min extraction: lax.top_k lowers to a FULL bitonic
+        # sort on TPU (measured 61.5 ms vs 28.8 ms for the NACA decoder's
+        # (20, 11271, 728) rows, c=15 — scripts/tpu_naca_profile.py), so for
+        # the small keep-counts the reference localities produce (c = 15-20)
+        # sequential min passes win. Under exact duplicate distances this
+        # yields the c-th smallest *distinct* value (>= the c-th order
+        # statistic), keeping tied neighbors the quantile would interpolate
+        # past — identical logits either way, but not bit-parity under ties
+        # (the exact-torch path in ops/posatt.py is).
+        thr = jnp.min(dist, axis=-1, keepdims=True)
+        for _ in range(c - 1):
+            thr = jnp.min(
+                jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
+            )
+        return thr
+    neg_smallest, _ = jax.lax.top_k(-dist, c)
+    return -neg_smallest[..., -1:]
 
 
 def topk_keep_count(L_in: int, locality: float) -> int:

@@ -67,7 +67,22 @@ def _task_kwargs(cfg: BenchmarkConfig) -> dict:
         out_dim=cfg.model.out_dim,
         swap_loss_args=cfg.swap_loss_args,
         rollout_steps=cfg.rollout_steps,
+        trajectory_loss=cfg.trajectory_loss,
     )
+
+
+def nonneg_bandwidths(params):
+    """Project every ``band_width`` parameter onto [0, inf) — keras NonNeg
+    constraint semantics, applied after each optimizer update (reference:
+    tensorflow/6_NACA/utils.py:99-104,115)."""
+    import jax
+
+    def clamp(path, leaf):
+        if any(getattr(k, "key", None) == "band_width" for k in path):
+            return jnp.maximum(leaf, 0.0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(clamp, params)
 
 
 def setup_burgers(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
@@ -205,12 +220,15 @@ def setup_elasticity(
 
     def geom_fn(batch):
         # latent mesh == output mesh == input cloud, per sample
-        # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone())
+        # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone()).
+        # Runs traced inside the step; 'topk' thresholds replace the
+        # reference's full-row-sort torch.quantile (same mask, tie-free
+        # random clouds — ops/locality.py).
         m = batch["mesh"]
         return build_geometry(
             m, m, m, metric=cfg.metric,
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
-            precompute_masks=False,
+            threshold_impl="topk",
         )
 
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
@@ -246,10 +264,12 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     model = _make_model(cfg)
 
     def geom_fn(batch):
+        # in-step per-sample geometry with 'topk' locality thresholds
+        # (same mask as the reference's torch.quantile absent ties)
         return build_geometry(
             batch["mesh_in"], batch["mesh_ltt"], batch["mesh_out"],
             metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
-            precompute_masks=False,
+            threshold_impl="topk",
         )
 
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
@@ -378,11 +398,18 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
 
 
 def setup_darcy_tf(
-    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10
+    cfg, data_path=None, ntrain=None, ntest=None, downsampling=10,
+    normalizers=None,
 ) -> Problem:
     """TF-family Darcy: PiTTF (no decoder self-attention) over dist^2/2
-    matrices on endpoint-dropped grids, Y-denormalization inside the model
-    call (reference: tensorflow/3_Darcy2D/utils.py:53-76,180-246)."""
+    matrices on endpoint-dropped grids, X normalized with pixel-wise train
+    statistics, Y-denormalization inside the model call (reference:
+    tensorflow/3_Darcy2D/train.py:33-36, utils.py:53-76,180-246).
+
+    ``normalizers``: optional (x_norm, y_norm) fitted at the *training*
+    resolution — passed during ZSSR evaluation so the 421^2 run reuses
+    bilinearly-resized training statistics exactly like the reference
+    (tensorflow/3_Darcy2D/evaluate.py:24-25,58)."""
     from position_induced_transformer_tpu.models import (
         PiTTF,
         TFGeometry,
@@ -406,7 +433,13 @@ def setup_darcy_tf(
         m_cross=pairwise_dist_half(grid_q, grid_l),
         m_ltt=pairwise_dist_half(grid_l, grid_l),
     )
-    y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
+    if normalizers is not None:
+        x_norm, y_norm = normalizers
+    else:
+        x_norm = PixelWiseNormalizer.fit(jnp.asarray(x_tr))
+        y_norm = PixelWiseNormalizer.fit(jnp.asarray(y_tr))
+    x_tr = np.asarray(x_norm.normalize(jnp.asarray(x_tr)))
+    x_te = np.asarray(x_norm.normalize(jnp.asarray(x_te)))
     m = cfg.model
     model = PiTTF(
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
@@ -428,7 +461,7 @@ def setup_darcy_tf(
         cfg, model, task, geom,
         {"x": flat(x_tr), "y": jnp.asarray(y_tr)},
         {"x": flat(x_te), "y": jnp.asarray(y_te)},
-        ntrain, ntest, y_normalizer=y_norm,
+        ntrain, ntest, x_normalizer=x_norm, y_normalizer=y_norm,
         extras={"s": s, "downsampling": downsampling}, init_fn=init_fn,
     )
 
@@ -554,6 +587,7 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
 
     task = Task(
         model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        param_constraint=nonneg_bandwidths,
         **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])

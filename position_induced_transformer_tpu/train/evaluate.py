@@ -43,10 +43,10 @@ def evaluate(
 
     setup_kwargs = dict(setup_kwargs or {})
     if zssr:
-        if cfg.name != "darcy":
+        if cfg.name not in ("darcy", "darcy_tf"):
             raise ValueError("--zssr is a Darcy-benchmark capability")
         setup_kwargs["downsampling"] = zssr_downsampling  # 1 = full 421^2
-    if cfg.name == "darcy" and "y_normalizer" in restored:
+    if cfg.name in ("darcy", "darcy_tf") and "y_normalizer" in restored:
         # use the training-resolution statistics (bilinearly resized on
         # apply) rather than refitting at the eval resolution
         from position_induced_transformer_tpu.ops.normalization import (

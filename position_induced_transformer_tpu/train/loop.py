@@ -69,6 +69,14 @@ class Task:
     # whose call signature differs (geom, mesh, inputs)
     batch_mean_loss: bool = False  # TF loss convention: mean over batch
     # (reference: tensorflow/1_InviscidBurgers/utils.py:25 reduce_mean)
+    trajectory_loss: bool = False  # TF rollout convention: ONE loss over the
+    # whole unrolled trajectory, mean over (batch, steps) of stepwise rel-Lp
+    # (reference: tensorflow/4_Vorticity/utils.py:11-21 rel_norm_step used as
+    # the keras loss over reccurent_PiT's concatenated prediction) — vs the
+    # torch convention of summing per-step losses (train_vorticity.py:118-126)
+    param_constraint: Optional[Callable] = None  # params -> params, applied
+    # after every optimizer update (keras constraint semantics, reference:
+    # tensorflow/6_NACA/utils.py:115 NonNeg on the bandwidth)
 
     def _geometry(self, geom, batch):
         return self.geom_fn(batch) if self.geom_fn is not None else geom
@@ -92,28 +100,60 @@ class Task:
             loss = loss / true.shape[0]
         return loss
 
+    def rollout_preds(self, params, geom, batch):
+        """Unrolled autoregressive predictions, gradient-capable: (B, L, steps)
+        matching ``batch['y']``'s layout (window fed back each step,
+        reference: train_vorticity.py:118-126 /
+        tensorflow/4_Vorticity/utils.py:115-121 reccurent_PiT)."""
+        g = self._geometry(geom, batch)
+        apply = lambda p, xx: self._apply(p, g, xx)
+        if self.remat_rollout:
+            apply = jax.checkpoint(apply)
+
+        def step(window, _):
+            out = apply(params, window)
+            window = jnp.concatenate([window[..., 1:], out], axis=-1)
+            return window, out
+
+        _, outs = jax.lax.scan(
+            step, batch["x"], None, length=self.rollout_steps
+        )
+        pred = jnp.moveaxis(outs, 0, -1)  # (B, L, out_dim, steps)
+        return pred.reshape(batch["y"].shape)
+
+    def stepwise_rel(self, y, pred, swap: bool = False):
+        """Per-sample per-step relative Lp error matrix (B, steps).
+
+        ``swap`` honors the reference drivers that pass (pred, true)
+        (train_vorticity.py:124) — it swaps the normalizing denominator."""
+        b, s = y.shape[0], y.shape[-1]
+        t = y.reshape(b, -1, s)
+        q = pred.reshape(b, -1, s)
+        if swap:
+            t, q = q, t
+        if self.loss_p == 1:
+            return jnp.sum(jnp.abs(t - q), axis=1) / jnp.sum(jnp.abs(t), axis=1)
+        return jnp.linalg.norm(t - q, axis=1) / jnp.linalg.norm(t, axis=1)
+
     def loss_fn(self, params, geom, batch):
         """Batch-summed training loss (divide by n_samples outside)."""
         if self.rollout_steps == 0:
             return self._loss(batch["y"], self.forward(params, geom, batch))
 
-        g = self._geometry(geom, batch)
-        apply = lambda p, xx: self._apply(p, g, xx)
-        if self.remat_rollout:
-            apply = jax.checkpoint(apply)
-        y = batch["y"]  # (B, L, steps)
-
-        def step(window, t):
-            out = apply(params, window)
-            y_t = jax.lax.dynamic_slice_in_dim(y, t, 1, axis=-1)
-            loss_t = self._loss(y_t, out)
-            window = jnp.concatenate([window[..., 1:], out], axis=-1)
-            return window, loss_t
-
-        _, losses = jax.lax.scan(
-            step, batch["x"], jnp.arange(self.rollout_steps)
-        )
-        return jnp.sum(losses)
+        pred = self.rollout_preds(params, geom, batch)
+        rel = self.stepwise_rel(batch["y"], pred, swap=self.swap_loss_args)
+        if self.trajectory_loss:
+            # ONE rel_norm_step objective over the whole trajectory: mean
+            # over steps (and over batch under batch_mean_loss), reference:
+            # tensorflow/4_Vorticity/train.py:40 loss=rel_norm_step(steps)
+            loss = jnp.sum(jnp.mean(rel, axis=-1))
+        else:
+            # torch convention: per-step losses summed over the rollout
+            # (train_vorticity.py:122-126)
+            loss = jnp.sum(rel)
+        if self.batch_mean_loss:
+            loss = loss / rel.shape[0]
+        return loss
 
     def rollout(self, params, geom, x, steps: int):
         """Autoregressive prediction, returns (B, L, steps)
@@ -166,6 +206,10 @@ def make_train_epoch(
             loss, grads = jax.value_and_grad(task.loss_fn)(params, geom, batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if task.param_constraint is not None:
+                # keras applies weight constraints after each update
+                # (reference: tensorflow/6_NACA/utils.py:115 NonNeg)
+                params = task.param_constraint(params)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -197,7 +241,26 @@ def make_eval_epoch(
                 )
 
                 batch = shard_batch(mesh, batch)
-            if task.rollout_steps or metrics is None:
+            if task.rollout_steps:
+                # one unroll serves both the loss and the stepwise rel-L2
+                # the reference prints every epoch (train_vorticity.py:130-146)
+                pred = task.rollout_preds(state.params, geom, batch)
+                rel_loss = task.stepwise_rel(
+                    batch["y"], pred, swap=task.swap_loss_args
+                )
+                # batch-summed (the runner divides by n_test), regardless of
+                # the train-side batch_mean_loss convention
+                if task.trajectory_loss:
+                    loss = jnp.sum(jnp.mean(rel_loss, axis=-1))
+                else:
+                    loss = jnp.sum(rel_loss)
+                rel = task.stepwise_rel(batch["y"], pred)  # true denominator
+                return None, {
+                    "loss": loss,
+                    "rel_l2_step": jnp.sum(jnp.mean(rel, axis=-1)),
+                    "rel_l2_final": jnp.sum(rel[:, -1]),
+                }
+            if metrics is None:
                 return None, {"loss": task.loss_fn(state.params, geom, batch)}
             pred = task.forward(state.params, geom, batch)
             return None, {

@@ -150,8 +150,11 @@ def train(
         denom = n_batches if problem.task.batch_mean_loss else n_batches * cfg.batch_size
         train_loss = float(train_loss) / denom
         evals = {k: float(v) / n_eval for k, v in evals.items()}
-        if cfg.rollout_steps:  # reference divides by ntest*steps
-            evals = {k: v / cfg.rollout_steps for k, v in evals.items()}
+        if cfg.rollout_steps and not problem.task.trajectory_loss:
+            # reference normalizes the summed per-step losses by steps
+            # (train_vorticity.py:140-146); the stepwise rel-L2 metrics are
+            # already per-step means
+            evals["loss"] /= cfg.rollout_steps
             train_loss /= cfg.rollout_steps
         dt = time.perf_counter() - t0
         row = {"epoch": ep, "seconds": dt, "train_loss": train_loss, **evals}

@@ -88,6 +88,21 @@ def test_keep_mask_count():
         assert np.all(np.sum(np.asarray(m), axis=-1) == expected)
 
 
+def test_topk_threshold_same_mask_as_quantile():
+    """topk_threshold (the in-step fast path for per-sample meshes) keeps
+    exactly the entries the linear-interpolation quantile keeps on tie-free
+    data, batched and unbatched."""
+    from position_induced_transformer_tpu.ops.locality import topk_threshold
+
+    rng = np.random.default_rng(7)
+    for shape in ((9, 101), (4, 6, 53)):
+        x = jnp.asarray(rng.random(shape), jnp.float32)
+        for loc in (0.02, 0.1, 0.5, 1.0):
+            mask_q = x <= quantile_threshold(x, loc)
+            mask_t = x <= topk_threshold(x, loc)
+            np.testing.assert_array_equal(np.asarray(mask_q), np.asarray(mask_t))
+
+
 @needs_ref
 def test_quantile_matches_torch():
     import torch

@@ -77,6 +77,39 @@ def test_cylinder_e2e_residual():
     assert bool(jnp.all(jnp.isfinite(traj)))
 
 
+def test_naca_e2e_latent_slice_geometry():
+    """Torch-family NACA: per-sample C-grid meshes with the latent cloud cut
+    as a strided slice of the output mesh (reference: train_naca.py:62-95).
+    Trains end to end on synthetic data; in-step top-k geometry engaged."""
+    cfg = _tiny(
+        configs.NACA, grid=(21, 11), latent_grid=(5, 3), batch_size=4
+    )
+    problem, state, history = _run(cfg, epochs=2, ntrain=16, ntest=8)
+    # the latent slice really is (5*3) points: geometry dist_down rows
+    batch = {
+        k: v[: cfg.batch_size] for k, v in problem.train_data.items()
+    }
+    geom = problem.task.geom_fn(batch)
+    assert geom.dist_down.shape[1] == 15  # L_ltt = 5*3
+    assert geom.dist_up.shape[1] == 21 * 11  # L_out = C-grid size
+    assert geom.thr_up is not None  # in-step top-k thresholds engaged
+
+
+def test_vorticity_rollout_history_has_stepwise_metrics():
+    """Rollout-benchmark training history reports stepwise rel-L2, not just
+    the loss (reference prints test error each epoch:
+    train_vorticity.py:130-146)."""
+    cfg = _tiny(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+    )
+    _, _, history = _run(cfg, epochs=2, ntrain=16, ntest=8)
+    row = history[-1]
+    assert {"rel_l2_step", "rel_l2_final"} <= set(row)
+    assert np.isfinite([row["rel_l2_step"], row["rel_l2_final"]]).all()
+
+
 def test_burgers_tf_family_e2e():
     cfg = _tiny(
         configs.BURGERS_TF, grid=(64,), latent_grid=(32,), batch_size=8
@@ -101,6 +134,61 @@ def test_vorticity_tf_family_e2e():
         rollout_steps=3, memory=4, batch_size=8,
     )
     _run(cfg, epochs=2, ntrain=16, ntest=8)
+
+
+def test_vorticity_tf_trajectory_loss_semantics():
+    """vorticity_tf trains on ONE rel_norm_step objective over the whole
+    unrolled trajectory — mean over (batch, steps) of stepwise rel-L2
+    (reference: tensorflow/4_Vorticity/train.py:40, utils.py:11-21) — not
+    the torch-style per-step summed loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from position_induced_transformer_tpu.ops.metrics import rel_norm_step
+    from position_induced_transformer_tpu.train import benchmarks
+
+    cfg = _tiny(
+        configs.VORTICITY_TF,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+    )
+    assert cfg.trajectory_loss
+    problem = benchmarks.setup(cfg, ntrain=8, ntest=8)
+    params = problem.init_fn(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda a: a[:2], problem.train_data),
+    )["params"]
+    batch = jax.tree_util.tree_map(lambda a: a[:8], problem.train_data)
+    loss = problem.task.loss_fn(params, problem.geom, batch)
+    pred = problem.task.rollout_preds(params, problem.geom, batch)
+    expected = jnp.mean(rel_norm_step(batch["y"], pred))
+    np.testing.assert_allclose(float(loss), float(expected), rtol=1e-6)
+
+
+def test_naca_tf_nonneg_bandwidth_projection():
+    """The keras NonNeg constraint projects the tan-bandwidth parameter r
+    onto [0, inf) after every optimizer update (reference:
+    tensorflow/6_NACA/utils.py:115) — stored params must end non-negative,
+    while the bandwidth function itself is plain tan(r) (full gradient)."""
+    import jax
+
+    from position_induced_transformer_tpu.models.pit_tf import _bandwidth
+
+    # plain tan: negative r has a real (pass-through) gradient
+    g = jax.grad(lambda r: _bandwidth(r, "tan"))(-0.3)
+    assert abs(float(g) - 1.0 / np.cos(0.3) ** 2) < 1e-5
+
+    cfg = _tiny(
+        configs.NACA_TF, grid=(21, 11), latent_grid=(11, 6), batch_size=4
+    )
+    problem, state, _ = _run(cfg, epochs=2, ntrain=16, ntest=8)
+    bands = [
+        np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if any(getattr(k, "key", None) == "band_width" for k in path)
+    ]
+    assert bands, "no band_width parameters found"
+    assert all((b >= 0).all() for b in bands)
 
 
 def test_sod_tf_family_e2e():

@@ -50,6 +50,28 @@ def test_darcy_checkpoint_and_zssr(tmp_path):
     assert res_z["n_test"] == 20
 
 
+def test_darcy_tf_checkpoint_and_zssr(tmp_path):
+    """TF-family ZSSR: train darcy_tf coarse, transplant the (resolution-
+    independent) weights to a finer grid with the training-resolution
+    normalizer statistics (reference: tensorflow/3_Darcy2D/evaluate.py:47-60
+    rebuilds the model at qry_res=421 and set_weights from the 43^2 run)."""
+    cfg = configs.DARCY_TF
+    model = dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2)
+    cfg = dataclasses.replace(
+        cfg, model=model, latent_grid=(8, 8), batch_size=8
+    )
+    ckpt_path = os.path.join(tmp_path, "ckpt_tf")
+    runner.train(
+        cfg, epochs=2, ntrain=32, ntest=16, verbose=False,
+        checkpoint_path=ckpt_path, setup_kwargs={"downsampling": 40},
+    )
+    res_z = evaluate.evaluate(
+        cfg, checkpoint_path=ckpt_path, ntest=16, zssr=True,
+        zssr_downsampling=10,  # 11^2-trained -> 43^2 eval
+    )
+    assert res_z["zssr"] and np.isfinite(res_z["rel_l2"])
+
+
 def test_checkpoint_restores_exact_params(tmp_path):
     import jax
 
