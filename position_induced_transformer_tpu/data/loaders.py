@@ -185,12 +185,18 @@ def cylinder(
     ntest=100,
     n_points=4390,
     n_latent=896,
+    elements_path=None,
 ):
-    """Returns (trainX, trainY, testX, testY, mesh, mesh_ltt, test_traj).
+    """Returns (trainX, trainY, testX, testY, mesh, mesh_ltt, test_traj,
+    elements).
 
     Trajectories (N, 4390, 3, 11) are flattened into 10 one-step pairs per
     trajectory for training (reference: train_cylinder.py:8-16); the raw test
-    trajectories are kept for rollout evaluation.
+    trajectories are kept for rollout evaluation. ``elements`` is the (M, 3)
+    0-based triangle connectivity used for tricontourf field plots
+    (reference: train_cylinder.py:67 loads elements.csv, 1-based); when no
+    file is available a Delaunay triangulation of the synthetic mesh stands
+    in so the plotting path stays exercised in CI.
     """
     if _is_real_file(train_path) and _is_real_file(test_path):
         tr = load_mat(train_path)["trajectories"].astype(np.float32)[:ntrain]
@@ -204,6 +210,14 @@ def cylinder(
             n_traj=ntrain + ntest, L=n_points, n_small=n_latent
         )
         tr, te = traj[:ntrain], traj[-ntest:]
+    if _is_real_file(elements_path):
+        elements = (
+            np.genfromtxt(elements_path, delimiter=",").astype(np.int32) - 1
+        )
+    else:
+        from scipy.spatial import Delaunay
+
+        elements = Delaunay(np.asarray(mesh)).simplices.astype(np.int32)
     L = tr.shape[1]
 
     def one_step_pairs(t):
@@ -213,4 +227,4 @@ def cylinder(
 
     trainX, trainY = one_step_pairs(tr)
     testX, testY = one_step_pairs(te)
-    return trainX, trainY, testX, testY, mesh, mesh_ltt, te
+    return trainX, trainY, testX, testY, mesh, mesh_ltt, te, elements

@@ -1,0 +1,293 @@
+"""Fused batched position-attention Pallas TPU kernel (per-sample meshes).
+
+The elasticity/NACA benchmarks rebuild geometry from per-sample point
+clouds inside every training step (reference: train_elasticity.py:41-54,
+train_naca.py:62-65): squared distances (B, L_out, L_in), a per-row
+locality quantile, masking, softmax, and the value contraction. Doing that
+in XLA materializes the distance AND attention tensors in HBM each step
+(the NACA decoder's are 656 MB each) and pays a full-row sort for the
+quantile — measured 73% of the NACA step (scripts/tpu_naca_profile.py).
+
+This kernel fuses the whole pipeline at the tile level, exploiting that
+per-sample meshes are small (L_in <= a few thousand), so an ENTIRE row of
+the attention matrix fits in VMEM:
+
+- grid ``(B, L_out/TLo)``; each cell loads a (TLo, d) query-coordinate
+  tile plus the full (L_in, d) key coordinates and (L_in, D) values;
+- distances are computed in VMEM per coordinate (same operation order as
+  ops/distances.euclidean_sq, so numerics match the XLA oracle);
+- the locality threshold is the c-th smallest distance per row
+  (c = topk_keep_count, ops/locality.py), found with c-1 masked-min passes
+  over the resident tile — no sort, no HBM round trip;
+- softmax is a plain full-row softmax (no online rescaling needed);
+- per head: one (TLo, L_in) x (L_in, D) MXU matmul into the (TLo, H*D)
+  output tile.
+
+HBM traffic is meshes + values + output only — the (B, L_out, L_in)
+intermediates never exist. The backward (custom VJP) recomputes attention
+tiles the same way and streams dValues/dScale in one pass; no residuals
+beyond the primal inputs are saved.
+
+Contract matches ops.posatt.position_attention for batched dists: values
+(B, L_in, D) shared across heads, output (B, L_out, H*D). Euclidean metric
+only (the only metric the reference uses with per-sample meshes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from position_induced_transformer_tpu.ops.locality import topk_keep_count
+from position_induced_transformer_tpu.ops.posatt import bandwidth_scale
+
+_NEG = -1e38
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _dist_tile(mq, mk, space_dim: int):
+    """(TLo, Li) squared Euclidean distances, computed per coordinate with
+    the same op order as ops/distances.euclidean_sq (diff -> square -> sum)
+    so results agree bitwise with the XLA path."""
+    dist = None
+    for k in range(space_dim):
+        diff = mq[:, k : k + 1] - mk[:, k : k + 1].T  # (TLo, Li)
+        sq = diff * diff
+        dist = sq if dist is None else dist + sq
+    return dist
+
+
+def _keep_mask(dist, col_valid, keep_count: int, L_in: int):
+    """Locality keep-mask from the c-th smallest distance per resident row
+    (c-1 masked-min passes; see ops/locality.topk_threshold for the tie
+    caveat). Padded columns are +inf and never kept."""
+    d = jnp.where(col_valid, dist, jnp.inf)
+    if keep_count >= L_in:
+        return col_valid
+    thr = jnp.min(d, axis=-1, keepdims=True)
+    for _ in range(keep_count - 1):
+        thr = jnp.min(jnp.where(d > thr, d, jnp.inf), axis=-1, keepdims=True)
+    return d <= thr
+
+
+def _attention(dist, keep, s):
+    """Full-row masked softmax of -s * dist over the resident tile."""
+    logits = jnp.where(keep, -dist * s, _NEG)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _make_fwd_kernel(H, D, space_dim, keep_count, L_in):
+    def kernel(scale_ref, mq_ref, mk_ref, u_ref, out_ref):
+        mq = mq_ref[0]  # (TLo, d)
+        mk = mk_ref[0]  # (Li_p, d)
+        u = u_ref[0]  # (Li_p, D)
+        dist = _dist_tile(mq, mk, space_dim)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        keep = _keep_mask(dist, col, keep_count, L_in)
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            out_ref[0, :, h * D : (h + 1) * D] = jnp.dot(
+                att, u, preferred_element_type=jnp.float32
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep_count", "interpret")
+)
+def _posatt_batched_raw(mesh_q, mesh_k, scale, u, *, keep_count, interpret=False):
+    """(B, L_out, H*D) fused batched position attention.
+
+    mesh_q: (B, L_out, d); mesh_k: (B, L_in, d); scale: (H, 1); u: (B, L_in, D).
+    """
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out, d = mesh_q.shape[1], mesh_q.shape[2]
+    TLo = min(_round_up(L_out, 8), 256)
+    Lo_p = _round_up(L_out, TLo)
+    Li_p = _round_up(L_in, 128)
+
+    mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
+
+    grid = (B, Lo_p // TLo)
+    out = pl.pallas_call(
+        _make_fwd_kernel(H, D, d, keep_count, L_in),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (H, 1) scales
+            pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lo_p, H * D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * B * Lo_p * Li_p * (D + d + keep_count),
+            bytes_accessed=4
+            * (B * (Lo_p + Li_p) * d + B * Li_p * D + B * Lo_p * H * D),
+            transcendentals=H * B * Lo_p * Li_p,
+        ),
+        interpret=interpret,
+    )(scale, mq_p, mk_p, u_p)
+    return out[:, :L_out, :]
+
+
+def _make_bwd_kernel(H, D, space_dim, keep_count, L_in):
+    def kernel(
+        scale_ref, mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc
+    ):
+        i, ni = pl.program_id(1), pl.num_programs(1)
+        b = pl.program_id(0)  # hoisted: program_id is unavailable inside
+        # pl.when bodies under interpret mode
+
+        @pl.when(i == 0)
+        def _init():
+            du_ref[0] = jnp.zeros_like(du_ref[0])
+            for h in range(H):  # SMEM accepts scalar stores only
+                ds_acc[h, 0] = 0.0
+
+        mq = mq_ref[0]
+        mk = mk_ref[0]
+        u = u_ref[0]
+        dist = _dist_tile(mq, mk, space_dim)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        keep = _keep_mask(dist, col, keep_count, L_in)
+        nd = jnp.where(keep, -dist, 0.0)
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            g = g_ref[0, :, h * D : (h + 1) * D]  # (TLo, D)
+            # dValues: P^T @ G, accumulated over row tiles
+            du_ref[0] += jnp.dot(att.T, g, preferred_element_type=jnp.float32)
+            # dScale: dL/dlogit = P*(T - r), dlogit/ds = -dist on kept entries
+            t = jnp.dot(g, u.T, preferred_element_type=jnp.float32)  # (TLo, Li)
+            pt = att * t
+            r = jnp.sum(pt, axis=-1, keepdims=True)
+            ds_acc[h, 0] += jnp.sum(pt * nd) - jnp.sum(
+                r * jnp.sum(att * nd, axis=-1, keepdims=True)
+            )
+
+        @pl.when(i == ni - 1)
+        def _fin():
+            for h in range(H):
+                ds_ref[b, h] = ds_acc[h, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep_count", "interpret")
+)
+def _posatt_batched_bwd_raw(
+    mesh_q, mesh_k, scale, u, g, *, keep_count, interpret=False
+):
+    """(dU (B, L_in, D), dScale (B, H)) in one streaming pass."""
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out, d = mesh_q.shape[1], mesh_q.shape[2]
+    TLo = min(_round_up(L_out, 8), 256)
+    Lo_p = _round_up(L_out, TLo)
+    Li_p = _round_up(L_in, 128)
+
+    mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    # padded output rows carry zero cotangent -> no contribution
+    g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+
+    du, ds = pl.pallas_call(
+        _make_bwd_kernel(H, D, d, keep_count, L_in),
+        grid=(B, Lo_p // TLo),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, H)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Li_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scale, mq_p, mk_p, u_p, g_p)
+    return du[:, :L_in, :], ds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _posatt_batched(mesh_q, mesh_k, scale, u, keep_count, interpret=False):
+    return _posatt_batched_raw(
+        mesh_q, mesh_k, scale, u, keep_count=keep_count, interpret=interpret
+    )
+
+
+def _posatt_batched_fwd(mesh_q, mesh_k, scale, u, keep_count, interpret):
+    out = _posatt_batched_raw(
+        mesh_q, mesh_k, scale, u, keep_count=keep_count, interpret=interpret
+    )
+    return out, (mesh_q, mesh_k, scale, u)
+
+
+def _posatt_batched_bwd(keep_count, interpret, residuals, g):
+    mesh_q, mesh_k, scale, u = residuals
+    du, ds = _posatt_batched_bwd_raw(
+        mesh_q, mesh_k, scale, u, g, keep_count=keep_count, interpret=interpret
+    )
+    dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
+    return None, None, dscale, du
+
+
+_posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
+
+
+def position_attention_batched(
+    mesh_q: jnp.ndarray,
+    mesh_k: jnp.ndarray,
+    lmda: jnp.ndarray,
+    inputs: jnp.ndarray,
+    locality: float,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused batched drop-in for ``ops.posatt.position_attention`` when the
+    distance matrix would be built per sample inside the step: takes raw
+    mesh coordinates (B, L_out, d)/(B, L_in, d) and returns (B, L_out, H*D).
+
+    Locality semantics match the top-k equivalence of the reference's
+    quantile mask (ops/locality.py); Euclidean metric only.
+    """
+    H = lmda.shape[0]
+    B, L_out = inputs.shape[0], mesh_q.shape[1]
+    keep_count = topk_keep_count(mesh_k.shape[1], locality)
+    scale = bandwidth_scale(lmda).reshape(H, 1)
+    out = _posatt_batched(
+        mesh_q, mesh_k, scale, inputs, keep_count, interpret
+    )
+    assert out.shape == (B, L_out, H * inputs.shape[-1])
+    return out

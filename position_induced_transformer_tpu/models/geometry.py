@@ -47,6 +47,14 @@ class Geometry:
 
     ``mesh_in`` is retained for the mesh-concat encoder input
     (reference: train_burgers.py:45).
+
+    **Lazy per-sample geometry**: for batched meshes rebuilt inside every
+    train step (elasticity/NACA), ``dist_*`` may be None with ``mesh_ltt``/
+    ``mesh_out`` carrying the raw coordinates instead — the attention op
+    then either runs the fused batched Pallas kernel (distances + locality
+    threshold + softmax + matmul computed tile-resident in VMEM, never
+    materializing the (B, L_out, L_in) tensors in HBM) or, on non-TPU
+    backends, builds the distances on the fly in XLA.
     """
 
     mesh_in: Any
@@ -55,6 +63,8 @@ class Geometry:
     dist_up: Any
     thr_down: Optional[Any] = None
     thr_up: Optional[Any] = None
+    mesh_ltt: Optional[Any] = None
+    mesh_out: Optional[Any] = None
 
     def tree_flatten(self):
         children = (
@@ -64,6 +74,8 @@ class Geometry:
             self.dist_up,
             self.thr_down,
             self.thr_up,
+            self.mesh_ltt,
+            self.mesh_out,
         )
         return children, None
 
@@ -82,6 +94,7 @@ def build_geometry(
     de_loc: float = 0.02,
     precompute_masks: bool = True,
     threshold_impl: str = "quantile",
+    lazy: bool = False,
 ) -> Geometry:
     """Build a :class:`Geometry` for fixed (L, d) or batched (B, L, d) meshes.
 
@@ -95,7 +108,19 @@ def build_geometry(
     absent ties at a fraction of the cost; see ops/locality.py). 'topk' is
     the right choice when the builder runs traced inside the train step on
     per-sample meshes (elasticity/NACA).
+
+    ``lazy=True`` (batched Euclidean meshes only) skips building distances
+    entirely and stores the coordinates — the attention op fuses distance,
+    threshold, softmax and contraction on TPU (kernels/posatt_batched.py).
     """
+    if lazy:
+        if metric != "euclidean":
+            raise ValueError("lazy geometry supports the euclidean metric only")
+        return Geometry(
+            mesh_in=mesh_in,
+            dist_down=None, dist_proc=None, dist_up=None,
+            mesh_ltt=mesh_ltt, mesh_out=mesh_out,
+        )
     dist_down = pairwise_sq_dist(mesh_ltt, mesh_in, metric)
     dist_proc = pairwise_sq_dist(mesh_ltt, mesh_ltt, metric)
     dist_up = pairwise_sq_dist(mesh_out, mesh_ltt, metric)

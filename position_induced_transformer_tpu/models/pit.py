@@ -68,31 +68,56 @@ class KaimingMLP(nn.Module):
 _FUSED_MIN_ATT_BYTES = 32 * 1024 * 1024
 
 
-def _dispatch_posatt(dist, lmda, inputs, locality, thr, fused: bool):
-    """Route to the fused Pallas kernel or the XLA path.
+def _dispatch_posatt(
+    dist, lmda, inputs, locality, thr, fused: bool, mesh_q=None, mesh_k=None
+):
+    """Route to a fused Pallas kernel or the XLA path.
 
-    The fused kernel's advantage is never materializing the (H, L_out,
-    L_in) attention matrix in HBM; measured on TPU v5e it wins ~2x once
-    that matrix is tens of MB (ZSSR-scale decode) and loses below that,
-    where XLA's single einsum amortizes the attention across the batch
-    (scripts/tpu_checks.py). Shapes are static under jit, so the choice is
-    made at trace time.
+    Fixed meshes (``dist.ndim == 2``): the fused kernel's advantage is
+    never materializing the (H, L_out, L_in) attention matrix in HBM.
+    Measured END-TO-END on TPU v5e (FUSED_SWEEP.json,
+    scripts/tpu_fused_experiment.py) it loses at every reference training
+    shape (0.53-1.04x — XLA's batched einsum amortizes the attention) and
+    wins ~1.75x only at ZSSR-decode scale, so the dispatch threshold keeps
+    it to attention matrices of tens of MB. Shapes are static under jit,
+    so the choice is made at trace time.
 
-    ``PIT_FUSED_MODE`` env var overrides the shape heuristic: 'always'
-    forces the kernel for every fixed-mesh call, 'never' disables it
-    (measurement harness: scripts/tpu_fused_experiment.py).
+    Lazy batched meshes (``dist is None``, per-sample point clouds): the
+    batched kernel computes distances + locality threshold + softmax +
+    contraction tile-resident from raw coordinates
+    (kernels/posatt_batched.py); non-TPU backends fall back to building
+    the distances in XLA.
+
+    ``PIT_FUSED_MODE`` env var overrides the heuristics: 'always' forces
+    the kernels, 'never' disables them (measurement harness:
+    scripts/tpu_fused_experiment.py).
     """
     import os
 
     import jax
 
     mode = os.environ.get("PIT_FUSED_MODE", "auto")
-    if (
-        fused
-        and mode != "never"
-        and dist.ndim == 2
-        and jax.default_backend() == "tpu"
-    ):
+    on_tpu = jax.default_backend() == "tpu"
+    if dist is None:  # lazy batched geometry: raw per-sample coordinates
+        if fused and mode != "never" and on_tpu:
+            from position_induced_transformer_tpu.kernels import (
+                position_attention_batched,
+            )
+
+            return position_attention_batched(
+                mesh_q, mesh_k, lmda, inputs, locality
+            )
+        from position_induced_transformer_tpu.ops.distances import (
+            pairwise_sq_dist,
+        )
+        from position_induced_transformer_tpu.ops.locality import (
+            topk_threshold,
+        )
+
+        dist = pairwise_sq_dist(mesh_q, mesh_k)
+        if locality < 1.0 and thr is None:
+            thr = topk_threshold(dist, locality)
+    elif fused and mode != "never" and dist.ndim == 2 and on_tpu:
         att_bytes = 4 * lmda.shape[0] * dist.shape[0] * dist.shape[1]
         if mode == "always" or att_bytes >= _FUSED_MIN_ATT_BYTES:
             from position_induced_transformer_tpu.kernels import (
@@ -117,10 +142,10 @@ class PosAtt(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, thr=None):
+    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
         conv = _dispatch_posatt(
-            dist, lmda, inputs, self.locality, thr, self.fused
+            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
         )
         return jnp.concatenate([inputs, conv], axis=-1)
 
@@ -134,10 +159,10 @@ class PosAttCross(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, thr=None):
+    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
         return _dispatch_posatt(
-            dist, lmda, inputs, self.locality, thr, self.fused
+            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
         )
 
 
@@ -188,19 +213,28 @@ class PiT(nn.Module):
                     mesh[None], (func_in.shape[0],) + mesh.shape
                 )
             func_in = jnp.concatenate([mesh, func_in], axis=-1)
-        f = self.down(geom.dist_down, func_in, geom.thr_down)
+        f = self.down(
+            geom.dist_down, func_in, geom.thr_down,
+            mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in,
+        )
         f = self.en_layer(f)
         return nn.gelu(f, approximate=False)
 
     def processor(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
         for a, w in zip(self.conv, self.mlp):
-            f = a(geom.dist_proc, f)
+            f = a(
+                geom.dist_proc, f,
+                mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_ltt,
+            )
             f = w(f)
             f = nn.gelu(f, approximate=False)
         return f
 
     def decoder(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
-        f = self.up(geom.dist_up, f, geom.thr_up)
+        f = self.up(
+            geom.dist_up, f, geom.thr_up,
+            mesh_q=geom.mesh_out, mesh_k=geom.mesh_ltt,
+        )
         return self.de(f)
 
     def __call__(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:

@@ -221,14 +221,14 @@ def setup_elasticity(
     def geom_fn(batch):
         # latent mesh == output mesh == input cloud, per sample
         # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone()).
-        # Runs traced inside the step; 'topk' thresholds replace the
-        # reference's full-row-sort torch.quantile (same mask, tie-free
-        # random clouds — ops/locality.py).
+        # Lazy: raw coordinates only — the attention op fuses distances,
+        # top-k locality threshold, softmax and contraction on TPU
+        # (kernels/posatt_batched.py); XLA fallback elsewhere.
         m = batch["mesh"]
         return build_geometry(
             m, m, m, metric=cfg.metric,
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
-            threshold_impl="topk",
+            lazy=True,
         )
 
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
@@ -264,12 +264,13 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     model = _make_model(cfg)
 
     def geom_fn(batch):
-        # in-step per-sample geometry with 'topk' locality thresholds
-        # (same mask as the reference's torch.quantile absent ties)
+        # lazy in-step per-sample geometry: top-k locality semantics (same
+        # mask as the reference's torch.quantile absent ties), fused
+        # batched kernel on TPU (kernels/posatt_batched.py)
         return build_geometry(
             batch["mesh_in"], batch["mesh_ltt"], batch["mesh_out"],
             metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
-            threshold_impl="topk",
+            lazy=True,
         )
 
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
@@ -285,6 +286,7 @@ def setup_cylinder(
     n_traj_train = max(1, (ntrain or cfg.ntrain) // 10)
     n_traj_test = max(1, (ntest or cfg.ntest) // 10)
     paths = (None,) * 4
+    elements_path = None
     if data_path:
         paths = (
             f"{data_path}/WakeCylinder_train.mat",
@@ -292,9 +294,10 @@ def setup_cylinder(
             f"{data_path}/vertices.csv",
             f"{data_path}/vertices_small.csv",
         )
-    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, test_traj = loaders.cylinder(
+        elements_path = f"{data_path}/elements.csv"
+    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, test_traj, elements = loaders.cylinder(
         *paths, ntrain=n_traj_train, ntest=n_traj_test,
-        n_points=n_points, n_latent=n_latent,
+        n_points=n_points, n_latent=n_latent, elements_path=elements_path,
     )
     geom = build_geometry_host(
         mesh, mesh_ltt, mesh,
@@ -307,7 +310,7 @@ def setup_cylinder(
         {"x": jnp.asarray(x_tr), "y": jnp.asarray(y_tr)},
         {"x": jnp.asarray(x_te), "y": jnp.asarray(y_te)},
         x_tr.shape[0], x_te.shape[0],
-        extras={"test_trajectories": test_traj},
+        extras={"test_trajectories": test_traj, "elements": elements},
     )
 
 

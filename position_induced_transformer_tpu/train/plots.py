@@ -92,6 +92,35 @@ def _scatter_plots(points, true, pred, outdir, index=-1):
             plt.close()
 
 
+def _tricontourf_plots(points, elements, true, pred, outdir, index=-1):
+    """Field plots over triangle-element connectivity
+    (reference: train_cylinder.py:159-202: tricontourf of true/pred/error
+    per variable on the FEniCS mesh, plasma colormap, true value range)."""
+    import matplotlib.tri as mtri
+
+    plt = _plt()
+    triangulation = mtri.Triangulation(points[:, 0], points[:, 1], elements)
+    t = true[index].reshape(len(points), -1)
+    p = pred[index].reshape(len(points), -1)
+    for var in range(t.shape[-1]):
+        vmax, vmin = t[:, var].max(), t[:, var].min()
+        fields = (
+            ("true", t[:, var], vmin, vmax),
+            ("pred", p[:, var], vmin, vmax),
+            ("err", np.abs(t[:, var] - p[:, var]), None, None),
+        )
+        for name, f, lo, hi in fields:
+            plt.figure(figsize=(8, 4), dpi=100)
+            plt.axes([0, 0, 1, 1])
+            plt.tricontourf(
+                triangulation, f, vmin=lo, vmax=hi, levels=512, cmap="plasma"
+            )
+            plt.axis("off")
+            plt.axis("equal")
+            plt.savefig(os.path.join(outdir, f"{name}_var{var + 1}.pdf"))
+            plt.close()
+
+
 def save_benchmark_plots(problem, pred: np.ndarray, outdir: str, index=-1):
     """Write the reference-style figures for this benchmark's predictions."""
     os.makedirs(outdir, exist_ok=True)
@@ -119,5 +148,9 @@ def save_benchmark_plots(problem, pred: np.ndarray, outdir: str, index=-1):
         )
     elif name == "cylinder":
         pts = np.asarray(problem.geom.mesh_in)
-        _scatter_plots(pts, true, pred, outdir, index)
+        elements = problem.extras.get("elements")
+        if elements is not None:
+            _tricontourf_plots(pts, np.asarray(elements), true, pred, outdir, index)
+        else:
+            _scatter_plots(pts, true, pred, outdir, index)
     return outdir

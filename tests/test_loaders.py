@@ -57,8 +57,11 @@ def test_cylinder_real_files(tmp_path):
     np.savetxt(verts, rng.random((50, 2)), delimiter=",")
     np.savetxt(verts_small, rng.random((10, 2)), delimiter=",")
     # pad the csvs past the LFS-stub size gate
-    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, te = loaders.cylinder(
-        p_tr, p_te, verts, verts_small, ntrain=4, ntest=2
+    elems = str(tmp_path / "e.csv")
+    np.savetxt(elems, rng.integers(1, 51, (20, 3)), delimiter=",")  # 1-based
+    x_tr, y_tr, x_te, y_te, mesh, mesh_ltt, te, elements = loaders.cylinder(
+        p_tr, p_te, verts, verts_small, ntrain=4, ntest=2,
+        elements_path=elems,
     )
     assert x_tr.shape == (40, 50, 3)  # 10 one-step pairs per trajectory
     np.testing.assert_allclose(
@@ -66,6 +69,8 @@ def test_cylinder_real_files(tmp_path):
     )
     assert mesh.shape == (50, 2) and mesh_ltt.shape == (10, 2)
     assert te.shape == (2, 50, 3, 11)
+    # elements.csv is 1-based in the reference (train_cylinder.py:67)
+    assert elements.min() >= 0 and elements.max() <= 49
 
 
 def test_elasticity_real_npy(tmp_path):

@@ -94,3 +94,99 @@ def test_fused_v2_bf16_option_close_to_oracle():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
     )
+
+
+# ------------------------------------------------- batched (per-sample) kernel
+@pytest.mark.parametrize(
+    "B,Lq,Lk,H,D,loc",
+    [
+        (2, 64, 64, 2, 8, 0.1),    # self, masked (elasticity en/de)
+        (2, 64, 64, 1, 8, 1.0),    # global (processor)
+        (3, 37, 53, 2, 19, 0.1),   # cross, nothing tile-aligned
+        (2, 300, 120, 1, 4, 0.02), # NACA-like: tiny keep count (c=3)
+    ],
+)
+def test_batched_fused_matches_oracle(B, Lq, Lk, H, D, loc):
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import topk_threshold
+
+    rng = np.random.default_rng(2)
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+
+    dist = euclidean_sq(mq, mk)
+    thr = topk_threshold(dist, loc) if loc < 1 else None
+    want = position_attention(dist, lmda, u, loc, thr=thr)
+    got = position_attention_batched(mq, mk, lmda, u, loc, interpret=INTERPRET)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "B,Lq,Lk,H,D,loc",
+    [
+        (2, 48, 48, 2, 8, 0.1),
+        (3, 37, 53, 1, 19, 0.1),
+        (2, 100, 48, 2, 16, 1.0),
+    ],
+)
+def test_batched_fused_gradients_match_oracle(B, Lq, Lk, H, D, loc):
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import topk_threshold
+
+    rng = np.random.default_rng(3)
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+
+    def fused(lm, uu):
+        return jnp.sum(
+            position_attention_batched(mq, mk, lm, uu, loc, interpret=INTERPRET)
+            * ct
+        )
+
+    def oracle(lm, uu):
+        dist = euclidean_sq(mq, mk)
+        thr = topk_threshold(dist, loc) if loc < 1 else None
+        return jnp.sum(position_attention(dist, lm, uu, loc, thr=thr) * ct)
+
+    g1 = jax.grad(fused, argnums=(0, 1))(lmda, u)
+    g2 = jax.grad(oracle, argnums=(0, 1))(lmda, u)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_lazy_geometry_model_parity():
+    """A PiT bound to lazy per-sample geometry (XLA fallback path on CPU)
+    produces the same output as the same params bound to eager distances."""
+    from position_induced_transformer_tpu.models import PiT, build_geometry
+
+    rng = np.random.default_rng(4)
+    B, L = 3, 48
+    mesh = jnp.asarray(rng.random((B, L, 2)), jnp.float32)
+    x = jnp.asarray(rng.random((B, L, 5)), jnp.float32)
+    model = PiT(
+        space_dim=2, in_dim=5, out_dim=1, hid_dim=16, n_head=2, n_blocks=2,
+        en_loc=0.1, de_loc=0.1, concat_mesh=False,
+    )
+    lazy = build_geometry(mesh, mesh, mesh, en_loc=0.1, de_loc=0.1, lazy=True)
+    eager = build_geometry(
+        mesh, mesh, mesh, en_loc=0.1, de_loc=0.1, threshold_impl="topk"
+    )
+    params = model.init(jax.random.PRNGKey(0), lazy, x)
+    out_lazy = model.apply(params, lazy, x)
+    out_eager = model.apply(params, eager, x)
+    np.testing.assert_allclose(
+        np.asarray(out_lazy), np.asarray(out_eager), rtol=1e-6, atol=1e-7
+    )

@@ -40,3 +40,10 @@ def test_plots_render(tmp_path, name, shrink, setup_kwargs):
         pred = runner.predict(problem, state)
     out = save_benchmark_plots(problem, pred, str(tmp_path / name))
     assert len(os.listdir(out)) > 0
+    if name == "cylinder":
+        # tricontourf over element connectivity, not a scatter fallback
+        # (reference: train_cylinder.py:159-202)
+        assert problem.extras["elements"].shape[-1] == 3
+        assert {"true_var1.pdf", "pred_var1.pdf", "err_var1.pdf"} <= set(
+            os.listdir(out)
+        )

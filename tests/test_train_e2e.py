@@ -90,9 +90,9 @@ def test_naca_e2e_latent_slice_geometry():
         k: v[: cfg.batch_size] for k, v in problem.train_data.items()
     }
     geom = problem.task.geom_fn(batch)
-    assert geom.dist_down.shape[1] == 15  # L_ltt = 5*3
-    assert geom.dist_up.shape[1] == 21 * 11  # L_out = C-grid size
-    assert geom.thr_up is not None  # in-step top-k thresholds engaged
+    assert geom.dist_down is None  # lazy: fused/in-step geometry
+    assert geom.mesh_ltt.shape[1] == 15  # L_ltt = 5*3
+    assert geom.mesh_out.shape[1] == 21 * 11  # L_out = C-grid size
 
 
 def test_vorticity_rollout_history_has_stepwise_metrics():
