@@ -94,6 +94,74 @@ def _period_for(mesh_in: np.ndarray, metric: str) -> float:
     return 0.0
 
 
+def geometry_host_subprocess(
+    mesh_out,
+    mesh_in,
+    metric: str = "euclidean",
+    locality: float = 1.0,
+    timeout: float = 600.0,
+):
+    """(dist, thr) via the native builder in a short-lived CHILD process.
+
+    Executing any code in libpitgeom.so inside a TPU-tunnel-attached
+    process permanently degrades that process's device dispatch ~10x
+    (mechanism undiagnosed — CLAUDE.md); quarantining the ctypes call in a
+    subprocess keeps the C++ builder usable on the production TPU path.
+    The child imports only numpy/ctypes (never jax). Returns None when the
+    library or the child fails — callers degrade to the jnp path.
+    """
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    if load() is None:  # CDLL load alone is harmless (CLAUDE.md)
+        return None
+    repo_root = os.path.abspath(os.path.join(_NATIVE_DIR, ".."))
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.npz")
+        outp = os.path.join(td, "out.pkl")
+        np.savez(
+            inp,
+            mesh_out=_f32(mesh_out),
+            mesh_in=_f32(mesh_in),
+            metric=metric,
+            locality=np.float64(locality),
+        )
+        code = (
+            "import sys; sys.path.insert(0, sys.argv[1]);"
+            "from position_induced_transformer_tpu.data import native;"
+            "native._subprocess_main(sys.argv[2], sys.argv[3])"
+        )
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code, repo_root, inp, outp],
+                check=True,
+                capture_output=True,
+                timeout=timeout,
+            )
+            with open(outp, "rb") as f:
+                dist, thr = pickle.load(f)
+            return dist, thr
+        except Exception:
+            return None
+
+
+def _subprocess_main(inp: str, outp: str) -> None:
+    """Child entry: run geometry_host on the serialized request."""
+    import pickle
+
+    data = np.load(inp, allow_pickle=True)
+    result = geometry_host(
+        data["mesh_out"], data["mesh_in"],
+        str(data["metric"]), float(data["locality"]),
+    )
+    if result is None:
+        raise SystemExit(3)
+    with open(outp, "wb") as f:
+        pickle.dump(result, f)
+
+
 def geometry_host(
     mesh_out,
     mesh_in,

@@ -156,6 +156,13 @@ def build_geometry_host(
     (native/geometry.cpp): distances + nth_element quantile thresholds on
     the host, one HBM upload. Falls back to :func:`build_geometry` when the
     native library is unavailable. Host-only (concrete meshes, not traced).
+
+    Calling into the .so from a TPU-tunnel-attached process permanently
+    degrades that process's device dispatch ~10x (CLAUDE.md), so on non-CPU
+    backends the ctypes calls are quarantined in a short-lived subprocess
+    (data/native.py geometry_host_subprocess). ``PIT_NATIVE_GEOMETRY``:
+    'never' = jnp path, 'force' = in-process native regardless of backend,
+    default = in-process on CPU, subprocess elsewhere.
     """
     import os
 
@@ -163,26 +170,31 @@ def build_geometry_host(
 
     from position_induced_transformer_tpu.data import native
 
-    # The native builder measurably poisons subsequent device dispatch in
-    # TPU-tunnel processes on this host (first call into the .so degrades
-    # epoch throughput ~10x — see CLAUDE.md), so it is engaged only on CPU
-    # backends unless explicitly forced.
     use_native = os.environ.get("PIT_NATIVE_GEOMETRY", "auto")
+    on_cpu = jax.default_backend() == "cpu"
     if use_native == "never":
-        native_ok = False
-    elif use_native == "force":
-        native_ok = True
+        builder = None
+    elif use_native == "force" or on_cpu:
+        builder = native.geometry_host
     else:
-        native_ok = jax.default_backend() == "cpu"
-    if not native_ok or native.load() is None:
+        builder = native.geometry_host_subprocess
+    if builder is None or native.load() is None:
         return build_geometry(
             jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
             metric=metric, en_loc=en_loc, de_loc=de_loc,
         )
     mi, ml, mo = (np.asarray(m, np.float32) for m in (mesh_in, mesh_ltt, mesh_out))
-    dist_down, thr_down = native.geometry_host(ml, mi, metric, en_loc)
-    dist_proc, _ = native.geometry_host(ml, ml, metric, 1.0)
-    dist_up, thr_up = native.geometry_host(mo, ml, metric, de_loc)
+    parts = (
+        builder(ml, mi, metric, en_loc),
+        builder(ml, ml, metric, 1.0),
+        builder(mo, ml, metric, de_loc),
+    )
+    if any(p is None for p in parts):  # subprocess/library failure
+        return build_geometry(
+            jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
+            metric=metric, en_loc=en_loc, de_loc=de_loc,
+        )
+    (dist_down, thr_down), (dist_proc, _), (dist_up, thr_up) = parts
     as_dev = lambda a: None if a is None else jnp.asarray(a)
     return Geometry(
         mesh_in=jnp.asarray(mi),

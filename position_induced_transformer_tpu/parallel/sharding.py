@@ -121,10 +121,28 @@ def replicate_tree(mesh: Mesh, tree):
     )
 
 
-def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data"):
+def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data", pad: bool = False):
     """Shard the decoder's output-mesh rows over a mesh axis (sequence
     parallelism for ZSSR-scale decode). ``dist_up``/``thr_up`` rows are
-    distributed; everything else stays replicated."""
+    distributed; everything else stays replicated.
+
+    ``pad=True`` pads the query-row axis to a multiple of the axis size by
+    repeating the last row (needed e.g. for the 421^2 = 177,241-row Darcy
+    decode, which no power-of-two axis divides); model outputs then carry
+    the same padded rows — slice them off with the original row count
+    (``geom.dist_up.shape[0]`` before the call)."""
+    import jax.numpy as jnp
+
+    size = mesh.shape[axis]
+
+    def row_pad(a):
+        if a is None or not pad:
+            return a
+        rem = a.shape[0] % size
+        if rem == 0:
+            return a
+        reps = jnp.repeat(a[-1:], size - rem, axis=0)
+        return jnp.concatenate([a, reps], axis=0)
 
     def row_shard(a):
         if a is None:
@@ -137,6 +155,6 @@ def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data"):
 
     return dataclasses.replace(
         geom,
-        dist_up=row_shard(geom.dist_up),
-        thr_up=row_shard(geom.thr_up) if geom.thr_up is not None else None,
+        dist_up=row_shard(row_pad(geom.dist_up)),
+        thr_up=row_shard(row_pad(geom.thr_up)),
     )

@@ -1,0 +1,184 @@
+"""Multi-chip evidence at REFERENCE shapes on the virtual 8-device CPU mesh.
+
+The correctness of the DP/TP/SP shardings is pinned by tests/test_parallel.py
+at toy sizes; this script produces the *scaling evidence* (VERDICT r1 item 9):
+for the reference-size Burgers train step on a 4x2 ('data','model') mesh and
+the sequence-sharded Darcy ZSSR decode at the full 421^2 output mesh on an
+8-device 'data' axis, it lowers the jitted program, counts the XLA
+collectives GSPMD inserted (all-reduce / all-gather / collective-permute /
+reduce-scatter / all-to-all), reports per-device memory from the compiled
+executable, and times one execution.
+
+Writes MULTICHIP_EVIDENCE.json (summarized in BASELINE.md). Run with no
+TPU required: the script self-provisions the virtual CPU platform exactly
+like __graft_entry__.dryrun_multichip.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+
+import __graft_entry__ as ge
+
+devices = ge._provision_cpu_devices(8)
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+from position_induced_transformer_tpu import configs
+from position_induced_transformer_tpu.parallel import (
+    make_mesh,
+    replicate_tree,
+    sequence_shard_geometry,
+    shard_state,
+)
+from position_induced_transformer_tpu.train import benchmarks, runner
+from position_induced_transformer_tpu.train.loop import (
+    epoch_permutation,
+    make_optimizer,
+    make_train_epoch,
+)
+
+_COLLECTIVES = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+)
+
+
+def collective_counts(hlo_text: str) -> dict:
+    counts = {}
+    for c in _COLLECTIVES:
+        # count op instances (e.g. "all-reduce.3 = ..."), not string mentions
+        counts[c] = len(
+            re.findall(rf"= [\w\[\]{{}},/ ]*{c}(?:-start)?(?:\.\d+)?\(", hlo_text)
+        )
+    return counts
+
+
+def memory_stats(compiled) -> dict:
+    try:
+        m = compiled.memory_analysis()
+        return {
+            "argument_mb": round(m.argument_size_in_bytes / 2**20, 1),
+            "output_mb": round(m.output_size_in_bytes / 2**20, 1),
+            "temp_mb": round(m.temp_size_in_bytes / 2**20, 1),
+            "generated_code_mb": round(
+                m.generated_code_size_in_bytes / 2**20, 2
+            ),
+        }
+    except Exception as e:
+        return {"unavailable": str(e)[:100]}
+
+
+def dp_tp_train_step():
+    """Full-size Burgers train step (L=1024 -> 256 latent, hid 64, bs 8)
+    over a 4x2 ('data','model') mesh: DP batch sharding + TP over MLP
+    columns/rows and attention heads."""
+    mesh = make_mesh(n_data=4, n_model=2, devices=devices)
+    cfg = configs.BURGERS
+    problem = benchmarks.setup(cfg, ntrain=64, ntest=16)
+    optimizer = make_optimizer(cfg.lr, 8 * 500)
+    state = runner.init_state(problem, optimizer, seed=0)
+    state = shard_state(mesh, state, n_head=cfg.model.n_head)
+    geom = replicate_tree(mesh, problem.geom)
+    data = replicate_tree(mesh, problem.train_data)
+    train_epoch = make_train_epoch(problem.task, optimizer, mesh=mesh)
+    perm = epoch_permutation(0, 64, cfg.batch_size)
+
+    lowered = train_epoch.lower(state, geom, data, perm)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    state2, loss = jax.block_until_ready(train_epoch(state, geom, data, perm))
+    t0 = time.perf_counter()
+    perm2 = epoch_permutation(1, 64, cfg.batch_size)
+    state2, loss = jax.block_until_ready(train_epoch(state2, geom, data, perm2))
+    dt = time.perf_counter() - t0
+    # verify params really are distributed: a TP-sharded leaf's per-device
+    # shard is half the logical size on the 2-way model axis
+    mlp1 = state2.params["en_layer"]["mlp1"]["kernel"]
+    shard_shape = mlp1.sharding.shard_shape(mlp1.shape)
+    return {
+        "mesh": dict(mesh.shape),
+        "config": "burgers full size (1024->256, hid 64, H2, B5, bs 8)",
+        "collectives": collective_counts(hlo),
+        "memory": memory_stats(compiled),
+        "epoch_seconds_cpu": round(dt, 3),
+        "loss_finite": bool(jnp.isfinite(loss)),
+        "mlp1_kernel_logical": list(mlp1.shape),
+        "mlp1_kernel_per_device_shard": list(shard_shape),
+    }
+
+
+def sp_zssr_decode():
+    """Sequence-sharded Darcy ZSSR decode at the full 421^2 output mesh:
+    177,241 decoder query rows distributed over an 8-device 'data' axis,
+    latent cloud replicated (no ring needed — SURVEY.md §5)."""
+    mesh = make_mesh(n_data=8, n_model=1, devices=devices)
+    cfg = configs.DARCY
+    s = 421
+    geom = benchmarks.darcy_geometry(cfg, s)
+    model = benchmarks._make_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, s * s, 1)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), geom, x)
+    n_rows = geom.dist_up.shape[0]  # 177,241: no power-of-two divisor
+    geom_sharded = sequence_shard_geometry(
+        mesh, replicate_tree(mesh, geom), pad=True
+    )
+    params = replicate_tree(mesh, params)
+    x = replicate_tree(mesh, x)
+
+    fwd = jax.jit(lambda p, g, xx: model.apply(p, g, xx)[:, :n_rows])
+    lowered = fwd.lower(params, geom_sharded, x)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    out = jax.block_until_ready(fwd(params, geom_sharded, x))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fwd(params, geom_sharded, x))
+    dt = time.perf_counter() - t0
+    d = geom_sharded.dist_up
+    shard_rows = d.sharding.shard_shape(d.shape)[0]
+    return {
+        "mesh": dict(mesh.shape),
+        "config": f"darcy ZSSR decode at {s}^2 (dist_up {d.shape[0]}x{d.shape[1]})",
+        "collectives": collective_counts(hlo),
+        "memory": memory_stats(compiled),
+        "forward_seconds_cpu": round(dt, 3),
+        "dist_up_total_mb": round(d.size * 4 / 2**20, 1),
+        "dist_up_rows_per_device": shard_rows,
+        "dist_up_per_device_mb": round(shard_rows * d.shape[1] * 4 / 2**20, 1),
+        "out_shape": list(out.shape),
+        "out_finite": bool(jnp.all(jnp.isfinite(out))),
+    }
+
+
+if __name__ == "__main__":
+    results = {
+        "n_devices": len(devices),
+        "platform": devices[0].platform,
+        "dp_tp_train_step": dp_tp_train_step(),
+        "sp_zssr_decode": sp_zssr_decode(),
+    }
+    print(json.dumps(results, indent=1))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "MULTICHIP_EVIDENCE.json",
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)

@@ -46,27 +46,40 @@ MXU_PEAK_BF16 = 197e12  # FLOP/s
 MXU_PEAK_F32 = MXU_PEAK_BF16 / 3  # ~3-pass f32 emulation on the bf16 MXU
 
 
-def timeit_scanned(apply_u, u_shape, n_iter=32, rounds=3, seed=0):
+def timeit_scanned(apply_u, u_shape, n_iter=32, rounds=5):
     """Median per-iteration seconds of ``apply_u(u)`` over a jitted scan of
-    n_iter fresh value tensors; one scalar read-back per round."""
-    rng = np.random.default_rng(seed)
+    n_iter on-device-generated value tensors.
+
+    Values are generated from a fresh scalar seed per round (uploading host
+    data through the tunnel costs far more than the kernels; identical
+    inputs would be memoized by the relay), and a generation-only baseline
+    — same PRNG + sum + dispatch + scalar read-back — is subtracted."""
 
     @jax.jit
-    def run(U):
+    def run(seed):
+        U = jax.random.uniform(jax.random.PRNGKey(seed), (n_iter,) + u_shape)
         def body(acc, u):
             return acc + jnp.sum(apply_u(u)), None
         return jax.lax.scan(body, 0.0, U)[0]
 
-    U = jnp.asarray(rng.random((n_iter,) + u_shape), jnp.float32)
-    float(run(U))  # compile + settle
-    times = []
+    @jax.jit
+    def base(seed):
+        U = jax.random.uniform(jax.random.PRNGKey(seed), (n_iter,) + u_shape)
+        return jnp.sum(U)
+
+    float(run(0))  # compile + settle
+    float(base(0))
+    runs, bases = [], []
     for r in range(rounds):
-        U = jnp.asarray(rng.random((n_iter,) + u_shape), jnp.float32)
-        float(jnp.sum(U))  # settle the input upload
         t0 = time.perf_counter()
-        float(run(U))
-        times.append((time.perf_counter() - t0) / n_iter)
-    return float(np.median(times))
+        float(base(r + 1))
+        bases.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run(r + 1))
+        runs.append(time.perf_counter() - t0)
+    return max(
+        (float(np.median(runs)) - float(np.median(bases))) / n_iter, 1e-9
+    )
 
 
 def roofline_row(label, impl, t, Lo, Li, B, H, D, batched_dist):

@@ -85,6 +85,38 @@ def test_sequence_sharded_decoder_matches():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_sequence_sharded_decoder_padded_rows():
+    """SP decode with a query-row count NOT divisible by the axis (the real
+    ZSSR case: 421^2 = 177,241 rows on 8 devices) — pad=True pads by
+    repeating the last row; sliced output matches the unsharded forward."""
+    cfg, problem = _tiny_problem()
+    optimizer = make_optimizer(cfg.lr, 16)
+    state = runner.init_state(problem, optimizer, seed=0)
+    x = problem.test_data["x"][:4]
+    fwd = jax.jit(problem.model.apply)
+    ref = fwd({"params": state.params}, problem.geom, x)
+
+    import dataclasses as _dc
+
+    # make rows indivisible by 8: drop one decoder query row
+    geom_odd = _dc.replace(
+        problem.geom,
+        dist_up=problem.geom.dist_up[:-1],
+        thr_up=None if problem.geom.thr_up is None else problem.geom.thr_up[:-1],
+    )
+    n_rows = geom_odd.dist_up.shape[0]
+    assert n_rows % 8 != 0
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    geom_sp = sequence_shard_geometry(
+        mesh, replicate_tree(mesh, geom_odd), pad=True
+    )
+    out = fwd({"params": state.params}, geom_sp, x)[:, :n_rows]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, :n_rows]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
