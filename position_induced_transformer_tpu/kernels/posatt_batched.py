@@ -175,10 +175,18 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in):
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
             g = g_ref[0, :, h * D : (h + 1) * D]  # (TLo, D)
-            # dValues: P^T @ G, accumulated over row tiles
-            du_ref[0] += jnp.dot(att.T, g, preferred_element_type=jnp.float32)
-            # dScale: dL/dlogit = P*(T - r), dlogit/ds = -dist on kept entries
-            t = jnp.dot(g, u.T, preferred_element_type=jnp.float32)  # (TLo, Li)
+            # dValues: P^T @ G, accumulated over row tiles. dot_general
+            # with contraction on the row axis — no explicit .T relayout.
+            du_ref[0] += jax.lax.dot_general(
+                att, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dScale: dL/dlogit = P*(T - r), dlogit/ds = -dist on kept
+            # entries; T = G @ U^T via contraction on the feature axis.
+            t = jax.lax.dot_general(
+                g, u, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TLo, Li)
             pt = att * t
             r = jnp.sum(pt, axis=-1, keepdims=True)
             ds_acc[h, 0] += jnp.sum(pt * nd) - jnp.sum(

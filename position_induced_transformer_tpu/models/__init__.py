@@ -28,6 +28,7 @@ from position_induced_transformer_tpu.models.pit_tf import (
     pairwise_dist_half,
     pairwise_dist_periodic_1d,
     pairwise_dist_periodic_2d,
+    tf_precompute_thresholds,
 )
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     "TFGeometry",
     "MultiHeadPosAtt",
     "MultiHeadPosAttBatched",
+    "tf_precompute_thresholds",
     "PiTTFPointCloud",
     "pairwise_dist_periodic_2d",
     "pairwise_dist_periodic_1d",

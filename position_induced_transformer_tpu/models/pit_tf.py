@@ -27,11 +27,49 @@ from position_induced_transformer_tpu.ops.initializers import he_normal_tf
 
 class TFGeometry(NamedTuple):
     """Precomputed distance matrices (tensorflow/*/utils.py pass these to the
-    model constructor; here they ride alongside the params)."""
+    model constructor; here they ride alongside the params).
+
+    ``thr_down``/``thr_up``/``thr_qry`` optionally carry precomputed per-row
+    percentile thresholds on the RAW distances for the encoder cross
+    (rows of m_cross.T), decoder cross (rows of m_cross) and decoder
+    self-attention (rows of m_qry). The reference recomputes
+    ``tfp.stats.percentile`` over the *scaled* distances per head per
+    forward (e.g. tensorflow/1_InviscidBurgers/utils.py:125-127), but the
+    percentile commutes with the non-negative bandwidth scale (see
+    ops/locality.py), so for the tan-sin and r^2 bandwidths the mask is
+    head- and parameter-independent and can be hoisted out of the train
+    step entirely. Built by :func:`tf_precompute_thresholds`."""
 
     m_qry: jnp.ndarray  # (L_qry, L_qry)
     m_cross: jnp.ndarray  # (L_qry, L_ltt)
     m_ltt: Optional[jnp.ndarray] = None  # (L_ltt, L_ltt)
+    thr_down: Optional[jnp.ndarray] = None  # (L_ltt, 1)
+    thr_up: Optional[jnp.ndarray] = None  # (L_qry, 1)
+    thr_qry: Optional[jnp.ndarray] = None  # (L_qry, 1)
+
+
+def tf_precompute_thresholds(
+    geom: TFGeometry, en_loc: float, de_loc: float
+) -> TFGeometry:
+    """Fill the TFGeometry threshold fields for percentile localities
+    (0-100 scale; > 100 = global = no threshold needed). Only valid for
+    bandwidth kinds that are non-negative for every parameter value
+    ('tan_sin', 'square') — the masks then match the reference's per-head
+    scaled percentile exactly (modulo fp ties)."""
+    from position_induced_transformer_tpu.ops.locality import (
+        quantile_threshold,
+    )
+
+    def thr(m, loc):
+        if m is None or loc > 100:
+            return None
+        return quantile_threshold(m, loc / 100.0)
+
+    return geom._replace(
+        thr_down=thr(None if geom.m_cross is None else geom.m_cross.T, en_loc),
+        thr_up=thr(geom.m_cross, de_loc),
+        thr_qry=thr(geom.m_qry, de_loc),
+    )
 
 
 def _bandwidth(r: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -61,7 +99,9 @@ class MultiHeadPosAtt(nn.Module):
     bandwidth: str = "tan_sin"
 
     @nn.compact
-    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
+    ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
         r = self.param(
             "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
@@ -71,12 +111,19 @@ class MultiHeadPosAtt(nn.Module):
         )
         scaled = dist * _bandwidth(r, self.bandwidth)  # (H, Lq, Lk)
         if self.locality <= 100:
-            mask = jnp.quantile(
-                scaled, self.locality / 100.0, axis=-1, keepdims=True
-            )
-            scaled = jnp.where(
-                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
-            )
+            if thr is not None:
+                # precomputed raw-distance threshold (head-independent —
+                # the percentile commutes with the non-negative scale)
+                scaled = jnp.where(
+                    dist <= thr, scaled, jnp.finfo(jnp.float32).max
+                )
+            else:
+                mask = jnp.quantile(
+                    scaled, self.locality / 100.0, axis=-1, keepdims=True
+                )
+                scaled = jnp.where(
+                    scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+                )
         att = nn.softmax(-scaled, axis=-1)
         value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
         out = jnp.einsum("hnj,bhjd->bhnd", att, value)
@@ -131,7 +178,7 @@ class PiTTF(nn.Module):
         x = MultiHeadPosAtt(
             self.n_head, self.hid_dim, self.locality_encoder, self.bandwidth,
             name="down",
-        )(geom.m_cross.T, en)
+        )(geom.m_cross.T, en, geom.thr_down)
 
         # Processor: locality 200 => global (utils.py:181)
         for i in range(self.n_blocks):
@@ -148,12 +195,12 @@ class PiTTF(nn.Module):
         de = MultiHeadPosAtt(
             self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
             name="up",
-        )(geom.m_cross, x)
+        )(geom.m_cross, x, geom.thr_up)
         if self.use_decoder_selfatt:
             de2 = MultiHeadPosAtt(
                 self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
                 name="up2",
-            )(geom.m_qry, de)
+            )(geom.m_qry, de, geom.thr_qry)
             de = TFMlp(self.hid_dim, self.hid_dim, name="mlp")(de2) + nn.Dense(
                 self.hid_dim, kernel_init=he_normal_tf, name="w"
             )(de)
@@ -189,7 +236,9 @@ class MultiHeadPosAttBatched(nn.Module):
     locality: float  # percentile; > 100 = global
 
     @nn.compact
-    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
+    ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
         r = self.param(
             "band_width", nn.initializers.lecun_normal(), (1, self.n_head, 1, 1)
@@ -199,12 +248,20 @@ class MultiHeadPosAttBatched(nn.Module):
         )
         scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)
         if self.locality <= 100:
-            mask = jnp.quantile(
-                scaled, self.locality / 100.0, axis=-1, keepdims=True
-            )
-            scaled = jnp.where(
-                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
-            )
+            if thr is not None:
+                # (B, L, 1) threshold on the raw distances, computed once
+                # per call by the model — the percentile commutes with the
+                # non-negative r^2 scale, so the reference's per-head
+                # percentile over the scaled distances
+                # (tensorflow/5_Elasticity/utils.py:92-95) collapses to one
+                # head-independent mask
+                keep = (dist <= thr)[:, None, :, :]
+            else:
+                mask = jnp.quantile(
+                    scaled, self.locality / 100.0, axis=-1, keepdims=True
+                )
+                keep = scaled <= mask
+            scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
         att = nn.softmax(-scaled, axis=-1)
         value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
         out = jnp.einsum("bhnj,bhjd->bhnd", att, value)
@@ -232,6 +289,17 @@ class PiTTFPointCloud(nn.Module):
         coords = inputs[..., :2]
         diff = coords[:, :, None, :] - coords[:, None, :, :]
         m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)  # (B, L, L)
+        # head-independent locality thresholds, once per distinct locality
+        # (the reference sorts the scaled (B, H, L, L) tensor per attention
+        # block per forward — H x redundant)
+        from position_induced_transformer_tpu.ops.locality import (
+            quantile_threshold,
+        )
+
+        thr = {
+            loc: quantile_threshold(m_dist, loc / 100.0) if loc <= 100 else None
+            for loc in {self.locality_encoder, self.locality_decoder}
+        }
 
         dense = lambda name: nn.Dense(
             self.hid_dim, kernel_init=he_normal_tf, name=name
@@ -241,7 +309,7 @@ class PiTTFPointCloud(nn.Module):
         x = TFMlp(self.hid_dim, self.hid_dim, name="mlp1")(
             MultiHeadPosAttBatched(
                 self.n_head, self.hid_dim, self.locality_encoder, name="down"
-            )(m_dist, en)
+            )(m_dist, en, thr[self.locality_encoder])
         ) + dense("w1")(en)
         x = nn.gelu(x, approximate=False)
 
@@ -257,7 +325,7 @@ class PiTTFPointCloud(nn.Module):
         de = TFMlp(self.hid_dim, self.hid_dim, name="mlp2")(
             MultiHeadPosAttBatched(
                 self.n_head, self.hid_dim, self.locality_decoder, name="up"
-            )(m_dist, x)
+            )(m_dist, x, thr[self.locality_decoder])
         ) + dense("w2")(x)
         de = nn.gelu(de, approximate=False)
         return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)

@@ -322,16 +322,20 @@ def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         PiTTF,
         TFGeometry,
         pairwise_dist_periodic_1d,
+        tf_precompute_thresholds,
     )
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
     L = (cfg.grid or (1024,))[0]
     Lt = (cfg.latent_grid or (1024,))[0]
     x_tr, y_tr, x_te, y_te = loaders.burgers(data_path, ntrain, ntest, L=L)
-    geom = TFGeometry(
-        m_qry=pairwise_dist_periodic_1d(L, L),
-        m_cross=pairwise_dist_periodic_1d(L, Lt),
-        m_ltt=pairwise_dist_periodic_1d(Lt, Lt),
+    geom = tf_precompute_thresholds(
+        TFGeometry(
+            m_qry=pairwise_dist_periodic_1d(L, L),
+            m_cross=pairwise_dist_periodic_1d(L, Lt),
+            m_ltt=pairwise_dist_periodic_1d(Lt, Lt),
+        ),
+        cfg.model.en_loc, cfg.model.de_loc,
     )
     mesh = jnp.asarray(meshes.grid_1d(L))
     m = cfg.model
@@ -361,7 +365,11 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     """TF-family ShockTube: PiTTF with the r^2 bandwidth over plain 1-D grid
     distance^2 matrices, single output variable
     (reference: tensorflow/2_ShockTube/train.py:14-36, utils.py:33-44,118)."""
-    from position_induced_transformer_tpu.models import PiTTF, TFGeometry
+    from position_induced_transformer_tpu.models import (
+        PiTTF,
+        TFGeometry,
+        tf_precompute_thresholds,
+    )
     from position_induced_transformer_tpu.ops import euclidean_sq
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
@@ -371,10 +379,13 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     # TF variant predicts a single variable (Y[..., newaxis] of one field)
     y_tr, y_te = y_tr[..., :1], y_te[..., :1]
     g = lambda n: jnp.asarray(meshes.grid_1d(n))
-    geom = TFGeometry(
-        m_qry=euclidean_sq(g(L), g(L)),
-        m_cross=euclidean_sq(g(L), g(Lt)),
-        m_ltt=euclidean_sq(g(Lt), g(Lt)),
+    geom = tf_precompute_thresholds(
+        TFGeometry(
+            m_qry=euclidean_sq(g(L), g(L)),
+            m_cross=euclidean_sq(g(L), g(Lt)),
+            m_ltt=euclidean_sq(g(Lt), g(Lt)),
+        ),
+        cfg.model.en_loc, cfg.model.de_loc,
     )
     mesh = g(L)
     m = cfg.model
@@ -417,6 +428,7 @@ def setup_darcy_tf(
         PiTTF,
         TFGeometry,
         pairwise_dist_half,
+        tf_precompute_thresholds,
     )
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
@@ -431,10 +443,16 @@ def setup_darcy_tf(
     st = cfg.latent_grid[0]
     grid_q = jnp.asarray(meshes.grid_2d(s, endpoint=False).reshape(-1, 2))
     grid_l = jnp.asarray(meshes.grid_2d(st, endpoint=False).reshape(-1, 2))
-    geom = TFGeometry(
-        m_qry=pairwise_dist_half(grid_q, grid_q),
-        m_cross=pairwise_dist_half(grid_q, grid_l),
-        m_ltt=pairwise_dist_half(grid_l, grid_l),
+    # m_qry is only consumed by the decoder self-attention (absent in the
+    # Darcy variant) — building it at the 421^2 ZSSR resolution would cost
+    # 177,241^2 floats, so it is skipped
+    geom = tf_precompute_thresholds(
+        TFGeometry(
+            m_qry=None,
+            m_cross=pairwise_dist_half(grid_q, grid_l),
+            m_ltt=pairwise_dist_half(grid_l, grid_l),
+        ),
+        cfg.model.en_loc, cfg.model.de_loc,
     )
     if normalizers is not None:
         x_norm, y_norm = normalizers
@@ -476,6 +494,7 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     from position_induced_transformer_tpu.models import (
         PiTTF,
         TFGeometry,
+        tf_precompute_thresholds,
     )
     from position_induced_transformer_tpu.models.pit_tf import (
         pairwise_dist_periodic_2d,
@@ -489,10 +508,13 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     st = cfg.latent_grid[0]
     grid_q = jnp.asarray(meshes.grid_2d(s, endpoint=False).reshape(-1, 2))
     grid_l = jnp.asarray(meshes.grid_2d(st, endpoint=False).reshape(-1, 2))
-    geom = TFGeometry(
-        m_qry=pairwise_dist_periodic_2d(grid_q, grid_q),
-        m_cross=pairwise_dist_periodic_2d(grid_q, grid_l),
-        m_ltt=pairwise_dist_periodic_2d(grid_l, grid_l),
+    geom = tf_precompute_thresholds(
+        TFGeometry(
+            m_qry=None,  # no decoder self-attention in this variant
+            m_cross=pairwise_dist_periodic_2d(grid_q, grid_l),
+            m_ltt=pairwise_dist_periodic_2d(grid_l, grid_l),
+        ),
+        cfg.model.en_loc, cfg.model.de_loc,
     )
     m = cfg.model
     model = PiTTF(
@@ -573,8 +595,11 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     lx, ly = cfg.latent_grid
     grid_q = jnp.asarray(meshes.grid_2d_rect(nx, ny))
     grid_l = jnp.asarray(meshes.grid_2d_rect(lx, ly))
+    # NOTE: no precomputed thresholds here — the NACA 'tan' bandwidth can
+    # be negative before the first NonNeg projection, where the percentile
+    # no longer commutes with the scale; the in-op quantile is kept.
     geom = TFGeometry(
-        m_qry=pairwise_dist_half(grid_q, grid_q),
+        m_qry=None,  # no decoder self-attention in this variant
         m_cross=pairwise_dist_half(grid_q, grid_l),
         m_ltt=pairwise_dist_half(grid_l, grid_l),
     )

@@ -46,26 +46,34 @@ MXU_PEAK_BF16 = 197e12  # FLOP/s
 MXU_PEAK_F32 = MXU_PEAK_BF16 / 3  # ~3-pass f32 emulation on the bf16 MXU
 
 
-def timeit_scanned(apply_u, u_shape, n_iter=32, rounds=5):
-    """Median per-iteration seconds of ``apply_u(u)`` over a jitted scan of
-    n_iter on-device-generated value tensors.
+def timeit_scanned(apply_ul, u_shape, lmda_shape, n_iter=128, rounds=5):
+    """Median per-iteration seconds of ``apply_ul(u, lmda)`` over a jitted
+    scan of n_iter on-device-generated (values, bandwidth) pairs.
 
-    Values are generated from a fresh scalar seed per round (uploading host
-    data through the tunnel costs far more than the kernels; identical
-    inputs would be memoized by the relay), and a generation-only baseline
-    — same PRNG + sum + dispatch + scalar read-back — is subtracted."""
+    Both the values AND the bandwidth parameter vary per iteration — as
+    they do in a real train step — so XLA cannot hoist the (loop-invariant)
+    attention computation out of the scan. Inputs are generated on device
+    from a fresh scalar seed per round (uploading host data through the
+    tunnel costs far more than the kernels; identical inputs would be
+    memoized by the relay), and a generation-only baseline — same PRNG +
+    sum + dispatch + scalar read-back — is subtracted."""
 
     @jax.jit
     def run(seed):
-        U = jax.random.uniform(jax.random.PRNGKey(seed), (n_iter,) + u_shape)
-        def body(acc, u):
-            return acc + jnp.sum(apply_u(u)), None
-        return jax.lax.scan(body, 0.0, U)[0]
+        key = jax.random.PRNGKey(seed)
+        U = jax.random.uniform(key, (n_iter,) + u_shape)
+        L = jax.random.uniform(jax.random.fold_in(key, 1), (n_iter,) + lmda_shape)
+        def body(acc, ul):
+            u, lm = ul
+            return acc + jnp.sum(apply_ul(u, lm)), None
+        return jax.lax.scan(body, 0.0, (U, L))[0]
 
     @jax.jit
     def base(seed):
-        U = jax.random.uniform(jax.random.PRNGKey(seed), (n_iter,) + u_shape)
-        return jnp.sum(U)
+        key = jax.random.PRNGKey(seed)
+        U = jax.random.uniform(key, (n_iter,) + u_shape)
+        L = jax.random.uniform(jax.random.fold_in(key, 1), (n_iter,) + lmda_shape)
+        return jnp.sum(U) + jnp.sum(L)
 
     float(run(0))  # compile + settle
     float(base(0))
@@ -118,19 +126,19 @@ def check_fixed(L_out, L_in, B, H, D, loc, label, rows):
     lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
     u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
 
-    oracle = lambda x: position_attention(dist, lmda, x, loc, thr=thr)
-    fused2 = lambda x: position_attention_fixed(
-        dist, lmda, x, loc, thr=thr, version=2
+    oracle = lambda x, lm: position_attention(dist, lm, x, loc, thr=thr)
+    fused2 = lambda x, lm: position_attention_fixed(
+        dist, lm, x, loc, thr=thr, version=2
     )
-    fused2b = lambda x: position_attention_fixed(
-        dist, lmda, x, loc, thr=thr, version=2, mxu_bf16=True
+    fused2b = lambda x, lm: position_attention_fixed(
+        dist, lm, x, loc, thr=thr, version=2, mxu_bf16=True
     )
 
-    want = oracle(u)
-    err = float(jnp.max(jnp.abs(fused2(u) - want)))
+    want = oracle(u, lmda)
+    err = float(jnp.max(jnp.abs(fused2(u, lmda) - want)))
 
     for impl, fn in (("xla", oracle), ("v2", fused2), ("v2_bf16", fused2b)):
-        t = timeit_scanned(fn, u.shape)
+        t = timeit_scanned(fn, u.shape, lmda.shape)
         row = roofline_row(label, impl, t, L_out, L_in, B, H, D, False)
         if impl == "v2":
             row["max_abs_err_vs_xla"] = err
@@ -146,16 +154,16 @@ def check_batched(Lq, Lk, B, H, D, loc, label, rows):
 
     from position_induced_transformer_tpu.ops.locality import topk_threshold
 
-    def oracle(x):
+    def oracle(x, lm):
         dist = euclidean_sq(mq, mk)
         thr = topk_threshold(dist, loc) if loc < 1.0 else None
-        return position_attention(dist, lmda, x, loc, thr=thr)
+        return position_attention(dist, lm, x, loc, thr=thr)
 
-    fused = lambda x: position_attention_batched(mq, mk, lmda, x, loc)
+    fused = lambda x, lm: position_attention_batched(mq, mk, lm, x, loc)
 
-    err = float(jnp.max(jnp.abs(fused(u) - oracle(u))))
+    err = float(jnp.max(jnp.abs(fused(u, lmda) - oracle(u, lmda))))
     for impl, fn in (("xla", oracle), ("batched_fused", fused)):
-        t = timeit_scanned(fn, u.shape)
+        t = timeit_scanned(fn, u.shape, lmda.shape)
         row = roofline_row(label, impl, t, Lq, Lk, B, H, D, True)
         if impl == "batched_fused":
             row["max_abs_err_vs_xla"] = err

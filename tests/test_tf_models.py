@@ -148,3 +148,62 @@ def test_baselines_train_end_to_end():
         upd, ost = opt.update(g, ost, params)
         params = optax.apply_updates(params, upd)
         assert float(loss(params)) < float(l0), type(model).__name__
+
+
+def test_tf_precomputed_thresholds_match_in_op_quantile():
+    """PiTTF with setup-time raw-distance thresholds (tf_precompute_thresholds)
+    produces the same output as the reference-style in-op per-head percentile
+    over the scaled distances — the mask commutes with the non-negative
+    bandwidth (ops/locality.py). Random (tie-free) clouds."""
+    from position_induced_transformer_tpu.models import tf_precompute_thresholds
+
+    rng = np.random.default_rng(5)
+    L, Lt, B = 37, 9, 3
+    pts_q = jnp.asarray(rng.random((L, 2)), jnp.float32)
+    pts_l = jnp.asarray(rng.random((Lt, 2)), jnp.float32)
+    geom = TFGeometry(
+        m_qry=pairwise_dist_half(pts_q, pts_q),
+        m_cross=pairwise_dist_half(pts_q, pts_l),
+        m_ltt=pairwise_dist_half(pts_l, pts_l),
+    )
+    geom_thr = tf_precompute_thresholds(geom, 20.0, 30.0)
+    assert geom_thr.thr_down is not None and geom_thr.thr_qry is not None
+
+    x = jnp.asarray(rng.random((B, L, 1)), jnp.float32)
+    mesh = jnp.asarray(rng.random((L, 1)), jnp.float32)
+    for bandwidth in ("tan_sin", "square"):
+        model = PiTTF(
+            out_dim=1, hid_dim=8, n_head=2, locality_encoder=20.0,
+            locality_decoder=30.0, n_blocks=1, bandwidth=bandwidth,
+        )
+        params = model.init(jax.random.PRNGKey(0), geom, mesh, x)
+        out_quantile = model.apply(params, geom, mesh, x)
+        out_thr = model.apply(params, geom_thr, mesh, x)
+        np.testing.assert_allclose(
+            np.asarray(out_thr), np.asarray(out_quantile), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_pointcloud_shared_mask_matches_per_head_quantile():
+    """PiTTFPointCloud's once-per-call raw-distance threshold equals the
+    per-head quantile over the r^2-scaled distances."""
+    from position_induced_transformer_tpu.models import PiTTFPointCloud
+    from position_induced_transformer_tpu.models.pit_tf import (
+        MultiHeadPosAttBatched,
+    )
+    from position_induced_transformer_tpu.ops.locality import quantile_threshold
+
+    rng = np.random.default_rng(6)
+    B, L, hid, H = 2, 24, 8, 4
+    x = jnp.asarray(rng.random((B, L, 4)), jnp.float32)
+    coords = x[..., :2]
+    diff = coords[:, :, None, :] - coords[:, None, :, :]
+    m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)
+    thr = quantile_threshold(m_dist, 0.25)
+    mod = MultiHeadPosAttBatched(n_head=H, hid_dim=hid, locality=25.0)
+    params = mod.init(jax.random.PRNGKey(1), m_dist, x)
+    out_per_head = mod.apply(params, m_dist, x)
+    out_shared = mod.apply(params, m_dist, x, thr)
+    np.testing.assert_allclose(
+        np.asarray(out_shared), np.asarray(out_per_head), rtol=1e-6, atol=1e-7
+    )
