@@ -36,6 +36,13 @@ SWEEP = {
     "elasticity": dict(ntrain=100, ntest=20),
     "naca": dict(ntrain=100, ntest=20),
     "cylinder": dict(ntrain=1000, ntest=100),
+    # TF-family (original paper) experiments at their full configurations
+    "burgers_tf": dict(ntrain=100, ntest=20),
+    "sod_tf": dict(ntrain=128, ntest=16),
+    "darcy_tf": dict(ntrain=128, ntest=16),
+    "vorticity_tf": dict(ntrain=80, ntest=16),
+    "elasticity_tf": dict(ntrain=100, ntest=20),
+    "naca_tf": dict(ntrain=128, ntest=16),
 }
 
 
