@@ -43,19 +43,27 @@ class TFGeometry(NamedTuple):
     m_qry: jnp.ndarray  # (L_qry, L_qry)
     m_cross: jnp.ndarray  # (L_qry, L_ltt)
     m_ltt: Optional[jnp.ndarray] = None  # (L_ltt, L_ltt)
-    thr_down: Optional[jnp.ndarray] = None  # (L_ltt, 1)
-    thr_up: Optional[jnp.ndarray] = None  # (L_qry, 1)
-    thr_qry: Optional[jnp.ndarray] = None  # (L_qry, 1)
+    # (rows, 2): [:, :1] = quantile at p, [:, 1:] = quantile at 1-p —
+    # the complementary threshold serves sign-indefinite bandwidths
+    # (quantile(s*d, p) = s*q_p for s >= 0, s*q_{1-p} for s < 0)
+    thr_down: Optional[jnp.ndarray] = None  # (L_ltt, 2)
+    thr_up: Optional[jnp.ndarray] = None  # (L_qry, 2)
+    thr_qry: Optional[jnp.ndarray] = None  # (L_qry, 2)
 
 
 def tf_precompute_thresholds(
     geom: TFGeometry, en_loc: float, de_loc: float
 ) -> TFGeometry:
     """Fill the TFGeometry threshold fields for percentile localities
-    (0-100 scale; > 100 = global = no threshold needed). Only valid for
-    bandwidth kinds that are non-negative for every parameter value
-    ('tan_sin', 'square') — the masks then match the reference's per-head
-    scaled percentile exactly (modulo fp ties)."""
+    (0-100 scale; > 100 = global = no threshold needed).
+
+    Stores the raw-distance quantiles at both p and 1-p per row, so the
+    reference's per-head percentile over the *scaled* distances
+    (tfp.stats.percentile, e.g. tensorflow/6_NACA/utils.py:116) reduces to
+    a sign-aware rescale for EVERY bandwidth kind:
+    ``quantile(s*d, p) = s * quantile(d, p)`` when the head's scale s >= 0
+    and ``s * quantile(d, 1-p)`` when s < 0 (multiplying by a negative
+    scale reverses the order statistics). No in-step sort remains."""
     from position_induced_transformer_tpu.ops.locality import (
         quantile_threshold,
     )
@@ -63,7 +71,11 @@ def tf_precompute_thresholds(
     def thr(m, loc):
         if m is None or loc > 100:
             return None
-        return quantile_threshold(m, loc / 100.0)
+        p = loc / 100.0
+        return jnp.concatenate(
+            [quantile_threshold(m, p), quantile_threshold(m, 1.0 - p)],
+            axis=-1,
+        )
 
     return geom._replace(
         thr_down=thr(None if geom.m_cross is None else geom.m_cross.T, en_loc),
@@ -109,14 +121,20 @@ class MultiHeadPosAtt(nn.Module):
         w = self.param(
             "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
         )
-        scaled = dist * _bandwidth(r, self.bandwidth)  # (H, Lq, Lk)
+        s = _bandwidth(r, self.bandwidth)  # (H, 1, 1)
+        scaled = dist * s  # (H, Lq, Lk)
         if self.locality <= 100:
             if thr is not None:
-                # precomputed raw-distance threshold (head-independent —
-                # the percentile commutes with the non-negative scale)
-                scaled = jnp.where(
-                    dist <= thr, scaled, jnp.finfo(jnp.float32).max
-                )
+                if self.bandwidth in ("tan_sin", "square"):
+                    # s >= 0 always: the mask is head-independent
+                    keep = dist <= thr[:, :1]
+                else:
+                    # sign-indefinite scale (NACA tan(r) before the NonNeg
+                    # projection): quantile(s*d) = s*q_p (s>=0) / s*q_{1-p}
+                    # (s<0) — per-head rescale of precomputed quantiles
+                    t = jnp.where(s >= 0, s * thr[:, :1], s * thr[:, 1:])
+                    keep = scaled <= t
+                scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
             else:
                 mask = jnp.quantile(
                     scaled, self.locality / 100.0, axis=-1, keepdims=True

@@ -583,6 +583,7 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         PiTTF,
         TFGeometry,
         pairwise_dist_half,
+        tf_precompute_thresholds,
     )
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
@@ -595,13 +596,17 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     lx, ly = cfg.latent_grid
     grid_q = jnp.asarray(meshes.grid_2d_rect(nx, ny))
     grid_l = jnp.asarray(meshes.grid_2d_rect(lx, ly))
-    # NOTE: no precomputed thresholds here — the NACA 'tan' bandwidth can
-    # be negative before the first NonNeg projection, where the percentile
-    # no longer commutes with the scale; the in-op quantile is kept.
-    geom = TFGeometry(
-        m_qry=None,  # no decoder self-attention in this variant
-        m_cross=pairwise_dist_half(grid_q, grid_l),
-        m_ltt=pairwise_dist_half(grid_l, grid_l),
+    # Thresholds are precomputed at BOTH p and 1-p, so the sign-indefinite
+    # 'tan' bandwidth (negative before the first NonNeg projection) is
+    # served exactly by a per-head sign-aware rescale — no in-step sort
+    # (tf_precompute_thresholds / MultiHeadPosAtt).
+    geom = tf_precompute_thresholds(
+        TFGeometry(
+            m_qry=None,  # no decoder self-attention in this variant
+            m_cross=pairwise_dist_half(grid_q, grid_l),
+            m_ltt=pairwise_dist_half(grid_l, grid_l),
+        ),
+        cfg.model.en_loc, cfg.model.de_loc,
     )
     m = cfg.model
     model = PiTTF(

@@ -207,3 +207,44 @@ def test_pointcloud_shared_mask_matches_per_head_quantile():
     np.testing.assert_allclose(
         np.asarray(out_shared), np.asarray(out_per_head), rtol=1e-6, atol=1e-7
     )
+
+
+def test_tf_sign_indefinite_tan_thresholds_match_quantile():
+    """The NACA 'tan' bandwidth can be NEGATIVE (pre-NonNeg-projection);
+    the precomputed dual (p, 1-p) thresholds with the sign-aware rescale
+    must reproduce the in-op per-head percentile exactly — including the
+    order reversal a negative scale causes."""
+    from position_induced_transformer_tpu.models import tf_precompute_thresholds
+
+    rng = np.random.default_rng(7)
+    L, Lt, B = 33, 7, 2
+    pts_q = jnp.asarray(rng.random((L, 2)), jnp.float32)
+    pts_l = jnp.asarray(rng.random((Lt, 2)), jnp.float32)
+    geom = TFGeometry(
+        m_qry=pairwise_dist_half(pts_q, pts_q),
+        m_cross=pairwise_dist_half(pts_q, pts_l),
+        m_ltt=pairwise_dist_half(pts_l, pts_l),
+    )
+    geom_thr = tf_precompute_thresholds(geom, 25.0, 40.0)
+    x = jnp.asarray(rng.random((B, L, 1)), jnp.float32)
+    mesh = jnp.asarray(rng.random((L, 1)), jnp.float32)
+    model = PiTTF(
+        out_dim=1, hid_dim=8, n_head=2, locality_encoder=25.0,
+        locality_decoder=40.0, n_blocks=1, bandwidth="tan",
+    )
+    params = model.init(jax.random.PRNGKey(2), geom, mesh, x)
+    # force one negative and one positive bandwidth per attention module
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            jnp.asarray([[[-0.4]], [[0.7]]], jnp.float32)
+            if any(getattr(k, "key", None) == "band_width" for k in path)
+            and leaf.shape == (2, 1, 1)
+            else leaf
+        ),
+        params,
+    )
+    out_quantile = model.apply(params, geom, mesh, x)
+    out_thr = model.apply(params, geom_thr, mesh, x)
+    np.testing.assert_allclose(
+        np.asarray(out_thr), np.asarray(out_quantile), rtol=1e-6, atol=1e-7
+    )
