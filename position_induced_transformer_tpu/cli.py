@@ -76,6 +76,12 @@ def main(argv=None):
         "--checkpoint-every", type=int, default=None,
         help="also write the checkpoint every N epochs (mid-run recovery)",
     )
+    p_train.add_argument(
+        "--sync-every", type=int, default=1,
+        help="read metrics back from the device every N epochs (0 = only "
+        "at the end); deferring the host sync keeps the device pipeline "
+        "full when readback latency is high",
+    )
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     _add_common(p_eval)
@@ -163,6 +169,7 @@ def main(argv=None):
             history_plot=args.history_plot,
             resume_from=args.resume,
             checkpoint_every=args.checkpoint_every,
+            sync_every=args.sync_every,
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))

@@ -74,6 +74,7 @@ def train(
     resume_from: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     schedule_epochs: Optional[int] = None,
+    sync_every: int = 1,
 ):
     """Train a benchmark end to end; returns (problem, state, history).
 
@@ -83,7 +84,14 @@ def train(
     the checkpoint every N epochs, enabling mid-run recovery.
     ``schedule_epochs``: cosine-decay horizon when it differs from
     ``epochs`` (a partial run that will be resumed must decay over the
-    full intended horizon)."""
+    full intended horizon).
+
+    ``sync_every``: read the per-epoch metric scalars back from the device
+    every N epochs (0 = only at the end). A device->host scalar read
+    through this environment's TPU tunnel stalls the dispatch pipeline
+    ~0.1 s, which dominates fast benchmarks; deferring the readback keeps
+    the device saturated. With N != 1 the per-row ``seconds`` is the mean
+    over the sync group (epochs are only observable at sync points)."""
     cfg = get(config) if isinstance(config, str) else config
     problem = benchmarks.setup(
         cfg, data_path, ntrain=ntrain, ntest=ntest, **(setup_kwargs or {})
@@ -130,8 +138,49 @@ def train(
     key = jax.random.PRNGKey(seed)
     history = []
     logf = open(log_path, "a") if log_path else None
+
+    def normalize_row(ep, dt, train_loss, evals):
+        denom = (
+            n_batches if problem.task.batch_mean_loss
+            else n_batches * cfg.batch_size
+        )
+        train_loss = float(train_loss) / denom
+        evals = {k: float(v) / n_eval for k, v in evals.items()}
+        if cfg.rollout_steps and not problem.task.trajectory_loss:
+            # reference normalizes the summed per-step losses by steps
+            # (train_vorticity.py:140-146); the stepwise rel-L2 metrics
+            # are already per-step means
+            evals["loss"] /= cfg.rollout_steps
+            train_loss /= cfg.rollout_steps
+        return {"epoch": ep, "seconds": dt, "train_loss": train_loss, **evals}
+
+    pending = []  # deferred (epoch, device train_loss, device evals)
+    group_t0 = time.perf_counter()
+
+    def flush():
+        nonlocal group_t0
+        if not pending:
+            return
+        dt = (time.perf_counter() - group_t0) / len(pending)
+        for ep, train_loss, evals in pending:
+            row = normalize_row(ep, dt, train_loss, evals)
+            history.append(row)
+            if verbose:
+                print(
+                    ep, f"{row['seconds']:.3f}", f"{row['train_loss']:.6f}",
+                    *(
+                        f"{v:.6f}" for k, v in row.items()
+                        if k not in ("epoch", "seconds", "train_loss")
+                    ),
+                    flush=True,
+                )
+            if logf:
+                logf.write(json.dumps(row) + "\n")
+                logf.flush()
+        pending.clear()
+        group_t0 = time.perf_counter()
+
     for ep in range(start_epoch, epochs):
-        t0 = time.perf_counter()
         # fold the epoch index in so resumed runs replay the same shuffles
         sub = jax.random.fold_in(key, ep)
         perm = epoch_permutation(sub, problem.n_train, cfg.batch_size)
@@ -147,33 +196,17 @@ def train(
                 state, problem.geom, problem.train_data, perm
             )
         evals = eval_epoch(state, problem.geom, problem.test_data, eval_perm)
-        denom = n_batches if problem.task.batch_mean_loss else n_batches * cfg.batch_size
-        train_loss = float(train_loss) / denom
-        evals = {k: float(v) / n_eval for k, v in evals.items()}
-        if cfg.rollout_steps and not problem.task.trajectory_loss:
-            # reference normalizes the summed per-step losses by steps
-            # (train_vorticity.py:140-146); the stepwise rel-L2 metrics are
-            # already per-step means
-            evals["loss"] /= cfg.rollout_steps
-            train_loss /= cfg.rollout_steps
-        dt = time.perf_counter() - t0
-        row = {"epoch": ep, "seconds": dt, "train_loss": train_loss, **evals}
-        history.append(row)
-        if verbose:
-            print(
-                ep, f"{dt:.3f}", f"{train_loss:.6f}",
-                *(f"{v:.6f}" for v in evals.values()),
-                flush=True,
-            )
-        if logf:
-            logf.write(json.dumps(row) + "\n")
-            logf.flush()
+        pending.append((ep, train_loss, evals))
+        if sync_every and (ep + 1 - start_epoch) % sync_every == 0:
+            flush()
         if (
             checkpoint_path
             and checkpoint_every
             and (ep + 1) % checkpoint_every == 0
         ):
+            flush()
             ckpt.save(checkpoint_path, _payload(state))
+    flush()
     if logf:
         logf.close()
     if history_csv or history_plot:

@@ -58,6 +58,22 @@ def main(names=None):
             problem, state, history = runner.train(
                 cfg, epochs=epochs, verbose=False, **kw
             )
+            # pipelined steady state: epochs dispatched back-to-back with a
+            # single device->host sync at the end (each per-epoch scalar
+            # readback stalls ~0.1 s through the TPU tunnel, which dominates
+            # the fast benchmarks) — the production configuration (runner
+            # sync_every=0). Two-run difference cancels trace/compile.
+            n_pipe = 6
+            t1 = time.time()
+            runner.train(cfg, epochs=1, verbose=False, sync_every=0, **kw)
+            wall_one = time.time() - t1
+            t1 = time.time()
+            runner.train(
+                cfg, epochs=1 + n_pipe, verbose=False, sync_every=0, **kw
+            )
+            pipe_steady = max(
+                (time.time() - t1 - wall_one) / n_pipe, 1e-9
+            )
         except Exception as e:  # record and continue the sweep
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(json.dumps({"benchmark": name, **results[name]}), flush=True)
@@ -69,6 +85,8 @@ def main(names=None):
         results[name] = {
             "steady_epoch_s_reduced": round(steady, 4),
             "train_steps_per_sec": round(steps_per_sec, 2),
+            "pipelined_epoch_s_reduced": round(pipe_steady, 4),
+            "pipelined_steps_per_sec": round(n_batches / pipe_steady, 2),
             "extrapolated_full_epoch_s": round(full_epoch_s, 3),
             "final_train_loss": round(history[-1]["train_loss"], 6),
             "compile_plus_first_epoch_s": round(history[0]["seconds"], 1),
