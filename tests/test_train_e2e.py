@@ -77,6 +77,25 @@ def test_cylinder_e2e_residual():
     assert bool(jnp.all(jnp.isfinite(traj)))
 
 
+def test_sync_every_is_observationally_equivalent():
+    """Deferred metric readback (sync_every=0) must not change training:
+    same final params and same per-epoch losses as per-epoch sync."""
+    import jax
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    kw = dict(epochs=3, ntrain=32, ntest=16, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, sync_every=0, **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for r1, r2 in zip(h1, h2):
+        assert r1["epoch"] == r2["epoch"]
+        np.testing.assert_allclose(r1["train_loss"], r2["train_loss"], rtol=1e-6)
+        np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-6)
+
+
 def test_naca_e2e_latent_slice_geometry():
     """Torch-family NACA: per-sample C-grid meshes with the latent cloud cut
     as a strided slice of the output mesh (reference: train_naca.py:62-95).
