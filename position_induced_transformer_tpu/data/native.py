@@ -94,21 +94,20 @@ def _period_for(mesh_in: np.ndarray, metric: str) -> float:
     return 0.0
 
 
-def geometry_host_subprocess(
-    mesh_out,
-    mesh_in,
-    metric: str = "euclidean",
-    locality: float = 1.0,
-    timeout: float = 600.0,
-):
-    """(dist, thr) via the native builder in a short-lived CHILD process.
+def geometry_host_subprocess_many(requests, timeout: float = 600.0):
+    """Run several ``geometry_host`` requests in ONE short-lived CHILD
+    process; returns a list of (dist, thr) or None on any failure.
 
     Executing any code in libpitgeom.so inside a TPU-tunnel-attached
-    process permanently degrades that process's device dispatch ~10x
-    (mechanism undiagnosed — CLAUDE.md); quarantining the ctypes call in a
-    subprocess keeps the C++ builder usable on the production TPU path.
-    The child imports only numpy/ctypes (never jax). Returns None when the
-    library or the child fails — callers degrade to the jnp path.
+    process was observed to degrade that process's device dispatch ~10x
+    (mechanism undiagnosed — CLAUDE.md); quarantining the ctypes calls in
+    a subprocess keeps the C++ builder usable on the production TPU path.
+    The child imports only numpy/ctypes (never jax), and the environment's
+    sitecustomize trigger (PALLAS_AXON_POOL_IPS) is stripped so the child
+    never registers a second client on the single-chip tunnel relay —
+    which contends with, and can wedge, the parent.
+
+    ``requests``: iterable of (mesh_out, mesh_in, metric, locality).
     """
     import pickle
     import subprocess
@@ -119,47 +118,68 @@ def geometry_host_subprocess(
         return None
     repo_root = os.path.abspath(os.path.join(_NATIVE_DIR, ".."))
     with tempfile.TemporaryDirectory() as td:
-        inp = os.path.join(td, "in.npz")
+        inp = os.path.join(td, "in.pkl")
         outp = os.path.join(td, "out.pkl")
-        np.savez(
-            inp,
-            mesh_out=_f32(mesh_out),
-            mesh_in=_f32(mesh_in),
-            metric=metric,
-            locality=np.float64(locality),
-        )
+        with open(inp, "wb") as f:
+            pickle.dump(
+                [
+                    (_f32(mo), _f32(mi), metric, float(loc))
+                    for mo, mi, metric, loc in requests
+                ],
+                f,
+            )
         code = (
             "import sys; sys.path.insert(0, sys.argv[1]);"
             "from position_induced_transformer_tpu.data import native;"
             "native._subprocess_main(sys.argv[2], sys.argv[3])"
         )
+        env = {
+            k: v for k, v in os.environ.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
         try:
             subprocess.run(
                 [sys.executable, "-c", code, repo_root, inp, outp],
                 check=True,
                 capture_output=True,
                 timeout=timeout,
+                env=env,
             )
             with open(outp, "rb") as f:
-                dist, thr = pickle.load(f)
-            return dist, thr
+                return pickle.load(f)
         except Exception:
             return None
 
 
+def geometry_host_subprocess(
+    mesh_out,
+    mesh_in,
+    metric: str = "euclidean",
+    locality: float = 1.0,
+    timeout: float = 600.0,
+):
+    """Single-request convenience wrapper over
+    :func:`geometry_host_subprocess_many`."""
+    results = geometry_host_subprocess_many(
+        [(mesh_out, mesh_in, metric, locality)], timeout=timeout
+    )
+    return None if results is None else results[0]
+
+
 def _subprocess_main(inp: str, outp: str) -> None:
-    """Child entry: run geometry_host on the serialized request."""
+    """Child entry: run geometry_host on each serialized request."""
     import pickle
 
-    data = np.load(inp, allow_pickle=True)
-    result = geometry_host(
-        data["mesh_out"], data["mesh_in"],
-        str(data["metric"]), float(data["locality"]),
-    )
-    if result is None:
-        raise SystemExit(3)
+    with open(inp, "rb") as f:
+        requests = pickle.load(f)
+    results = []
+    for mesh_out, mesh_in, metric, locality in requests:
+        r = geometry_host(mesh_out, mesh_in, metric, locality)
+        if r is None:
+            raise SystemExit(3)
+        results.append(r)
     with open(outp, "wb") as f:
-        pickle.dump(result, f)
+        pickle.dump(results, f)
 
 
 def geometry_host(

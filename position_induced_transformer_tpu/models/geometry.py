@@ -172,28 +172,24 @@ def build_geometry_host(
 
     use_native = os.environ.get("PIT_NATIVE_GEOMETRY", "auto")
     on_cpu = jax.default_backend() == "cpu"
-    if use_native == "never":
-        builder = None
-    elif use_native == "force" or on_cpu:
-        builder = native.geometry_host
-    else:
-        builder = native.geometry_host_subprocess
-    if builder is None or native.load() is None:
-        return build_geometry(
-            jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
-            metric=metric, en_loc=en_loc, de_loc=de_loc,
-        )
-    mi, ml, mo = (np.asarray(m, np.float32) for m in (mesh_in, mesh_ltt, mesh_out))
-    parts = (
-        builder(ml, mi, metric, en_loc),
-        builder(ml, ml, metric, 1.0),
-        builder(mo, ml, metric, de_loc),
+    fallback = lambda: build_geometry(
+        jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
+        metric=metric, en_loc=en_loc, de_loc=de_loc,
     )
-    if any(p is None for p in parts):  # subprocess/library failure
-        return build_geometry(
-            jnp.asarray(mesh_in), jnp.asarray(mesh_ltt), jnp.asarray(mesh_out),
-            metric=metric, en_loc=en_loc, de_loc=de_loc,
-        )
+    if use_native == "never" or native.load() is None:
+        return fallback()
+    mi, ml, mo = (np.asarray(m, np.float32) for m in (mesh_in, mesh_ltt, mesh_out))
+    requests = [
+        (ml, mi, metric, en_loc),
+        (ml, ml, metric, 1.0),
+        (mo, ml, metric, de_loc),
+    ]
+    if use_native == "force" or on_cpu:
+        parts = [native.geometry_host(*r) for r in requests]
+    else:  # quarantine all three builds in ONE child process
+        parts = native.geometry_host_subprocess_many(requests)
+    if parts is None or any(p is None for p in parts):
+        return fallback()
     (dist_down, thr_down), (dist_proc, _), (dist_up, thr_up) = parts
     as_dev = lambda a: None if a is None else jnp.asarray(a)
     return Geometry(
