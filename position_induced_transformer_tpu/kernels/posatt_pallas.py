@@ -278,6 +278,114 @@ def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False, mxu_bf16=False
     return jnp.transpose(out, (0, 2, 1, 3))  # (H, B, L_out, D)
 
 
+def _make_posatt_kernel_v3(H: int, mxu_bf16: bool):
+    def kernel(scale_ref, thr_ref, dist_ref, u_ref, out_ref, m_ref, l_ref, acc_ref):
+        """Head-folded batch-folded variant: ONE distance-tile fetch feeds
+        all H heads' logits + MXU matmuls (H is a static trace-time unroll).
+        Grid (N, I, J): the distance matrix is read ceil(BD/TN) times total
+        — v2's dominant traffic term divided by H. Decisive where dist is
+        the big operand (ZSSR decode: 173 MB dist vs sub-MB values, H=2)."""
+        j = pl.program_id(2)
+        nj = pl.num_programs(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        d = dist_ref[:]
+        keep = d <= thr_ref[:]
+        u = u_ref[:]
+        if mxu_bf16:
+            u = u.astype(jnp.bfloat16)
+        for h in range(H):
+            s = scale_ref[h, 0]
+            logits = jnp.where(keep, -d * s, _NEG)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=-1, keepdims=True)
+            )
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if mxu_bf16:
+                p = p.astype(jnp.bfloat16)
+            acc_ref[h] = acc_ref[h] * alpha + jnp.dot(
+                p, u, preferred_element_type=jnp.float32
+            )
+            m_ref[h] = m_new
+
+        @pl.when(j == nj - 1)
+        def _finalize():
+            out_ref[:] = acc_ref[:] / l_ref[:]
+
+    return kernel
+
+
+def _pick_tiles_v3(L_out: int, L_in: int, H: int, BD: int):
+    """VMEM-aware tile pick: acc/out blocks are (H, TLo, TN)."""
+    TLo = min(_round_up(L_out, 8), 256)
+    TLi = min(_round_up(L_in, 128), 512)
+    TN = min(_round_up(BD, 128), 512)
+    # keep 2*(H*TLo*TN) f32 (acc scratch + out block) under ~8 MB
+    while H * TLo * TN * 4 * 2 > 8 * 1024 * 1024 and TN > 128:
+        TN //= 2
+    while H * TLo * TN * 4 * 2 > 8 * 1024 * 1024 and TLo > 8:
+        TLo //= 2
+    return TLo, TLi, TN
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mxu_bf16"))
+def _posatt_fixed_raw_v3(dist, thr, scale, u, *, interpret=False, mxu_bf16=False):
+    """(H, B, L_out, D) via the head-folded batch-folded kernel."""
+    H = scale.shape[0]
+    B, L_in, D = u.shape
+    L_out = dist.shape[0]
+    BD = B * D
+    TLo, TLi, TN = _pick_tiles_v3(L_out, L_in, H, BD)
+    Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
+    BD_p = _round_up(BD, TN)
+
+    dist_p = jnp.pad(
+        dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
+    )
+    thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
+    u_folded = jnp.transpose(u, (1, 0, 2)).reshape(L_in, BD)
+    u_p = jnp.pad(u_folded, ((0, Li_p - L_in), (0, BD_p - BD)))
+
+    grid = (BD_p // TN, Lo_p // TLo, Li_p // TLi)
+    out = pl.pallas_call(
+        _make_posatt_kernel_v3(H, mxu_bf16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TLo, 1), lambda n, i, j: (i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda n, i, j: (i, j)),
+            pl.BlockSpec((TLi, TN), lambda n, i, j: (j, n)),
+        ],
+        out_specs=pl.BlockSpec((H, TLo, TN), lambda n, i, j: (0, i, n)),
+        out_shape=jax.ShapeDtypeStruct((H, Lo_p, BD_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, TN), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * Lo_p * Li_p * BD_p + 5 * H * Lo_p * Li_p,
+            bytes_accessed=4
+            * ((BD_p // TN) * Lo_p * Li_p + Li_p * BD_p + H * Lo_p * BD_p),
+            transcendentals=H * (BD_p // TN) * Lo_p * Li_p,
+        ),
+        interpret=interpret,
+    )(scale.reshape(H, 1), thr_p, dist_p, u_p)
+    out = out[:, :L_out, :BD].reshape(H, L_out, B, D)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (H, B, L_out, D)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _posatt_stats(dist, thr, scale, *, interpret=False):
     """Final softmax row statistics (M, L): m_i = max_j logits_ij and
@@ -536,6 +644,10 @@ def _reference_forward(dist, thr, scale, u):
 
 
 def _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16):
+    if version == 3:
+        return _posatt_fixed_raw_v3(
+            dist, thr, scale, u, interpret=interpret, mxu_bf16=mxu_bf16
+        )
     if version == 2:
         return _posatt_fixed_raw_v2(
             dist, thr, scale, u, interpret=interpret, mxu_bf16=mxu_bf16
@@ -595,7 +707,7 @@ def position_attention_fixed(
     thr: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
-    version: int = 2,
+    version: int = 3,
     mxu_bf16: bool = False,
     fused_bwd: bool = True,
 ) -> jnp.ndarray:
@@ -604,10 +716,11 @@ def position_attention_fixed(
 
     ``thr``: optional precomputed per-row quantile threshold (L_out, 1); it
     is computed on the fly (XLA sort) when absent and ``locality < 1``.
-    ``version``: 2 = batch-folded values (default; minimal distance-matrix
-    traffic), 1 = per-(head, batch) grid. ``mxu_bf16``: opt-in bf16 MXU
-    matmul with f32 accumulation in the v2 kernel (~2x MXU rate, ~1e-2
-    relative error on the attention-weighted sums).
+    ``version``: 3 = head-folded + batch-folded (one distance pass total),
+    2 = batch-folded values (distance read once per head), 1 =
+    per-(head, batch) grid. ``mxu_bf16``: opt-in bf16 MXU matmul with f32
+    accumulation in the v2/v3 kernels (~2x MXU rate, ~1e-2 relative error
+    on the attention-weighted sums).
     """
     H = lmda.shape[0]
     B = inputs.shape[0]

@@ -62,7 +62,12 @@ class Task:
     swap_loss_args: bool = False  # vorticity/cylinder pass (pred, true)
     postprocess: Optional[Callable] = None  # e.g. y-normalizer denormalize
     rollout_steps: int = 0
-    remat_rollout: bool = True
+    remat_rollout: "bool | str" = True  # BPTT memory/compute trade-off:
+    # True/'full' = jax.checkpoint per rollout step (recompute everything),
+    # 'dots' = checkpoint with dots_saveable (keep matmul outputs, recompute
+    # elementwise — less bwd recompute for more HBM), False/'none' = store
+    # all activations. Env PIT_ROLLOUT_REMAT overrides (measurement:
+    # scripts/tpu_epoch_sweep.py).
     geom_fn: Optional[Callable] = None  # batch -> Geometry (per-sample meshes)
     apply_fn: Optional[Callable] = None  # (params, geom, batch) -> out,
     # overriding model.apply(geom, x) — used by the TF-semantics family
@@ -107,8 +112,16 @@ class Task:
         tensorflow/4_Vorticity/utils.py:115-121 reccurent_PiT)."""
         g = self._geometry(geom, batch)
         apply = lambda p, xx: self._apply(p, g, xx)
-        if self.remat_rollout:
+        import os
+
+        mode = os.environ.get("PIT_ROLLOUT_REMAT") or self.remat_rollout
+        if mode in (True, "full", "1", "true"):
             apply = jax.checkpoint(apply)
+        elif mode == "dots":
+            apply = jax.checkpoint(
+                apply, policy=jax.checkpoint_policies.dots_saveable
+            )
+        # False/'none': store all activations across the unroll
 
         def step(window, _):
             out = apply(params, window)

@@ -19,7 +19,7 @@ from position_induced_transformer_tpu.ops import (
 INTERPRET = jax.devices()[0].platform != "tpu"
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 3])
 @pytest.mark.parametrize(
     "L_out,L_in,B,H,D,loc",
     [
