@@ -468,6 +468,11 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
     BD = gf.shape[-1]
     TLo, TLi = _pick_tiles(L_out, L_in, 1)
     TN = min(_round_up(BD, 128), 512)
+    # head-folded scratch is (H, TLo, TLi) + (H, TLo, TN): keep under ~6 MB
+    while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLi > 128:
+        TLi //= 2
+    while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLo > 8:
+        TLo //= 2
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
     BD_p = _round_up(BD, TN)
     dist_p = jnp.pad(
@@ -484,20 +489,18 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
         scale_ref, thr_ref, m_ref, l_ref, dist_ref, g_ref, u_ref,
         ds_out, t_acc, r_acc, v_acc, w_acc, ds_acc,
     ):
-        i, j, n = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+        # head-folded: one dist/u/g tile fetch serves all H heads (the
+        # per-head loop is a static trace-time unroll)
+        i, j, n = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         ni, nj, nn = (
-            pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+            pl.num_programs(0), pl.num_programs(1), pl.num_programs(2),
         )
-        h = pl.program_id(0)
-        s = scale_ref[h, 0]  # hoisted: program_id is not
-        # available inside pl.when bodies under interpret mode
-        first_of_h = jnp.logical_and(
-            i == 0, jnp.logical_and(j == 0, n == 0)
-        )
+        first = jnp.logical_and(i == 0, jnp.logical_and(j == 0, n == 0))
 
-        @pl.when(first_of_h)
+        @pl.when(first)
         def _init_ds():
-            ds_acc[0, 0] = 0.0
+            for h in range(H):
+                ds_acc[h, 0] = 0.0
 
         @pl.when(jnp.logical_and(j == 0, n == 0))
         def _init_rows():
@@ -509,9 +512,11 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
         def _init_t():
             t_acc[:] = jnp.zeros_like(t_acc)
 
-        t_acc[:] += jnp.dot(
-            g_ref[0], u_ref[:].T, preferred_element_type=jnp.float32
-        )
+        ut = u_ref[:].T
+        for h in range(H):
+            t_acc[h] += jnp.dot(
+                g_ref[h], ut, preferred_element_type=jnp.float32
+            )
 
         @pl.when(n == nn - 1)
         def _reduce():
@@ -519,16 +524,22 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
             # exclude padding (d = +inf): with a +inf threshold (global
             # attention) it would otherwise be "kept" and 0 * -inf = NaN
             keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
-            p = jnp.where(keep, jnp.exp(-d * s - m_ref[0]), 0.0) / l_ref[0]
-            t = t_acc[:]
             nd = jnp.where(keep, -d, 0.0)
-            r_acc[:] += jnp.sum(p * t, axis=-1, keepdims=True)
-            w_acc[:] += jnp.sum(p * t * nd, axis=-1, keepdims=True)
-            v_acc[:] += jnp.sum(p * nd, axis=-1, keepdims=True)
+            for h in range(H):
+                s = scale_ref[h, 0]
+                p = (
+                    jnp.where(keep, jnp.exp(-d * s - m_ref[h]), 0.0)
+                    / l_ref[h]
+                )
+                t = t_acc[h]
+                r_acc[h] += jnp.sum(p * t, axis=-1, keepdims=True)
+                w_acc[h] += jnp.sum(p * t * nd, axis=-1, keepdims=True)
+                v_acc[h] += jnp.sum(p * nd, axis=-1, keepdims=True)
 
         @pl.when(jnp.logical_and(j == nj - 1, n == nn - 1))
         def _fold_rows():
-            ds_acc[0, 0] += jnp.sum(w_acc[:] - r_acc[:] * v_acc[:])
+            for h in range(H):
+                ds_acc[h, 0] += jnp.sum(w_acc[h] - r_acc[h] * v_acc[h])
 
         @pl.when(
             jnp.logical_and(
@@ -536,35 +547,34 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
             )
         )
         def _fin():
-            ds_out[h, 0] = ds_acc[0, 0]
+            for h in range(H):
+                ds_out[h, 0] = ds_acc[h, 0]
 
     ds = pl.pallas_call(
         kernel,
-        grid=(H, Lo_p // TLo, Li_p // TLi, BD_p // TN),
+        grid=(Lo_p // TLo, Li_p // TLi, BD_p // TN),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TLo, 1), lambda h, i, j, n: (i, 0)),
-            pl.BlockSpec((1, TLo, 1), lambda h, i, j, n: (h, i, 0)),
-            pl.BlockSpec((1, TLo, 1), lambda h, i, j, n: (h, i, 0)),
-            pl.BlockSpec((TLo, TLi), lambda h, i, j, n: (i, j)),
-            pl.BlockSpec((1, TLo, TN), lambda h, i, j, n: (h, i, n)),
-            pl.BlockSpec((TLi, TN), lambda h, i, j, n: (j, n)),
+            pl.BlockSpec((TLo, 1), lambda i, j, n: (i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda i, j, n: (0, i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda i, j, n: (0, i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda i, j, n: (i, j)),
+            pl.BlockSpec((H, TLo, TN), lambda i, j, n: (0, i, n)),
+            pl.BlockSpec((TLi, TN), lambda i, j, n: (j, n)),
         ],
         # full-array SMEM output indexed by head inside the kernel (TPU
         # lowering requires scalar-ish blocks to cover the whole array)
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((H, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TLo, TLi), jnp.float32),
-            pltpu.VMEM((TLo, 1), jnp.float32),
-            pltpu.VMEM((TLo, 1), jnp.float32),
-            pltpu.VMEM((TLo, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, TLi), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.SMEM((H, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "arbitrary", "arbitrary", "arbitrary",
-            ),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(scale.reshape(H, 1), thr_p, M_p, L_p, dist_p, gf_p, uf_p)
@@ -593,43 +603,44 @@ def _posatt_bwd_du(dist, thr, scale, M, L, gf, *, interpret=False):
     def kernel(
         scale_ref, thr_ref, m_ref, l_ref, dist_ref, g_ref, du_out, du_acc
     ):
-        h, i = pl.program_id(2), pl.program_id(3)
-        nh, ni = pl.num_programs(2), pl.num_programs(3)
+        # head-folded: the dist tile is read once per (j, n, i) and feeds
+        # all H heads' P^T @ G accumulations (static unroll over h)
+        i = pl.program_id(2)
+        ni = pl.num_programs(2)
 
-        @pl.when(jnp.logical_and(h == 0, i == 0))
+        @pl.when(i == 0)
         def _init():
             du_acc[:] = jnp.zeros_like(du_acc)
 
         d = dist_ref[:]
-        s = scale_ref[h, 0]
         keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
-        p = jnp.where(keep, jnp.exp(-d * s - m_ref[0]), 0.0) / l_ref[0]
-        du_acc[:] += jnp.dot(
-            p.T, g_ref[0], preferred_element_type=jnp.float32
-        )
+        for h in range(H):
+            s = scale_ref[h, 0]
+            p = jnp.where(keep, jnp.exp(-d * s - m_ref[h]), 0.0) / l_ref[h]
+            du_acc[:] += jnp.dot(
+                p.T, g_ref[h], preferred_element_type=jnp.float32
+            )
 
-        @pl.when(jnp.logical_and(h == nh - 1, i == ni - 1))
+        @pl.when(i == ni - 1)
         def _fin():
             du_out[:] = du_acc[:]
 
     du = pl.pallas_call(
         kernel,
-        grid=(Li_p // TLi, BD_p // TN, H, Lo_p // TLo),
+        grid=(Li_p // TLi, BD_p // TN, Lo_p // TLo),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TLo, 1), lambda j, n, h, i: (i, 0)),
-            pl.BlockSpec((1, TLo, 1), lambda j, n, h, i: (h, i, 0)),
-            pl.BlockSpec((1, TLo, 1), lambda j, n, h, i: (h, i, 0)),
-            pl.BlockSpec((TLo, TLi), lambda j, n, h, i: (i, j)),
-            pl.BlockSpec((1, TLo, TN), lambda j, n, h, i: (h, i, n)),
+            pl.BlockSpec((TLo, 1), lambda j, n, i: (i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda j, n, i: (0, i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda j, n, i: (0, i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda j, n, i: (i, j)),
+            pl.BlockSpec((H, TLo, TN), lambda j, n, i: (0, i, n)),
         ],
-        out_specs=pl.BlockSpec((TLi, TN), lambda j, n, h, i: (j, n)),
+        out_specs=pl.BlockSpec((TLi, TN), lambda j, n, i: (j, n)),
         out_shape=jax.ShapeDtypeStruct((Li_p, BD_p), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TLi, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "arbitrary", "arbitrary",
-            ),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(scale.reshape(H, 1), thr_p, M_p, L_p, dist_p, gf_p)

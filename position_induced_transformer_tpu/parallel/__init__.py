@@ -1,5 +1,11 @@
 """Distributed: device meshes, sharding presets, parallel training."""
 
+from position_induced_transformer_tpu.parallel.pipeline import (
+    make_pipelined_apply,
+    make_stage_mesh,
+    pipeline_processor,
+    stack_processor_params,
+)
 from position_induced_transformer_tpu.parallel.shard_map_step import (
     make_shard_map_train_step,
     shard_batch_arrays,
@@ -26,4 +32,8 @@ __all__ = [
     "sequence_shard_geometry",
     "make_shard_map_train_step",
     "shard_batch_arrays",
+    "make_stage_mesh",
+    "stack_processor_params",
+    "pipeline_processor",
+    "make_pipelined_apply",
 ]

@@ -1,0 +1,190 @@
+"""Pipeline parallelism: GPipe stage-split of the PiT processor.
+
+The reference has no parallelism at all (SURVEY.md §2.4); DP/TP/SP live in
+parallel/sharding.py. This module completes the matrix with the optional
+pipeline strategy SURVEY.md §2.4 sketches ("stage split of processor
+blocks"): the ``n_blocks`` homogeneous processor layers are divided into
+``n_stages`` contiguous stages laid out along a 'stage' mesh axis, and
+microbatches stream through the stages GPipe-style — activations hop to
+the next stage over ICI with ``jax.lax.ppermute`` while every device works
+on a different microbatch.
+
+At PiT model scale pipeline parallelism is never *required* (the latent
+bottleneck keeps activations tiny — DP/TP are the production presets);
+this is the executable form of the strategy for models whose processor
+depth outgrows one chip, and it is numerically identical to the
+single-device forward (tests/test_parallel.py).
+
+Layout notes (TPU-first):
+
+- Per-stage parameters are stacked to leaves of shape (S, k, ...) and
+  sharded ``P('stage')`` on the leading axis — each device materializes
+  only its own stage's slab.
+- The processor's k layers per stage run as a ``lax.scan`` (identical
+  shapes: hid -> concat (1+H)*hid -> hid), so the schedule compiles to a
+  single fused program regardless of depth.
+- The encoder/decoder (cross-attention against the fixed latent cloud)
+  are replicated: they are O(L) one-shot ops, not the repeated depth-wise
+  cost pipeline parallelism addresses.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from position_induced_transformer_tpu.ops.posatt import position_attention
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_vma vs legacy check_rep)."""
+    try:
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
+    """A 1-D ('stage',) mesh over the first ``n_stages`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices[:n_stages]), ("stage",))
+
+
+def stack_processor_params(params: Any, n_blocks: int, n_stages: int):
+    """Stack the PiT processor layer params (conv_i bandwidth + mlp_i
+    weights) into (n_stages, k, ...) leaves for P('stage') sharding."""
+    k, rem = divmod(n_blocks, n_stages)
+    if rem:
+        raise ValueError(
+            f"n_blocks={n_blocks} not divisible by n_stages={n_stages}"
+        )
+
+    def layer(i):
+        return {
+            "lmda": params[f"conv_{i}"]["lmda"],
+            "w1": params[f"mlp_{i}"]["mlp1"]["kernel"],
+            "b1": params[f"mlp_{i}"]["mlp1"]["bias"],
+            "w2": params[f"mlp_{i}"]["mlp2"]["kernel"],
+            "b2": params[f"mlp_{i}"]["mlp2"]["bias"],
+        }
+
+    layers = [layer(i) for i in range(n_blocks)]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs).reshape((n_stages, k) + xs[0].shape),
+        *layers,
+    )
+
+
+def _stage_apply(slab, dist, f):
+    """Apply one stage's k processor layers (scan over the layer axis).
+    Layer = global self-posatt (concat residual) -> MLP -> GELU, matching
+    models/pit.py PiT.processor (reference: pit.py:114-122)."""
+
+    def layer(h, p):
+        conv = position_attention(dist, p["lmda"], h, 1.0)
+        h = jnp.concatenate([h, conv], axis=-1)
+        h = h @ p["w1"] + p["b1"]
+        h = nn.gelu(h, approximate=False)
+        h = h @ p["w2"] + p["b2"]
+        return nn.gelu(h, approximate=False), None
+
+    f, _ = jax.lax.scan(layer, f, slab)
+    return f
+
+
+def pipeline_processor(
+    mesh: Mesh, stacked, dist_proc, f: jnp.ndarray, n_micro: int
+) -> jnp.ndarray:
+    """GPipe forward of the stage-stacked processor over the 'stage' axis.
+
+    ``f``: (B, L_ltt, hid) with B divisible by ``n_micro``. Microbatches
+    enter stage 0 one per tick; activations hop stage->stage+1 via
+    ``ppermute``; the last stage's outputs are gathered with a masked psum
+    (every other device contributes zeros).
+    """
+    S = mesh.shape["stage"]
+    B = f.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
+    micro = f.reshape((n_micro, B // n_micro) + f.shape[1:])
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def device_fn(slab, dist, micro):
+        slab = jax.tree_util.tree_map(lambda a: a[0], slab)  # (k, ...)
+        stage_id = jax.lax.axis_index("stage")
+        buf = jnp.zeros_like(micro[0])
+        outs = jnp.zeros_like(micro)
+
+        def tick(carry, t):
+            buf, outs = carry
+            x_in = jax.lax.dynamic_index_in_dim(
+                micro, jnp.clip(t, 0, n_micro - 1), axis=0, keepdims=False
+            )
+            x = jnp.where(stage_id == 0, x_in, buf)
+            y = _stage_apply(slab, dist, x)
+            nxt = jax.lax.ppermute(y, "stage", perm)
+            o_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(outs, y, o_idx, 0)
+            outs = jnp.where(t >= S - 1, upd, outs)
+            return (nxt, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (buf, outs), jnp.arange(n_micro + S - 1)
+        )
+        # only the last stage holds real outputs; sum-gather to all devices
+        outs = jnp.where(stage_id == S - 1, outs, jnp.zeros_like(outs))
+        return jax.lax.psum(outs, "stage")
+
+    out = _shard_map(
+        device_fn,
+        mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P("stage"), stacked),
+            P(),
+            P(),
+        ),
+        out_specs=P(),
+    )(stacked, dist_proc, micro)
+    return out.reshape(f.shape)
+
+
+def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
+    """(params, geom, x) -> out: the full PiT forward with the processor
+    pipelined over the mesh's 'stage' axis (encoder/decoder replicated).
+    Mirrors models/pit.py PiT.__call__ exactly (instance norm placement,
+    residual output)."""
+    from position_induced_transformer_tpu.ops.normalization import (
+        instance_norm,
+    )
+
+    S = mesh.shape["stage"]
+
+    def apply(params, geom, x):
+        stacked = stack_processor_params(params, model.n_blocks, S)
+        f = model.apply({"params": params}, geom, x, method=model.encoder)
+        if model.use_instance_norm:
+            f = instance_norm(f)
+        f = pipeline_processor(mesh, stacked, geom.dist_proc, f, n_micro)
+        if model.use_instance_norm:
+            f = instance_norm(f)
+        out = model.apply({"params": params}, geom, f, method=model.decoder)
+        if model.residual_output:
+            out = out + x
+        return out
+
+    return apply

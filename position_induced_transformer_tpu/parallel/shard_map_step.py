@@ -16,9 +16,26 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from position_induced_transformer_tpu.train.loop import Task, TrainState
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_vma vs legacy check_rep)."""
+    try:
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 
 def make_shard_map_train_step(
@@ -48,9 +65,9 @@ def make_shard_map_train_step(
 
     @jax.jit
     def train_step(state: TrainState, geom, batch):
-        fn = shard_map(
+        fn = _shard_map(
             device_step,
-            mesh=mesh,
+            mesh,
             in_specs=(
                 spec_like(state.params, replicated),
                 spec_like(state.opt_state, replicated),
@@ -62,7 +79,6 @@ def make_shard_map_train_step(
                 spec_like(state.opt_state, replicated),
                 replicated,
             ),
-            check_rep=False,
         )
         params, opt_state, loss = fn(
             state.params, state.opt_state, geom, batch

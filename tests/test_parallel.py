@@ -172,3 +172,55 @@ def test_shard_map_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
         )
+
+
+def test_pipeline_processor_matches_single_device():
+    """GPipe stage-split forward == plain forward (4 stages x 4 micro)."""
+    from position_induced_transformer_tpu.parallel.pipeline import (
+        make_pipelined_apply,
+        make_stage_mesh,
+    )
+
+    cfg, problem = _tiny_problem()  # n_blocks=2 -> use 2 stages
+    mesh = make_stage_mesh(2)
+    model = problem.task.model
+    params = runner.init_state(
+        problem, make_optimizer(cfg.lr, 10), seed=0
+    ).params
+    x = jnp.asarray(np.asarray(problem.test_data["x"][:8]))
+
+    want = model.apply({"params": params}, problem.geom, x)
+    apply = make_pipelined_apply(model, mesh, n_micro=4)
+    got = jax.jit(apply)(params, problem.geom, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_pipeline_four_stages():
+    """4-stage pipeline on a 4-block processor, microbatches != stages."""
+    from position_induced_transformer_tpu.parallel.pipeline import (
+        make_pipelined_apply,
+        make_stage_mesh,
+    )
+
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=4),
+    )
+    problem = benchmarks.setup(cfg, ntrain=16, ntest=8)
+    mesh = make_stage_mesh(4)
+    model = problem.task.model
+    params = runner.init_state(
+        problem, make_optimizer(cfg.lr, 10), seed=0
+    ).params
+    x = jnp.asarray(np.asarray(problem.test_data["x"][:8]))
+
+    want = model.apply({"params": params}, problem.geom, x)
+    apply = make_pipelined_apply(model, mesh, n_micro=2)
+    got = jax.jit(apply)(params, problem.geom, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+    )
