@@ -161,6 +161,14 @@ def train(
         nonlocal group_t0
         if not pending:
             return
+        # force completion BEFORE taking the time: a scalar D2H read is the
+        # only reliable sync through the TPU tunnel (block_until_ready is
+        # not), and the group's epochs depend sequentially on each other,
+        # so reading the last train_loss drains the whole pipeline. Without
+        # this, `seconds` measures host dispatch only.
+        float(pending[-1][1])
+        for v in pending[-1][2].values():
+            float(v)  # eval scalars are not upstream of train_loss
         dt = (time.perf_counter() - group_t0) / len(pending)
         for ep, train_loss, evals in pending:
             row = normalize_row(ep, dt, train_loss, evals)
