@@ -65,28 +65,30 @@ class KaimingMLP(nn.Module):
         return TorchLinear(self.features, name="mlp2")(x)
 
 
-_FUSED_MIN_ATT_BYTES = 32 * 1024 * 1024
-
-
 def _dispatch_posatt(
     dist, lmda, inputs, locality, thr, fused: bool, mesh_q=None, mesh_k=None
 ):
     """Route to a fused Pallas kernel or the XLA path.
 
-    Fixed meshes (``dist.ndim == 2``): the fused kernel's advantage is
-    never materializing the (H, L_out, L_in) attention matrix in HBM.
-    Measured END-TO-END on TPU v5e (FUSED_SWEEP.json,
-    scripts/tpu_fused_experiment.py) it loses at every reference training
-    shape (0.53-1.04x — XLA's batched einsum amortizes the attention) and
-    wins ~1.75x only at ZSSR-decode scale, so the dispatch threshold keeps
-    it to attention matrices of tens of MB. Shapes are static under jit,
-    so the choice is made at trace time.
+    Fixed meshes (``dist.ndim == 2``): XLA wins EVERY reference shape
+    end-to-end on TPU v5e, including ZSSR-scale decode — its 3-pass
+    softmax fusion streams the distance matrix without materializing the
+    (H, L_out, L_in) attention tensor, exactly what the hand-written
+    kernel does, at a higher achieved bandwidth. Measured (2026-08-16,
+    post timing-fix): training epochs 0.53-1.0x with the fused kernel
+    forced on (FUSED_SWEEP.json, scripts/tpu_fused_experiment.py); full
+    421^2 ZSSR forward 7.6 ms XLA vs 10.3 ms fused / 10.0 ms
+    decoder-only-fused (B=4). The head-folded v3 kernel narrowed but did
+    not close the gap (kernels/posatt_pallas.py). So `auto` uses XLA for
+    all fixed-mesh shapes; the kernels stay available behind
+    ``PIT_FUSED_MODE=always`` (+ version/mxu_bf16 flags) for other
+    hardware generations.
 
     Lazy batched meshes (``dist is None``, per-sample point clouds): the
     batched kernel computes distances + locality threshold + softmax +
-    contraction tile-resident from raw coordinates
-    (kernels/posatt_batched.py); non-TPU backends fall back to building
-    the distances in XLA.
+    contraction tile-resident from raw coordinates and is the measured
+    production win (NACA 2.75x, elasticity 1.37x — BASELINE.md);
+    non-TPU backends fall back to building the distances in XLA.
 
     ``PIT_FUSED_MODE`` env var overrides the heuristics: 'always' forces
     the kernels, 'never' disables them (measurement harness:
@@ -117,16 +119,12 @@ def _dispatch_posatt(
         dist = pairwise_sq_dist(mesh_q, mesh_k)
         if locality < 1.0 and thr is None:
             thr = topk_threshold(dist, locality)
-    elif fused and mode != "never" and dist.ndim == 2 and on_tpu:
-        att_bytes = 4 * lmda.shape[0] * dist.shape[0] * dist.shape[1]
-        if mode == "always" or att_bytes >= _FUSED_MIN_ATT_BYTES:
-            from position_induced_transformer_tpu.kernels import (
-                position_attention_fixed,
-            )
+    elif fused and mode == "always" and dist.ndim == 2 and on_tpu:
+        from position_induced_transformer_tpu.kernels import (
+            position_attention_fixed,
+        )
 
-            return position_attention_fixed(
-                dist, lmda, inputs, locality, thr=thr
-            )
+        return position_attention_fixed(dist, lmda, inputs, locality, thr=thr)
     return position_attention(dist, lmda, inputs, locality, thr=thr)
 
 

@@ -130,17 +130,22 @@ def check_fixed(L_out, L_in, B, H, D, loc, label, rows):
     fused2 = lambda x, lm: position_attention_fixed(
         dist, lm, x, loc, thr=thr, version=2
     )
-    fused2b = lambda x, lm: position_attention_fixed(
-        dist, lm, x, loc, thr=thr, version=2, mxu_bf16=True
+    fused3 = lambda x, lm: position_attention_fixed(
+        dist, lm, x, loc, thr=thr, version=3
+    )
+    fused3b = lambda x, lm: position_attention_fixed(
+        dist, lm, x, loc, thr=thr, version=3, mxu_bf16=True
     )
 
     want = oracle(u, lmda)
-    err = float(jnp.max(jnp.abs(fused2(u, lmda) - want)))
+    err = float(jnp.max(jnp.abs(fused3(u, lmda) - want)))
 
-    for impl, fn in (("xla", oracle), ("v2", fused2), ("v2_bf16", fused2b)):
+    for impl, fn in (
+        ("xla", oracle), ("v2", fused2), ("v3", fused3), ("v3_bf16", fused3b)
+    ):
         t = timeit_scanned(fn, u.shape, lmda.shape)
         row = roofline_row(label, impl, t, L_out, L_in, B, H, D, False)
-        if impl == "v2":
+        if impl == "v3":
             row["max_abs_err_vs_xla"] = err
         rows.append(row)
 
