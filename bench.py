@@ -69,7 +69,11 @@ def main():
     for i in range(n_epochs):
         perm = epoch_permutation(i + 1, ntrain, batch)
         state, loss = train_epoch(state, problem.geom, problem.train_data, perm)
-    jax.block_until_ready(state)
+    # a scalar D2H read is the only reliable completion barrier through
+    # the TPU tunnel (jax.block_until_ready can return early — CLAUDE.md);
+    # loss depends on every step of the last epoch, which depends on all
+    # prior epochs through the donated state
+    float(loss)
     dt = time.perf_counter() - t0
     steps_per_sec = n_epochs * n_batches / dt
 
