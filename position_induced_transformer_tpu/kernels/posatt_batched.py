@@ -89,14 +89,26 @@ def _attention(dist, keep, s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _make_fwd_kernel(H, D, space_dim, keep_count, L_in):
-    def kernel(scale_ref, mq_ref, mk_ref, u_ref, out_ref):
+def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
+    """``with_thr``: the per-row locality threshold is a precomputed input
+    (per-sample meshes are constant across training, so thresholds are
+    data — computed once at setup, ops/locality.py invariant) and the
+    c-1 masked-min passes disappear from the hot path."""
+
+    def kernel(scale_ref, *refs):
+        if with_thr:
+            thr_ref, mq_ref, mk_ref, u_ref, out_ref = refs
+        else:
+            mq_ref, mk_ref, u_ref, out_ref = refs
         mq = mq_ref[0]  # (TLo, d)
         mk = mk_ref[0]  # (Li_p, d)
         u = u_ref[0]  # (Li_p, D)
         dist = _dist_tile(mq, mk, space_dim)
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
-        keep = _keep_mask(dist, col, keep_count, L_in)
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], col)
+        else:
+            keep = _keep_mask(dist, col, keep_count, L_in)
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
             out_ref[0, :, h * D : (h + 1) * D] = jnp.dot(
@@ -109,10 +121,13 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in):
 @functools.partial(
     jax.jit, static_argnames=("keep_count", "interpret")
 )
-def _posatt_batched_raw(mesh_q, mesh_k, scale, u, *, keep_count, interpret=False):
+def _posatt_batched_raw(
+    mesh_q, mesh_k, scale, u, thr=None, *, keep_count, interpret=False
+):
     """(B, L_out, H*D) fused batched position attention.
 
-    mesh_q: (B, L_out, d); mesh_k: (B, L_in, d); scale: (H, 1); u: (B, L_in, D).
+    mesh_q: (B, L_out, d); mesh_k: (B, L_in, d); scale: (H, 1); u: (B, L_in, D);
+    thr: optional precomputed per-row locality thresholds (B, L_out, 1).
     """
     H = scale.shape[0]
     B, L_in, D = u.shape
@@ -125,36 +140,46 @@ def _posatt_batched_raw(mesh_q, mesh_k, scale, u, *, keep_count, interpret=False
     mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
     u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # (H, 1) scales
+        pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
+    ]
+    operands = [scale, mq_p, mk_p, u_p]
+    if thr is not None:
+        thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+
     grid = (B, Lo_p // TLo)
     out = pl.pallas_call(
-        _make_fwd_kernel(H, D, d, keep_count, L_in),
+        _make_fwd_kernel(H, D, d, keep_count, L_in, thr is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (H, 1) scales
-            pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Lo_p, H * D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * H * B * Lo_p * Li_p * (D + d + keep_count),
+            flops=2 * H * B * Lo_p * Li_p
+            * (D + d + (0 if thr is not None else keep_count)),
             bytes_accessed=4
             * (B * (Lo_p + Li_p) * d + B * Li_p * D + B * Lo_p * H * D),
             transcendentals=H * B * Lo_p * Li_p,
         ),
         interpret=interpret,
-    )(scale, mq_p, mk_p, u_p)
+    )(*operands)
     return out[:, :L_out, :]
 
 
-def _make_bwd_kernel(H, D, space_dim, keep_count, L_in):
-    def kernel(
-        scale_ref, mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc
-    ):
+def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
+    def kernel(scale_ref, *refs):
+        if with_thr:
+            thr_ref, mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc = refs
+        else:
+            mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc = refs
         i, ni = pl.program_id(1), pl.num_programs(1)
         b = pl.program_id(0)  # hoisted: program_id is unavailable inside
         # pl.when bodies under interpret mode
@@ -170,7 +195,10 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in):
         u = u_ref[0]
         dist = _dist_tile(mq, mk, space_dim)
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
-        keep = _keep_mask(dist, col, keep_count, L_in)
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], col)
+        else:
+            keep = _keep_mask(dist, col, keep_count, L_in)
         nd = jnp.where(keep, -dist, 0.0)
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
@@ -205,7 +233,7 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in):
     jax.jit, static_argnames=("keep_count", "interpret")
 )
 def _posatt_batched_bwd_raw(
-    mesh_q, mesh_k, scale, u, g, *, keep_count, interpret=False
+    mesh_q, mesh_k, scale, u, g, thr=None, *, keep_count, interpret=False
 ):
     """(dU (B, L_in, D), dScale (B, H)) in one streaming pass."""
     H = scale.shape[0]
@@ -221,16 +249,23 @@ def _posatt_batched_bwd_raw(
     # padded output rows carry zero cotangent -> no contribution
     g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
+    ]
+    operands = [scale, mq_p, mk_p, u_p, g_p]
+    if thr is not None:
+        thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+
     du, ds = pl.pallas_call(
-        _make_bwd_kernel(H, D, d, keep_count, L_in),
+        _make_bwd_kernel(H, D, d, keep_count, L_in, thr is not None),
         grid=(B, Lo_p // TLo),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, H)
@@ -244,31 +279,36 @@ def _posatt_batched_bwd_raw(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scale, mq_p, mk_p, u_p, g_p)
+    )(*operands)
     return du[:, :L_in, :], ds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _posatt_batched(mesh_q, mesh_k, scale, u, keep_count, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _posatt_batched(
+    mesh_q, mesh_k, scale, u, thr, keep_count, interpret=False
+):
     return _posatt_batched_raw(
-        mesh_q, mesh_k, scale, u, keep_count=keep_count, interpret=interpret
+        mesh_q, mesh_k, scale, u, thr,
+        keep_count=keep_count, interpret=interpret,
     )
 
 
-def _posatt_batched_fwd(mesh_q, mesh_k, scale, u, keep_count, interpret):
+def _posatt_batched_fwd(mesh_q, mesh_k, scale, u, thr, keep_count, interpret):
     out = _posatt_batched_raw(
-        mesh_q, mesh_k, scale, u, keep_count=keep_count, interpret=interpret
+        mesh_q, mesh_k, scale, u, thr,
+        keep_count=keep_count, interpret=interpret,
     )
-    return out, (mesh_q, mesh_k, scale, u)
+    return out, (mesh_q, mesh_k, scale, u, thr)
 
 
 def _posatt_batched_bwd(keep_count, interpret, residuals, g):
-    mesh_q, mesh_k, scale, u = residuals
+    mesh_q, mesh_k, scale, u, thr = residuals
     du, ds = _posatt_batched_bwd_raw(
-        mesh_q, mesh_k, scale, u, g, keep_count=keep_count, interpret=interpret
+        mesh_q, mesh_k, scale, u, g, thr,
+        keep_count=keep_count, interpret=interpret,
     )
     dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
-    return None, None, dscale, du
+    return None, None, dscale, du, None
 
 
 _posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
@@ -280,12 +320,19 @@ def position_attention_batched(
     lmda: jnp.ndarray,
     inputs: jnp.ndarray,
     locality: float,
+    thr: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused batched drop-in for ``ops.posatt.position_attention`` when the
     distance matrix would be built per sample inside the step: takes raw
     mesh coordinates (B, L_out, d)/(B, L_in, d) and returns (B, L_out, H*D).
+
+    ``thr``: optional precomputed per-row locality thresholds (B, L_out, 1)
+    — per-sample meshes are constant across training, so the c-th-smallest
+    threshold is data, not computation; passing it removes the c-1
+    masked-min passes from both the forward and backward kernels (the keep
+    mask ``dist <= thr`` is identical either way).
 
     Locality semantics match the top-k equivalence of the reference's
     quantile mask (ops/locality.py); Euclidean metric only.
@@ -295,7 +342,7 @@ def position_attention_batched(
     keep_count = topk_keep_count(mesh_k.shape[1], locality)
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_batched(
-        mesh_q, mesh_k, scale, inputs, keep_count, interpret
+        mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret
     )
     assert out.shape == (B, L_out, H * inputs.shape[-1])
     return out

@@ -107,7 +107,7 @@ def _dispatch_posatt(
             )
 
             return position_attention_batched(
-                mesh_q, mesh_k, lmda, inputs, locality
+                mesh_q, mesh_k, lmda, inputs, locality, thr
             )
         from position_induced_transformer_tpu.ops.distances import (
             pairwise_sq_dist,

@@ -303,19 +303,35 @@ class PiTTFPointCloud(nn.Module):
     n_blocks: int = 4
 
     @nn.compact
-    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, inputs: jnp.ndarray, thr_en=None, thr_de=None
+    ) -> jnp.ndarray:
         coords = inputs[..., :2]
         diff = coords[:, :, None, :] - coords[:, None, :, :]
         m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)  # (B, L, L)
         # head-independent locality thresholds, once per distinct locality
         # (the reference sorts the scaled (B, H, L, L) tensor per attention
-        # block per forward — H x redundant)
+        # block per forward — H x redundant). ``thr_en``/``thr_de``:
+        # optionally precomputed (B, L, 1) per-sample thresholds — the
+        # point clouds are constant across training, so the percentile is
+        # data computed once at setup (train/benchmarks.py
+        # setup_elasticity_tf), removing the full (B, L, L) sort from the
+        # train step entirely.
         from position_induced_transformer_tpu.ops.locality import (
             quantile_threshold,
         )
 
+        given = {self.locality_encoder: thr_en, self.locality_decoder: thr_de}
         thr = {
-            loc: quantile_threshold(m_dist, loc / 100.0) if loc <= 100 else None
+            loc: (
+                given[loc]
+                if given[loc] is not None
+                else (
+                    quantile_threshold(m_dist, loc / 100.0)
+                    if loc <= 100
+                    else None
+                )
+            )
             for loc in {self.locality_encoder, self.locality_decoder}
         }
 

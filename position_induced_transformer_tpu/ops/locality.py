@@ -82,6 +82,74 @@ def topk_threshold(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
     return -neg_smallest[..., -1:]
 
 
+def batched_topk_thresholds(
+    mesh_q: jnp.ndarray,
+    mesh_k: jnp.ndarray,
+    locality: float,
+    metric: str = "euclidean",
+    chunk: int = 32,
+) -> "jnp.ndarray | None":
+    """Per-sample per-row locality thresholds (B, L_q, 1), chunked over B.
+
+    Per-sample meshes (elasticity/NACA) are CONSTANT across training, so
+    their c-th-smallest thresholds are data, not computation: compute them
+    once at setup and gather them with the batch instead of re-running the
+    c-1 masked-min passes inside every train step (forward AND backward).
+    The keep mask ``dist <= thr`` is identical either way. Chunking bounds
+    the transient (chunk, L_q, L_k) distance tensor.
+    """
+    if locality >= 1.0:
+        return None
+    from position_induced_transformer_tpu.ops.distances import (
+        pairwise_sq_dist,
+    )
+
+    def one_chunk(mq, mk):
+        dist = pairwise_sq_dist(mq, mk, metric)
+        thr = topk_threshold(dist, locality)
+        # midpoint between the c-th and (c+1)-th smallest: the keep set
+        # {d <= thr} is unchanged, but the threshold is now ~half a gap away
+        # from every distance, so the mask is robust to ulp-level
+        # differences between this (XLA) distance computation and the
+        # kernel's in-VMEM one (same op order, different compiler/FMA
+        # contraction). Rows where nothing is strictly greater (all
+        # remaining tied) keep the plain threshold.
+        nxt = jnp.min(
+            jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
+        )
+        return jnp.where(jnp.isfinite(nxt), thr + 0.5 * (nxt - thr), thr)
+
+    fn = jax.jit(one_chunk)
+    B = mesh_q.shape[0]
+    outs = [fn(mesh_q[s : s + chunk], mesh_k[s : s + chunk]) for s in range(0, B, chunk)]
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def batched_halfdist_percentile_thresholds(
+    coords: jnp.ndarray, percentile: float, chunk: int = 8
+) -> "jnp.ndarray | None":
+    """(B, L, 1) exact linear-interpolation percentile thresholds over the
+    TF point-cloud ``dist^2 / 2`` matrices (same op order as
+    models/pit_tf.PiTTFPointCloud, reference:
+    tensorflow/5_Elasticity/utils.py:92-95,172-177). Per-sample clouds are
+    constant across training, so this runs once at setup; the interpolated
+    quantile falls strictly inside the order-statistic gap, so the
+    ``d <= thr`` mask is robust to compiler-level rounding differences.
+    """
+    if percentile > 100:
+        return None
+
+    def one_chunk(c):
+        diff = c[:, :, None, :] - c[:, None, :, :]
+        m = 0.5 * jnp.sum(diff * diff, axis=-1)
+        return quantile_threshold(m, percentile / 100.0)
+
+    fn = jax.jit(one_chunk)
+    B = coords.shape[0]
+    outs = [fn(coords[s : s + chunk]) for s in range(0, B, chunk)]
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def topk_keep_count(L_in: int, locality: float) -> int:
     """Number of entries a per-row quantile mask keeps, absent ties.
 

@@ -222,15 +222,24 @@ def setup_elasticity(
         # latent mesh == output mesh == input cloud, per sample
         # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone()).
         # Lazy: raw coordinates only — the attention op fuses distances,
-        # top-k locality threshold, softmax and contraction on TPU
+        # locality mask, softmax and contraction on TPU
         # (kernels/posatt_batched.py); XLA fallback elsewhere.
+        import dataclasses as _dc
+
         m = batch["mesh"]
-        return build_geometry(
+        g = build_geometry(
             m, m, m, metric=cfg.metric,
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
+        return _dc.replace(
+            g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
+        )
 
+    # NOTE: precomputed per-sample thresholds (as in setup_naca) were
+    # measured NO faster here (0.96x — at L=972 the extra (B, L, 1)
+    # gathers cost as much as the ~19 in-kernel min passes they remove),
+    # so elasticity keeps the in-kernel locality mask.
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
     return Problem(
         cfg, model, task, None,
@@ -248,18 +257,41 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     xd = yd = 4  # latent downsampling strides (reference: train_naca.py:86-87)
     x_res, y_res = cfg.latent_grid
 
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_topk_thresholds,
+    )
+
     def prep(coords, X, Y):
         # latent mesh: strided slice of the output C-grid per sample
         # (reference: train_naca.py:62-65)
         ltt = X[:, ::xd, ::yd, :][:, :x_res, :y_res, :].reshape(X.shape[0], -1, 2)
         out = X.reshape(X.shape[0], -1, 2)
-        return {
+        mesh_in = jnp.asarray(coords)
+        mesh_ltt = jnp.asarray(ltt)
+        mesh_out = jnp.asarray(out)
+        d = {
             "x": jnp.asarray(coords),
-            "mesh_in": jnp.asarray(coords),
-            "mesh_ltt": jnp.asarray(ltt),
-            "mesh_out": jnp.asarray(out),
+            "mesh_in": mesh_in,
+            "mesh_ltt": mesh_ltt,
+            "mesh_out": mesh_out,
             "y": jnp.asarray(Y),
         }
+        # per-sample locality thresholds are constants: once at setup
+        # (ops/locality.batched_topk_thresholds), gathered with the batch.
+        # Measured +13% NACA training throughput (TPU v5e A/B, /tmp-level
+        # experiment 2026-08-16): removes the c-1 masked-min passes from
+        # the fused kernel's fwd AND bwd at the 11271-row decoder
+        thr_down = batched_topk_thresholds(
+            mesh_ltt, mesh_in, cfg.model.en_loc, cfg.metric
+        )
+        if thr_down is not None:
+            d["thr_down"] = thr_down
+        thr_up = batched_topk_thresholds(
+            mesh_out, mesh_ltt, cfg.model.de_loc, cfg.metric, chunk=16
+        )
+        if thr_up is not None:
+            d["thr_up"] = thr_up
+        return d
 
     model = _make_model(cfg)
 
@@ -267,10 +299,15 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         # lazy in-step per-sample geometry: top-k locality semantics (same
         # mask as the reference's torch.quantile absent ties), fused
         # batched kernel on TPU (kernels/posatt_batched.py)
-        return build_geometry(
+        import dataclasses as _dc
+
+        g = build_geometry(
             batch["mesh_in"], batch["mesh_ltt"], batch["mesh_out"],
             metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
+        )
+        return _dc.replace(
+            g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
         )
 
     task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
@@ -558,18 +595,45 @@ def setup_elasticity_tf(
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks,
     )
+
+    # the point clouds are constant across training, so the (B, L, L)
+    # percentile sort the reference pays per forward
+    # (tensorflow/5_Elasticity/utils.py:92-95) is data: per-sample
+    # thresholds once at setup, gathered with the batch and handed to the
+    # model through the geometry slot
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_halfdist_percentile_thresholds as _pct_thr,
+    )
+
+    def data_dict(X, ext, Y):
+        X = jnp.asarray(X)
+        d = {"x": X, "mesh": jnp.asarray(ext), "y": jnp.asarray(Y)}
+        thr_en = _pct_thr(X[..., :2], m.en_loc)
+        if thr_en is not None:
+            d["thr_en"] = thr_en
+        thr_de = (
+            thr_en if m.de_loc == m.en_loc else _pct_thr(X[..., :2], m.de_loc)
+        )
+        if thr_de is not None:
+            d["thr_de"] = thr_de
+        return d
+
+    geom_fn = lambda batch: {
+        "thr_en": batch.get("thr_en"), "thr_de": batch.get("thr_de")
+    }
     apply_fn = lambda params, geom, batch: model.apply(
-        {"params": params}, batch["x"]
+        {"params": params}, batch["x"],
+        (geom or {}).get("thr_en"), (geom or {}).get("thr_de"),
     )
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
-        **_task_kwargs(cfg),
+        model=model, apply_fn=apply_fn, geom_fn=geom_fn,
+        batch_mean_loss=True, **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, data["x"])
     return Problem(
         cfg, model, task, None,
-        {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr), "y": jnp.asarray(Y_tr)},
-        {"x": jnp.asarray(X_te), "mesh": jnp.asarray(ext_te), "y": jnp.asarray(Y_te)},
+        data_dict(X_tr, ext_tr, Y_tr),
+        data_dict(X_te, ext_te, Y_te),
         ntrain, ntest, init_fn=init_fn,
     )
 

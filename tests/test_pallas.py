@@ -125,6 +125,19 @@ def test_batched_fused_matches_oracle(B, Lq, Lk, H, D, loc):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
     )
+    # precomputed-threshold variant (setup-time midpoint thresholds):
+    # identical keep mask, same output
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_topk_thresholds,
+    )
+
+    thr_pre = batched_topk_thresholds(mq, mk, loc)
+    got_thr = position_attention_batched(
+        mq, mk, lmda, u, loc, thr_pre, interpret=INTERPRET
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_thr), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
 
 
 @pytest.mark.parametrize(

@@ -248,3 +248,26 @@ def test_tf_sign_indefinite_tan_thresholds_match_quantile():
     np.testing.assert_allclose(
         np.asarray(out_thr), np.asarray(out_quantile), rtol=1e-6, atol=1e-7
     )
+
+
+def test_pointcloud_setup_thresholds_match_in_call_quantile():
+    """Per-sample percentile thresholds precomputed at setup produce the
+    same forward as the in-call (B, L, L) quantile (setup_elasticity_tf)."""
+    from position_induced_transformer_tpu.models import PiTTFPointCloud
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_halfdist_percentile_thresholds,
+    )
+
+    rng = np.random.default_rng(7)
+    B, L, in_dim = 2, 40, 6
+    x = jnp.asarray(rng.random((B, L, in_dim)), jnp.float32)
+    model = PiTTFPointCloud(
+        out_dim=1, hid_dim=16, n_head=2,
+        locality_encoder=5.0, locality_decoder=30.0, n_blocks=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = model.apply(params, x)
+    thr_en = batched_halfdist_percentile_thresholds(x[..., :2], 5.0)
+    thr_de = batched_halfdist_percentile_thresholds(x[..., :2], 30.0)
+    got = model.apply(params, x, thr_en, thr_de)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
