@@ -151,21 +151,6 @@ def geometry_host_subprocess_many(requests, timeout: float = 600.0):
             return None
 
 
-def geometry_host_subprocess(
-    mesh_out,
-    mesh_in,
-    metric: str = "euclidean",
-    locality: float = 1.0,
-    timeout: float = 600.0,
-):
-    """Single-request convenience wrapper over
-    :func:`geometry_host_subprocess_many`."""
-    results = geometry_host_subprocess_many(
-        [(mesh_out, mesh_in, metric, locality)], timeout=timeout
-    )
-    return None if results is None else results[0]
-
-
 def _subprocess_main(inp: str, outp: str) -> None:
     """Child entry: run geometry_host on each serialized request."""
     import pickle

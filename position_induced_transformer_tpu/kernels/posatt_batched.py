@@ -340,6 +340,29 @@ def position_attention_batched(
     H = lmda.shape[0]
     B, L_out = inputs.shape[0], mesh_q.shape[1]
     keep_count = topk_keep_count(mesh_k.shape[1], locality)
+    if thr is None and locality < 1.0 and keep_count > 32:
+        # the in-kernel keep mask unrolls keep_count-1 masked-min passes at
+        # trace time — fine for the reference localities (c = 3-20) but a
+        # program-size blowup for large keep fractions. Compute the per-row
+        # threshold outside the kernel instead (one XLA top_k over the
+        # materialized distances; mirrors ops/locality.topk_threshold's
+        # c<=32 cut-over) and hand it in.
+        from position_induced_transformer_tpu.ops.distances import (
+            euclidean_sq,
+        )
+        from position_induced_transformer_tpu.ops.locality import (
+            topk_threshold,
+        )
+
+        dist = euclidean_sq(mesh_q, mesh_k)
+        thr = topk_threshold(dist, locality)
+        # midpoint to the next order statistic: robust to ulp differences
+        # vs the kernel's in-VMEM distance computation (same trick as
+        # ops/locality.batched_topk_thresholds)
+        nxt = jnp.min(
+            jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
+        )
+        thr = jnp.where(jnp.isfinite(nxt), thr + 0.5 * (nxt - thr), thr)
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_batched(
         mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret

@@ -160,7 +160,7 @@ def build_geometry_host(
     Calling into the .so from a TPU-tunnel-attached process permanently
     degrades that process's device dispatch ~10x (CLAUDE.md), so on non-CPU
     backends the ctypes calls are quarantined in a short-lived subprocess
-    (data/native.py geometry_host_subprocess). ``PIT_NATIVE_GEOMETRY``:
+    (data/native.py geometry_host_subprocess_many). ``PIT_NATIVE_GEOMETRY``:
     'never' = jnp path, 'force' = in-process native regardless of backend,
     default = in-process on CPU, subprocess elsewhere.
     """

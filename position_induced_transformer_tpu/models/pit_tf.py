@@ -321,7 +321,13 @@ class PiTTFPointCloud(nn.Module):
             quantile_threshold,
         )
 
-        given = {self.locality_encoder: thr_en, self.locality_decoder: thr_de}
+        given = {}
+        for loc, t in (
+            (self.locality_encoder, thr_en),
+            (self.locality_decoder, thr_de),
+        ):  # first non-None wins (encoder==decoder locality shares one)
+            if given.get(loc) is None:
+                given[loc] = t
         thr = {
             loc: (
                 given[loc]

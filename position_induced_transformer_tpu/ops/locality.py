@@ -64,8 +64,9 @@ def topk_threshold(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
         return jnp.max(dist, axis=-1, keepdims=True)
     if c <= 32:
         # c-pass masked-min extraction: lax.top_k lowers to a FULL bitonic
-        # sort on TPU (measured 61.5 ms vs 28.8 ms for the NACA decoder's
-        # (20, 11271, 728) rows, c=15 — scripts/tpu_naca_profile.py), so for
+        # sort on TPU (measured 54.7 ms vs 22.4 ms for the NACA decoder's
+        # (20, 11271, 728) rows, c=15, fresh-input scan harness —
+        # scripts/tpu_naca_profile.py 2026-08-16), so for
         # the small keep-counts the reference localities produce (c = 15-20)
         # sequential min passes win. Under exact duplicate distances this
         # yields the c-th smallest *distinct* value (>= the c-th order

@@ -37,26 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+
+from position_induced_transformer_tpu.parallel._compat import _shard_map
 
 from position_induced_transformer_tpu.ops.posatt import position_attention
 
-
-def _shard_map(f, mesh, in_specs, out_specs):
-    """shard_map across jax versions (check_vma vs legacy check_rep)."""
-    try:
-        return shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-    except TypeError:
-        return shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
 
 
 def make_stage_mesh(n_stages: int, devices=None) -> Mesh:

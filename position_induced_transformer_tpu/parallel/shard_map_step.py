@@ -16,26 +16,11 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+
+from position_induced_transformer_tpu.parallel._compat import _shard_map
 
 from position_induced_transformer_tpu.train.loop import Task, TrainState
 
-
-def _shard_map(f, mesh, in_specs, out_specs):
-    """shard_map across jax versions (check_vma vs legacy check_rep)."""
-    try:
-        return shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-    except TypeError:
-        return shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
 
 
 def make_shard_map_train_step(
@@ -58,6 +43,10 @@ def make_shard_map_train_step(
         loss = jax.lax.psum(loss, axis_name="data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if task.param_constraint is not None:
+            # keras constraint semantics: project after every update,
+            # identically on every device (train/loop.py does the same)
+            params = task.param_constraint(params)
         return params, opt_state, loss
 
     def spec_like(tree, spec):

@@ -49,6 +49,13 @@ def evaluate(
     if cfg.name in ("darcy", "darcy_tf") and "y_normalizer" in restored:
         # use the training-resolution statistics (bilinearly resized on
         # apply) rather than refitting at the eval resolution
+        if "x_normalizer" not in restored:
+            raise ValueError(
+                "checkpoint carries y_normalizer but no x_normalizer "
+                "(predates the x-normalization fix); re-train or evaluate "
+                "with freshly fitted statistics by renaming the checkpoint "
+                "keys"
+            )
         from position_induced_transformer_tpu.ops.normalization import (
             PixelWiseNormalizer,
         )

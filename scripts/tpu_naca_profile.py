@@ -1,9 +1,11 @@
 """Micro-profile of the NACA/elasticity in-step geometry + attention costs
 on the TPU chip: which part of the per-sample-mesh train step dominates?
 
-Times (whole-array, amortized over inner lax.scan iterations to subtract
-the ~1.6 ms dispatch floor): threshold candidates (quantile / top_k /
-approx_min_k / iterative-min), distance build, and the full loss+grad.
+Timing follows the tunnel rules (CLAUDE.md): every timed call sees fresh
+on-device-generated inputs (the relay memoizes identical executions), work
+is amortized over a jitted lax.scan to bury the ~ms dispatch floor, a
+generation-only baseline is subtracted, and completion is forced with a
+scalar D2H read (block_until_ready does not reliably block here).
 """
 
 import os
@@ -22,39 +24,71 @@ jax.config.update(
 )
 
 
-def timed(name, fn, *args, iters=8):
-    f = jax.jit(lambda *a: jax.lax.scan(
-        lambda c, _: (fn(*a), None), fn(*args), None, length=iters
-    )[0]) if False else jax.jit(fn)
-    # simple: call once to compile, then time N dispatches
-    out = jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:42s} {dt*1e3:9.2f} ms")
+def timed(name, fn, shapes, iters=8, rounds=3):
+    """Median per-iteration seconds of fn(*arrays) over a jitted scan with
+    fresh uniform inputs per iteration; generation baseline subtracted."""
+    if not isinstance(shapes, (list, tuple)) or isinstance(shapes[0], int):
+        shapes = (shapes,)
+
+    def gen(key):
+        keys = jax.random.split(key, len(shapes))
+        return tuple(
+            jax.random.uniform(k, (iters,) + tuple(s))
+            for k, s in zip(keys, shapes)
+        )
+
+    @jax.jit
+    def run(seed):
+        xs = gen(jax.random.PRNGKey(seed))
+        def body(acc, x):
+            return acc + jnp.sum(fn(*x)), None
+        return jax.lax.scan(body, 0.0, xs)[0]
+
+    @jax.jit
+    def base(seed):
+        xs = gen(jax.random.PRNGKey(seed))
+        return sum(jnp.sum(x) for x in xs)
+
+    float(run(0)); float(base(0))  # compile + settle
+    runs, bases = [], []
+    for r in range(rounds):
+        t0 = time.perf_counter(); float(base(r + 1))
+        bases.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(run(r + 1))
+        runs.append(time.perf_counter() - t0)
+    dt = max(
+        (float(np.median(runs)) - float(np.median(bases))) / iters, 1e-9
+    )
+    print(f"{name:42s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 
 
 def main():
-    rng = np.random.default_rng(0)
     B, Lo, Li = 20, 11271, 728
-    dist = jnp.asarray(rng.random((B, Lo, Li)), jnp.float32)
-    mesh_out = jnp.asarray(rng.random((B, Lo, 2)), jnp.float32)
-    mesh_ltt = jnp.asarray(rng.random((B, Li, 2)), jnp.float32)
     c = int(0.02 * (Li - 1)) + 1  # 15
 
     from position_induced_transformer_tpu.ops.distances import pairwise_sq_dist
 
-    timed("pairwise dist (B,Lo,Li)", lambda a, b: pairwise_sq_dist(a, b), mesh_out, mesh_ltt)
-    timed("quantile thr", lambda d: jnp.quantile(d, 0.02, axis=-1, keepdims=True), dist)
-    timed(f"top_k c={c}", lambda d: -jax.lax.top_k(-d, c)[0][..., -1:], dist)
+    timed(
+        "pairwise dist (B,Lo,Li)",
+        lambda a, b: pairwise_sq_dist(a, b),
+        [(B, Lo, 2), (B, Li, 2)],
+    )
+    timed(
+        "quantile thr",
+        lambda d: jnp.quantile(d, 0.02, axis=-1, keepdims=True),
+        (B, Lo, Li),
+    )
+    timed(
+        f"top_k c={c}",
+        lambda d: -jax.lax.top_k(-d, c)[0][..., -1:],
+        (B, Lo, Li),
+    )
     try:
         timed(
             f"approx_min_k c={c}",
             lambda d: jax.lax.approx_min_k(d, c, recall_target=0.99)[0][..., -1:],
-            dist,
+            (B, Lo, Li),
         )
     except Exception as e:
         print("approx_min_k failed:", e)
@@ -62,11 +96,10 @@ def main():
     def iter_min(d):
         thr = jnp.full(d.shape[:-1] + (1,), -jnp.inf, d.dtype)
         for _ in range(c):
-            m = jnp.min(jnp.where(d > thr, d, jnp.inf), axis=-1, keepdims=True)
-            thr = m
+            thr = jnp.min(jnp.where(d > thr, d, jnp.inf), axis=-1, keepdims=True)
         return thr
 
-    timed(f"iterative-min c={c}", iter_min, dist)
+    timed(f"iterative-min c={c}", iter_min, (B, Lo, Li))
 
     # full train step cost for reference
     from position_induced_transformer_tpu import configs
@@ -80,44 +113,22 @@ def main():
     optimizer = make_optimizer(cfg.lr, 100)
     state = runner.init_state(problem, optimizer, seed=0)
     train_epoch = make_train_epoch(problem.task, optimizer)
-    perm = epoch_permutation(0, 40, cfg.batch_size)  # 2 steps/epoch
 
-    state, _ = jax.block_until_ready(
-        train_epoch(state, problem.geom, problem.train_data, perm)
+    state, loss = train_epoch(
+        state, problem.geom, problem.train_data,
+        epoch_permutation(0, 40, cfg.batch_size),
     )
+    float(loss)
     t0 = time.perf_counter()
     N = 5
-    for _ in range(N):
+    n_steps = 0
+    for ep in range(1, 1 + N):
+        perm = epoch_permutation(ep, 40, cfg.batch_size)  # fresh shuffle
+        n_steps += perm.shape[0]
         state, loss = train_epoch(state, problem.geom, problem.train_data, perm)
-    jax.block_until_ready(loss)
-    per_step = (time.perf_counter() - t0) / (N * perm.shape[0])
-    print(f"{'naca full train step':42s} {per_step*1e3:9.2f} ms")
-
-    # geometry-only cost inside jit
-    batch = jax.tree_util.tree_map(lambda a: a[: cfg.batch_size], problem.train_data)
-    timed(
-        "naca geom_fn (dist + topk thr)",
-        lambda b: jax.tree_util.tree_map(
-            lambda x: x, problem.task.geom_fn(b)
-        ).dist_up.sum(),
-        batch,
-    )
-
-    # loss+grad with geometry hoisted OUT (precomputed geom) for comparison
-    geom = problem.task.geom_fn(batch)
-    loss_nogeom = lambda p, g, b: problem.task.model.apply(
-        {"params": p}, g, b["x"]
-    ).sum()
-    timed(
-        "naca fwd only, geom precomputed",
-        lambda p, g, b: loss_nogeom(p, g, b),
-        state.params, geom, batch,
-    )
-    timed(
-        "naca fwd+bwd, geom precomputed",
-        jax.grad(loss_nogeom),
-        state.params, geom, batch,
-    )
+    float(loss)  # scalar D2H read = the reliable pipeline drain
+    per_step = (time.perf_counter() - t0) / n_steps
+    print(f"{'naca full train step':42s} {per_step*1e3:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

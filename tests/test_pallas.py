@@ -203,3 +203,27 @@ def test_lazy_geometry_model_parity():
     np.testing.assert_allclose(
         np.asarray(out_lazy), np.asarray(out_eager), rtol=1e-6, atol=1e-7
     )
+
+
+def test_batched_fused_large_keep_count_falls_back_to_external_threshold():
+    """locality keeping >32 neighbors must not unroll hundreds of min
+    passes in-kernel: the wrapper computes the threshold outside and the
+    result still matches the oracle."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import topk_threshold
+
+    rng = np.random.default_rng(5)
+    B, Lq, Lk, H, D, loc = 2, 64, 100, 2, 8, 0.5  # keep_count = 50 > 32
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+
+    dist = euclidean_sq(mq, mk)
+    want = position_attention(dist, lmda, u, loc, thr=topk_threshold(dist, loc))
+    got = position_attention_batched(mq, mk, lmda, u, loc, interpret=INTERPRET)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )

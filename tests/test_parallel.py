@@ -260,3 +260,35 @@ def test_pipeline_gradients_match_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def test_shard_map_step_applies_param_constraint():
+    """The explicit shard_map step honors keras-style post-update
+    constraints, matching the single-device loop (train/loop.py)."""
+    import dataclasses as _dc
+
+    from position_induced_transformer_tpu.parallel.shard_map_step import (
+        make_shard_map_train_step,
+        shard_batch_arrays,
+    )
+    from position_induced_transformer_tpu.parallel import make_mesh
+
+    # observable constraint: project every parameter to >= 0 (PiT biases
+    # start negative, so this visibly changes the params iff applied)
+    constrain = lambda params: jax.tree_util.tree_map(
+        lambda a: jnp.maximum(a, 0.0), params
+    )
+
+    cfg, problem = _tiny_problem()
+    task = _dc.replace(problem.task, param_constraint=constrain)
+    optimizer = make_optimizer(cfg.lr, 16)
+    state = runner.init_state(problem, optimizer, seed=0)
+    mesh = make_mesh(n_data=4, n_model=1)
+    step = make_shard_map_train_step(task, optimizer, mesh)
+    batch = shard_batch_arrays(
+        mesh, jax.tree_util.tree_map(lambda a: a[:8], problem.train_data)
+    )
+    state, loss = step(state, problem.geom, batch)
+    assert jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert bool(jnp.all(leaf >= 0))
