@@ -314,6 +314,232 @@ def _posatt_batched_bwd(keep_count, interpret, residuals, g):
 _posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
 
 
+def _make_tf_fwd_kernel(H, V, L_in, with_thr):
+    """TF-semantics forward: logits = -dist * s_h over a PRE-BUILT batched
+    distance tile, per-head values folded on the last axis (B, Li, H*V).
+    The (B, H, L, L) attention tensors never exist in HBM."""
+
+    def kernel(scale_ref, *refs):
+        if with_thr:
+            thr_ref, dist_ref, v_ref, out_ref = refs
+        else:
+            dist_ref, v_ref, out_ref = refs
+        dist = dist_ref[0]  # (TLo, Li_p)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], col)
+        else:
+            keep = col
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
+                att, v_ref[0, :, h * V : (h + 1) * V],
+                preferred_element_type=jnp.float32,
+            )
+
+    return kernel
+
+
+def _make_tf_bwd_kernel(H, V, L_in, with_thr):
+    def kernel(scale_ref, *refs):
+        if with_thr:
+            thr_ref, dist_ref, v_ref, g_ref, dv_ref, ds_ref, ds_acc = refs
+        else:
+            dist_ref, v_ref, g_ref, dv_ref, ds_ref, ds_acc = refs
+        i, ni = pl.program_id(1), pl.num_programs(1)
+        b = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+            for h in range(H):
+                ds_acc[h, 0] = 0.0
+
+        dist = dist_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], col)
+        else:
+            keep = col
+        nd = jnp.where(keep, -dist, 0.0)
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            g = g_ref[0, :, h * V : (h + 1) * V]  # (TLo, V)
+            dv_ref[0, :, h * V : (h + 1) * V] += jax.lax.dot_general(
+                att, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            t = jax.lax.dot_general(
+                g, v_ref[0, :, h * V : (h + 1) * V],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TLo, Li_p)
+            pt = att * t
+            r = jnp.sum(pt, axis=-1, keepdims=True)
+            ds_acc[h, 0] += jnp.sum(pt * nd) - jnp.sum(
+                r * jnp.sum(att * nd, axis=-1, keepdims=True)
+            )
+
+        @pl.when(i == ni - 1)
+        def _fin():
+            for h in range(H):
+                ds_ref[b, h] = ds_acc[h, 0]
+
+    return kernel
+
+
+_TF_BIG = 3.4e38  # padding distance: finite (s * inf would NaN at s == 0)
+
+
+def _tf_pad(dist, thr, values, TLo):
+    B, L_out, L_in = dist.shape
+    HV = values.shape[-1]
+    Lo_p = _round_up(L_out, TLo)
+    Li_p = _round_up(L_in, 128)
+    dist_p = jnp.pad(
+        dist, ((0, 0), (0, Lo_p - L_out), (0, Li_p - L_in)),
+        constant_values=_TF_BIG,
+    )
+    v_p = jnp.pad(values, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    thr_p = (
+        None
+        if thr is None
+        else jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    )
+    return dist_p, thr_p, v_p, Lo_p, Li_p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False):
+    """(B, L_out, H*V): streaming softmax(-dist * s_h) @ values_h.
+
+    dist: (B, L_out, L_in) pre-built per-sample distances; thr: optional
+    (B, L_out, 1); scale: (H, 1) non-negative; values: (B, L_in, H*V).
+    """
+    H = scale.shape[0]
+    B, L_out, L_in = dist.shape
+    HV = values.shape[-1]
+    V = HV // H
+    TLo = min(_round_up(L_out, 8), 256)
+    dist_p, thr_p, v_p, Lo_p, Li_p = _tf_pad(dist, thr, values, TLo)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TLo, Li_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+    ]
+    operands = [scale, dist_p, v_p]
+    if thr_p is not None:
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+    out = pl.pallas_call(
+        _make_tf_fwd_kernel(H, V, L_in, thr_p is not None),
+        grid=(B, Lo_p // TLo),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lo_p, HV), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Lo_p * Li_p * HV + 5 * H * B * Lo_p * Li_p,
+            bytes_accessed=4
+            * (B * Lo_p * Li_p + B * Li_p * HV + B * Lo_p * HV),
+            transcendentals=H * B * Lo_p * Li_p,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :L_out, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
+    """(dValues (B, L_in, H*V), dScale (B, H)) in one streaming pass."""
+    H = scale.shape[0]
+    B, L_out, L_in = dist.shape
+    HV = values.shape[-1]
+    V = HV // H
+    TLo = min(_round_up(L_out, 8), 256)
+    dist_p, thr_p, v_p, Lo_p, Li_p = _tf_pad(dist, thr, values, TLo)
+    g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TLo, Li_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
+    ]
+    operands = [scale, dist_p, v_p, g_p]
+    if thr_p is not None:
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+    dv, ds = pl.pallas_call(
+        _make_tf_bwd_kernel(H, V, L_in, thr_p is not None),
+        grid=(B, Lo_p // TLo),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Li_p, HV), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dv[:, :L_in, :], ds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _posatt_tf(dist, thr, scale, values, interpret=False):
+    return _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
+
+
+def _posatt_tf_fwd(dist, thr, scale, values, interpret):
+    out = _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
+    return out, (dist, thr, scale, values)
+
+
+def _posatt_tf_bwd(interpret, residuals, g):
+    dist, thr, scale, values = residuals
+    dv, ds = _posatt_tf_bwd_raw(
+        dist, thr, scale, values, g, interpret=interpret
+    )
+    dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
+    return None, None, dscale, dv
+
+
+_posatt_tf.defvjp(_posatt_tf_fwd, _posatt_tf_bwd)
+
+
+def position_attention_batched_dist(
+    dist: jnp.ndarray,
+    scales: jnp.ndarray,
+    values: jnp.ndarray,
+    thr: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TF-semantics fused batched position attention over PRE-BUILT
+    per-sample distances (reference: tensorflow/5_Elasticity/utils.py:60-103
+    MultiHeadPosAtt on (B, L, L) distances): softmax(-dist * s_h) @ V_h with
+    per-head values folded on the last axis.
+
+    dist: (B, L_out, L_in); scales: (H, 1) NON-NEGATIVE per-head scales
+    (e.g. r^2); values: (B, L_in, H*V) — per-head value projections,
+    computed outside (one XLA einsum); thr: optional (B, L_out, 1) locality
+    thresholds on the raw distances (None = global attention). Returns
+    (B, L_out, H*V). Differentiable in ``scales`` and ``values``
+    (fully-fused streaming backward); dist/thr are treated as constants
+    (they derive from input coordinates, not parameters).
+    """
+    return _posatt_tf(dist, thr, scales, values, interpret)
+
+
 def position_attention_batched(
     mesh_q: jnp.ndarray,
     mesh_k: jnp.ndarray,

@@ -264,15 +264,46 @@ class MultiHeadPosAttBatched(nn.Module):
         w = self.param(
             "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
         )
+
+        import os
+
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PIT_FUSED_MODE", "auto") != "never"
+        ):
+            # fused streaming kernel: the (B, H, L, L) attention tensors
+            # never exist in HBM (kernels/posatt_batched.py
+            # position_attention_batched_dist); the per-head value
+            # projection stays one XLA einsum. ``thr``: the percentile
+            # commutes with the non-negative r^2 scale, so the reference's
+            # per-head percentile over the scaled distances
+            # (tensorflow/5_Elasticity/utils.py:92-95) collapses to one
+            # head-independent (B, L, 1) threshold — precomputed at setup
+            # for constant per-sample clouds, else one XLA quantile here.
+            from position_induced_transformer_tpu.kernels import (
+                position_attention_batched_dist,
+            )
+            from position_induced_transformer_tpu.ops.locality import (
+                quantile_threshold,
+            )
+
+            if self.locality <= 100 and thr is None:
+                thr = quantile_threshold(dist, self.locality / 100.0)
+            elif self.locality > 100:
+                thr = None
+            scales = (r * r).reshape(self.n_head, 1)
+            values = jnp.einsum("bnj,hjk->bnhk", inputs, w).reshape(
+                inputs.shape[0], inputs.shape[1], self.hid_dim
+            )
+            out = position_attention_batched_dist(dist, scales, values, thr)
+            return nn.gelu(out, approximate=False)
+
         scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)
         if self.locality <= 100:
             if thr is not None:
-                # (B, L, 1) threshold on the raw distances, computed once
-                # per call by the model — the percentile commutes with the
-                # non-negative r^2 scale, so the reference's per-head
-                # percentile over the scaled distances
-                # (tensorflow/5_Elasticity/utils.py:92-95) collapses to one
-                # head-independent mask
+                # head-independent (B, L, 1) threshold on the raw distances
                 keep = (dist <= thr)[:, None, :, :]
             else:
                 mask = jnp.quantile(

@@ -227,3 +227,59 @@ def test_batched_fused_large_keep_count_falls_back_to_external_threshold():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
     )
+
+
+@pytest.mark.parametrize(
+    "B,Lo,Li,H,V,use_thr",
+    [
+        (2, 50, 40, 8, 8, True),   # elasticity_tf-like head count
+        (2, 37, 37, 2, 16, False),  # global (processor blocks), unaligned
+        (1, 300, 130, 4, 4, True),  # multiple row tiles
+    ],
+)
+def test_tf_batched_dist_kernel_matches_oracle(B, Lo, Li, H, V, use_thr):
+    """TF-semantics fused kernel over pre-built distances: forward and
+    (scale, values) gradients match the materializing XLA oracle."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+    )
+
+    rng = np.random.default_rng(3)
+    dist = jnp.asarray(rng.random((B, Lo, Li)), jnp.float32)
+    scales = jnp.asarray(rng.random((H, 1)), jnp.float32)
+    values = jnp.asarray(rng.standard_normal((B, Li, H * V)), jnp.float32)
+    thr = (
+        jnp.quantile(dist, 0.3, axis=-1, keepdims=True) if use_thr else None
+    )
+
+    def oracle(scales, values):
+        scaled = dist[:, None] * scales[None, :, :, None]
+        if thr is not None:
+            keep = (dist <= thr)[:, None]
+            scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
+        att = jax.nn.softmax(-scaled, axis=-1)
+        v = values.reshape(B, Li, H, V).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnj,bhjd->bhnd", att, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, Lo, H * V)
+
+    want = oracle(scales, values)
+    got = position_attention_batched_dist(
+        dist, scales, values, thr, interpret=INTERPRET
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+    loss_o = lambda s, v: jnp.sum(oracle(s, v) ** 2)
+    loss_k = lambda s, v: jnp.sum(
+        position_attention_batched_dist(
+            dist, s, v, thr, interpret=INTERPRET
+        )
+        ** 2
+    )
+    go = jax.grad(loss_o, argnums=(0, 1))(scales, values)
+    gk = jax.grad(loss_k, argnums=(0, 1))(scales, values)
+    for a, b in zip(go, gk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
