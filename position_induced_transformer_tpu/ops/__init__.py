@@ -7,9 +7,12 @@ from position_induced_transformer_tpu.ops.distances import (
     periodic2d_sq,
 )
 from position_induced_transformer_tpu.ops.locality import (
+    batched_halfdist_percentile_thresholds,
+    batched_topk_thresholds,
     keep_mask,
     quantile_threshold,
     topk_keep_count,
+    topk_threshold,
 )
 from position_induced_transformer_tpu.ops.metrics import (
     rel_l1_quartiles,
@@ -37,7 +40,10 @@ __all__ = [
     "pairwise_sq_dist",
     "keep_mask",
     "quantile_threshold",
+    "topk_threshold",
     "topk_keep_count",
+    "batched_topk_thresholds",
+    "batched_halfdist_percentile_thresholds",
     "rel_lp_norm",
     "rel_max_norm",
     "rel_norm_mean",
