@@ -112,3 +112,23 @@ def test_resume_training_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
         )
+
+
+def test_legacy_checkpoint_without_x_normalizer_raises_clearly(tmp_path):
+    """A darcy checkpoint carrying y_normalizer but no x_normalizer
+    (pre-x-normalization format) gets a clear error, not a KeyError."""
+    from position_induced_transformer_tpu.train import checkpoint as ckpt
+
+    cfg = _tiny_darcy()
+    ckpt_path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+        checkpoint_path=ckpt_path,
+    )
+    restored = ckpt.restore(ckpt_path)
+    assert "x_normalizer" in restored and "y_normalizer" in restored
+    restored.pop("x_normalizer")
+    legacy = os.path.join(tmp_path, "legacy")
+    ckpt.save(legacy, restored)
+    with pytest.raises(ValueError, match="x_normalizer"):
+        evaluate.evaluate(cfg, legacy, ntest=8)
