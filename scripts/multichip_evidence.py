@@ -168,12 +168,63 @@ def sp_zssr_decode():
     }
 
 
+def pp_pipelined_forward():
+    """GPipe stage-split forward of a deep processor at reference width:
+    vorticity-size PiT (hid 256, 2 heads) with 8 processor blocks over a
+    4-stage mesh, 4 microbatches — collective-permute per tick moves the
+    (micro, L_ltt, hid) activations over the stage axis."""
+    from position_induced_transformer_tpu.parallel import (
+        make_pipelined_apply,
+        make_stage_mesh,
+    )
+    from position_induced_transformer_tpu.models import PiT, build_geometry
+
+    mesh = make_stage_mesh(4, devices=devices[:4])
+    ltt = jnp.asarray(
+        np.random.default_rng(1).random((256, 2)), jnp.float32
+    )
+    qry = jnp.asarray(
+        np.random.default_rng(2).random((4096, 2)), jnp.float32
+    )
+    geom = build_geometry(
+        qry, ltt, qry, metric="euclidean", en_loc=0.02, de_loc=0.02
+    )
+    model = PiT(
+        space_dim=2, in_dim=10, out_dim=1, hid_dim=256, n_head=2,
+        n_blocks=8, en_loc=0.02, de_loc=0.02,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).random((8, 4096, 10)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), geom, x)["params"]
+    apply = make_pipelined_apply(model, mesh, n_micro=4)
+    fwd = jax.jit(apply)
+    lowered = fwd.lower(params, geom, x)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    out = jax.block_until_ready(fwd(params, geom, x))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fwd(params, geom, x))
+    dt = time.perf_counter() - t0
+    return {
+        "mesh": dict(mesh.shape),
+        "config": "vorticity-width PiT, 8 processor blocks over 4 stages, "
+                  "4 microbatches (bs 8, L 4096 -> ltt 256, hid 256)",
+        "collectives": collective_counts(hlo),
+        "forward_seconds_cpu": round(dt, 3),
+        "per_stage_blocks": 2,
+        "out_shape": list(out.shape),
+        "out_finite": bool(jnp.all(jnp.isfinite(out))),
+    }
+
+
 if __name__ == "__main__":
     results = {
         "n_devices": len(devices),
         "platform": devices[0].platform,
         "dp_tp_train_step": dp_tp_train_step(),
         "sp_zssr_decode": sp_zssr_decode(),
+        "pp_pipelined_forward": pp_pipelined_forward(),
     }
     print(json.dumps(results, indent=1))
     out = os.path.join(
