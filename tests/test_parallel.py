@@ -292,3 +292,35 @@ def test_shard_map_step_applies_param_constraint():
     assert jnp.isfinite(loss)
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert bool(jnp.all(leaf >= 0))
+
+
+def test_pipeline_with_instance_norm_and_residual():
+    """Pipelined apply mirrors PiT.__call__ for the vorticity-style
+    (instance-norm) and cylinder-style (residual-output) variants."""
+    from position_induced_transformer_tpu.models import PiT, build_geometry
+    from position_induced_transformer_tpu.parallel.pipeline import (
+        make_pipelined_apply,
+        make_stage_mesh,
+    )
+
+    mesh1 = jnp.linspace(0, 1, 33)[:-1].reshape(-1, 1)
+    ltt = jnp.linspace(0, 1, 9)[:-1].reshape(-1, 1)
+    geom = build_geometry(
+        mesh1, ltt, mesh1, metric="euclidean", en_loc=0.1, de_loc=0.1
+    )
+    for kwargs in (
+        dict(use_instance_norm=True),
+        dict(residual_output=True),
+    ):
+        model = PiT(
+            space_dim=1, in_dim=1, out_dim=1, hid_dim=8, n_head=2,
+            n_blocks=2, en_loc=0.1, de_loc=0.1, **kwargs,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(2), (4, 32, 1))
+        params = model.init(jax.random.PRNGKey(0), geom, x)["params"]
+        want = model.apply({"params": params}, geom, x)
+        pp = make_pipelined_apply(model, make_stage_mesh(2), n_micro=2)
+        got = jax.jit(pp)(params, geom, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+        )
