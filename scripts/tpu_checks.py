@@ -180,6 +180,49 @@ def check_batched(Lq, Lk, B, H, D, loc, label, rows):
         rows.append(row)
 
 
+def check_tf_batched(L, B, H, V, percentile, label, rows):
+    """TF-semantics kernel (pre-built per-sample distances, per-head
+    values) vs the materializing XLA path at the elasticity_tf shape."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        quantile_threshold,
+    )
+
+    rng = np.random.default_rng(4)
+    dist = jnp.asarray(rng.random((B, L, L)), jnp.float32)
+    thr = (
+        quantile_threshold(dist, percentile / 100.0)
+        if percentile <= 100
+        else None
+    )
+
+    def oracle(v, s):
+        s2 = s.reshape(H, 1)
+        scaled = dist[:, None] * s2[None, :, :, None]
+        if thr is not None:
+            keep = (dist <= thr)[:, None]
+            scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
+        att = jax.nn.softmax(-scaled, axis=-1)
+        vv = v.reshape(B, L, H, V).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnj,bhjd->bhnd", att, vv)
+        return out.transpose(0, 2, 1, 3).reshape(B, L, H * V)
+
+    fused = lambda v, s: position_attention_batched_dist(
+        dist, s.reshape(H, 1), v, thr
+    )
+    v0 = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+    s0 = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    err = float(jnp.max(jnp.abs(fused(v0, s0) - oracle(v0, s0))))
+    for impl, fn in (("xla", oracle), ("tf_fused", fused)):
+        t = timeit_scanned(fn, v0.shape, s0.shape, n_iter=32, rounds=3)
+        row = roofline_row(label, impl, t, L, L, B, H, V, True)
+        if impl == "tf_fused":
+            row["max_abs_err_vs_xla"] = err
+        rows.append(row)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     rows = []
@@ -195,6 +238,8 @@ if __name__ == "__main__":
     check_batched(972, 972, 10, 2, 256, 0.02, "elasticity cross (loc .02)", rows)
     check_batched(11271, 728, 20, 1, 128, 0.02, "naca decoder cross", rows)
     check_batched(728, 120, 20, 1, 2, 0.02, "naca encoder cross", rows)
+    # TF point-cloud attention (pre-built dists, per-head values)
+    check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
 
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "ROOFLINE.json"
