@@ -393,7 +393,6 @@ _TF_BIG = 3.4e38  # padding distance: finite (s * inf would NaN at s == 0)
 
 def _tf_pad(dist, thr, values, TLo):
     B, L_out, L_in = dist.shape
-    HV = values.shape[-1]
     Lo_p = _round_up(L_out, TLo)
     Li_p = _round_up(L_in, 128)
     dist_p = jnp.pad(
@@ -577,18 +576,14 @@ def position_attention_batched(
             euclidean_sq,
         )
         from position_induced_transformer_tpu.ops.locality import (
+            midpoint_to_next,
             topk_threshold,
         )
 
         dist = euclidean_sq(mesh_q, mesh_k)
-        thr = topk_threshold(dist, locality)
         # midpoint to the next order statistic: robust to ulp differences
-        # vs the kernel's in-VMEM distance computation (same trick as
-        # ops/locality.batched_topk_thresholds)
-        nxt = jnp.min(
-            jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
-        )
-        thr = jnp.where(jnp.isfinite(nxt), thr + 0.5 * (nxt - thr), thr)
+        # vs the kernel's in-VMEM distance computation
+        thr = midpoint_to_next(dist, topk_threshold(dist, locality))
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_batched(
         mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret

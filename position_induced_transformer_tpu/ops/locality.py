@@ -83,6 +83,20 @@ def topk_threshold(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
     return -neg_smallest[..., -1:]
 
 
+def midpoint_to_next(dist: jnp.ndarray, thr: jnp.ndarray) -> jnp.ndarray:
+    """Move a per-row threshold to the midpoint between it and the next
+    strictly-greater distance: the keep set {d <= thr} is unchanged, but
+    the threshold sits ~half a gap away from every distance, making the
+    mask robust to ulp-level differences between the distance computation
+    that produced ``thr`` and a kernel's in-VMEM recomputation (same op
+    order, different compiler/FMA contraction). Rows where nothing is
+    strictly greater (all remaining tied) keep the plain threshold."""
+    nxt = jnp.min(
+        jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(jnp.isfinite(nxt), thr + 0.5 * (nxt - thr), thr)
+
+
 def batched_topk_thresholds(
     mesh_q: jnp.ndarray,
     mesh_k: jnp.ndarray,
@@ -107,18 +121,7 @@ def batched_topk_thresholds(
 
     def one_chunk(mq, mk):
         dist = pairwise_sq_dist(mq, mk, metric)
-        thr = topk_threshold(dist, locality)
-        # midpoint between the c-th and (c+1)-th smallest: the keep set
-        # {d <= thr} is unchanged, but the threshold is now ~half a gap away
-        # from every distance, so the mask is robust to ulp-level
-        # differences between this (XLA) distance computation and the
-        # kernel's in-VMEM one (same op order, different compiler/FMA
-        # contraction). Rows where nothing is strictly greater (all
-        # remaining tied) keep the plain threshold.
-        nxt = jnp.min(
-            jnp.where(dist > thr, dist, jnp.inf), axis=-1, keepdims=True
-        )
-        return jnp.where(jnp.isfinite(nxt), thr + 0.5 * (nxt - thr), thr)
+        return midpoint_to_next(dist, topk_threshold(dist, locality))
 
     fn = jax.jit(one_chunk)
     B = mesh_q.shape[0]

@@ -13,14 +13,11 @@ single-device step (tests/test_parallel.py).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from position_induced_transformer_tpu.parallel._compat import _shard_map
-
 from position_induced_transformer_tpu.train.loop import Task, TrainState
-
 
 
 def make_shard_map_train_step(

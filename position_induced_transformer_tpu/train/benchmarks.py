@@ -224,15 +224,13 @@ def setup_elasticity(
         # Lazy: raw coordinates only — the attention op fuses distances,
         # locality mask, softmax and contraction on TPU
         # (kernels/posatt_batched.py); XLA fallback elsewhere.
-        import dataclasses as _dc
-
         m = batch["mesh"]
         g = build_geometry(
             m, m, m, metric=cfg.metric,
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
-        return _dc.replace(
+        return dataclasses.replace(
             g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
         )
 
@@ -299,14 +297,12 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         # lazy in-step per-sample geometry: top-k locality semantics (same
         # mask as the reference's torch.quantile absent ties), fused
         # batched kernel on TPU (kernels/posatt_batched.py)
-        import dataclasses as _dc
-
         g = build_geometry(
             batch["mesh_in"], batch["mesh_ltt"], batch["mesh_out"],
             metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
-        return _dc.replace(
+        return dataclasses.replace(
             g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
         )
 

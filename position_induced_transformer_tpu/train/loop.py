@@ -26,6 +26,7 @@ vorticity/cylinder drivers' swapped (pred, true) order
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -112,8 +113,6 @@ class Task:
         tensorflow/4_Vorticity/utils.py:115-121 reccurent_PiT)."""
         g = self._geometry(geom, batch)
         apply = lambda p, xx: self._apply(p, g, xx)
-        import os
-
         mode = os.environ.get("PIT_ROLLOUT_REMAT") or self.remat_rollout
         if mode in (True, "full", "1", "true"):
             apply = jax.checkpoint(apply)
