@@ -283,3 +283,32 @@ def test_tf_batched_dist_kernel_matches_oracle(B, Lo, Li, H, V, use_thr):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_batched_kernels_bf16_option_close_to_f32():
+    """mxu_bf16 forward stays within bf16 tolerance of the f32 kernel."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+        position_attention_batched_dist,
+    )
+
+    rng = np.random.default_rng(0)
+    B, Lq, Lk, H, D = 2, 64, 96, 2, 16
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    a = position_attention_batched(mq, mk, lmda, u, 0.3, interpret=INTERPRET)
+    b = position_attention_batched(
+        mq, mk, lmda, u, 0.3, interpret=INTERPRET, mxu_bf16=True
+    )
+    assert float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))) < 2e-2
+
+    dist = jnp.asarray(rng.random((B, Lq, Lk)), jnp.float32)
+    scales = jnp.asarray(rng.random((H, 1)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((B, Lk, H * 8)), jnp.float32)
+    a = position_attention_batched_dist(dist, scales, vals, interpret=INTERPRET)
+    b = position_attention_batched_dist(
+        dist, scales, vals, interpret=INTERPRET, mxu_bf16=True
+    )
+    assert float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))) < 2e-2
