@@ -30,6 +30,13 @@ def _add_common(p):
         help="force a jax platform (e.g. 'cpu'); default = environment's "
         "backend (TPU when available)",
     )
+    p.add_argument(
+        "--fused-mode", default=None, choices=["auto", "always", "never"],
+        help="Pallas kernel dispatch (sets PIT_FUSED_MODE): 'auto' = "
+        "measured policy (batched kernels for per-sample meshes, XLA for "
+        "fixed meshes), 'always' forces the fixed-mesh streaming kernel, "
+        "'never' disables all fused kernels",
+    )
 
 
 def _apply_platform(args):
@@ -38,6 +45,11 @@ def _apply_platform(args):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    fused = getattr(args, "fused_mode", None)
+    if fused:
+        import os
+
+        os.environ["PIT_FUSED_MODE"] = fused
 
 
 def main(argv=None):
