@@ -4,6 +4,7 @@ from position_induced_transformer_tpu.parallel.pipeline import (
     make_pipelined_apply,
     make_stage_mesh,
     pipeline_processor,
+    pipeline_task,
     stack_processor_params,
 )
 from position_induced_transformer_tpu.parallel.shard_map_step import (
@@ -36,4 +37,5 @@ __all__ = [
     "stack_processor_params",
     "pipeline_processor",
     "make_pipelined_apply",
+    "pipeline_task",
 ]

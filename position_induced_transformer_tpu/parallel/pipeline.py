@@ -148,6 +148,20 @@ def pipeline_processor(
     return out.reshape(f.shape)
 
 
+def pipeline_task(task, mesh: Mesh, n_micro: int):
+    """A :class:`~..train.loop.Task` whose forward runs the processor
+    pipelined over the mesh's 'stage' axis — drop it into
+    ``make_train_epoch`` and the whole training loop (loss, grads through
+    the ppermute schedule, Adam, cosine step) executes pipeline-parallel.
+    """
+    import dataclasses
+
+    apply = make_pipelined_apply(task.model, mesh, n_micro)
+    return dataclasses.replace(
+        task, apply_fn=lambda p, g, b: apply(p, g, b["x"])
+    )
+
+
 def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
     """(params, geom, x) -> out: the full PiT forward with the processor
     pipelined over the mesh's 'stage' axis (encoder/decoder replicated).

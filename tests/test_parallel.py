@@ -324,3 +324,37 @@ def test_pipeline_with_instance_norm_and_residual():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
         )
+
+
+def test_pipeline_training_epoch_matches_single_device():
+    """A full training epoch through pipeline_task (loss + grads through
+    the ppermute schedule + Adam) matches the plain epoch."""
+    from position_induced_transformer_tpu.parallel.pipeline import (
+        make_stage_mesh,
+        pipeline_task,
+    )
+
+    cfg, problem = _tiny_problem()
+    optimizer = make_optimizer(cfg.lr, 8)
+    perm = epoch_permutation(0, problem.n_train, cfg.batch_size)
+
+    state0 = runner.init_state(problem, optimizer, seed=0)
+    plain = make_train_epoch(problem.task, optimizer)
+    s_plain, loss_plain = plain(
+        state0, problem.geom, problem.train_data, perm
+    )
+
+    state0 = runner.init_state(problem, optimizer, seed=0)
+    pp = make_train_epoch(
+        pipeline_task(problem.task, make_stage_mesh(2), n_micro=2), optimizer
+    )
+    s_pp, loss_pp = pp(state0, problem.geom, problem.train_data, perm)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_plain), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_plain.params),
+        jax.tree_util.tree_leaves(s_pp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
