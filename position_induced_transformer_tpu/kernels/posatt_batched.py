@@ -326,7 +326,7 @@ def _posatt_batched_bwd(keep_count, interpret, mxu_bf16, residuals, g):
 _posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
 
 
-def _make_tf_fwd_kernel(H, V, L_in, with_thr, mxu_bf16=False):
+def _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, with_thr, mxu_bf16=False):
     """TF-semantics forward: logits = -dist * s_h over a PRE-BUILT batched
     distance tile, per-head values folded on the last axis (B, Li, H*V).
     The (B, H, L, L) attention tensors never exist in HBM. ``mxu_bf16``:
@@ -339,10 +339,19 @@ def _make_tf_fwd_kernel(H, V, L_in, with_thr, mxu_bf16=False):
             dist_ref, v_ref, out_ref = refs
         dist = dist_ref[0]  # (TLo, Li_p)
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        # padded ROWS must be masked out too: their dist is _TF_BIG, and
+        # -_TF_BIG * s overflows f32 to -inf for s > ~1.0008 (learned r^2
+        # crosses 1 routinely); with no masked column to anchor the row
+        # max at _NEG, the softmax would be exp(-inf + inf) = NaN and the
+        # backward's row contractions would spread it via NaN * 0.
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+            + pl.program_id(1) * TLo
+            < L_out
+        )
+        keep = jnp.logical_and(col, row)
         if with_thr:
-            keep = jnp.logical_and(dist <= thr_ref[0], col)
-        else:
-            keep = col
+            keep = jnp.logical_and(dist <= thr_ref[0], keep)
         v = v_ref[0]
         if mxu_bf16:
             v = v.astype(jnp.bfloat16)
@@ -358,7 +367,7 @@ def _make_tf_fwd_kernel(H, V, L_in, with_thr, mxu_bf16=False):
     return kernel
 
 
-def _make_tf_bwd_kernel(H, V, L_in, with_thr):
+def _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, with_thr):
     def kernel(scale_ref, *refs):
         if with_thr:
             thr_ref, dist_ref, v_ref, g_ref, dv_ref, ds_ref, ds_acc = refs
@@ -375,10 +384,14 @@ def _make_tf_bwd_kernel(H, V, L_in, with_thr):
 
         dist = dist_ref[0]
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+            + pl.program_id(1) * TLo
+            < L_out
+        )  # see the forward kernel on why padded rows must be masked
+        keep = jnp.logical_and(col, row)
         if with_thr:
-            keep = jnp.logical_and(dist <= thr_ref[0], col)
-        else:
-            keep = col
+            keep = jnp.logical_and(dist <= thr_ref[0], keep)
         nd = jnp.where(keep, -dist, 0.0)
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
@@ -450,7 +463,7 @@ def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False, mxu_bf16=False)
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
     out = pl.pallas_call(
-        _make_tf_fwd_kernel(H, V, L_in, thr_p is not None, mxu_bf16),
+        _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, thr_p is not None, mxu_bf16),
         grid=(B, Lo_p // TLo),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
@@ -491,7 +504,7 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
     dv, ds = pl.pallas_call(
-        _make_tf_bwd_kernel(H, V, L_in, thr_p is not None),
+        _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, thr_p is not None),
         grid=(B, Lo_p // TLo),
         in_specs=in_specs,
         out_specs=(

@@ -312,3 +312,34 @@ def test_batched_kernels_bf16_option_close_to_f32():
         dist, scales, vals, interpret=INTERPRET, mxu_bf16=True
     )
     assert float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))) < 2e-2
+
+
+def test_tf_batched_dist_kernel_padded_rows_large_scale_finite():
+    """Regression: padded rows (L_out not a tile multiple) with L_in a
+    multiple of 128 and head scales > 1 must not produce NaN gradients
+    (-_TF_BIG * s overflows to -inf without the row-validity mask)."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, H, V = 1, 384, 2, 8  # global attention, no column padding
+    dist = jnp.asarray(rng.random((B, L, L)), jnp.float32)
+    scales = jnp.full((H, 1), 1.5, jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+
+    out = position_attention_batched_dist(
+        dist, scales, vals, None, interpret=INTERPRET
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g = jax.grad(
+        lambda s, v: jnp.sum(
+            position_attention_batched_dist(
+                dist, s, v, None, interpret=INTERPRET
+            )
+            ** 2
+        ),
+        argnums=(0, 1),
+    )(scales, vals)
+    assert bool(jnp.all(jnp.isfinite(g[0])))
+    assert bool(jnp.all(jnp.isfinite(g[1])))
