@@ -102,6 +102,11 @@ def main(argv=None):
         "--zssr", action="store_true",
         help="Darcy zero-shot super-resolution at full 421^2 resolution",
     )
+    p_eval.add_argument(
+        "--zssr-downsampling", type=int, default=1,
+        help="downsampling factor for the ZSSR evaluation mesh "
+        "(1 = full 421^2; larger = intermediate super-resolution)",
+    )
     p_eval.add_argument("--save-pred", default=None)
     p_eval.add_argument(
         "--plots", default=None, help="write prediction figures to this dir"
@@ -216,6 +221,7 @@ def main(argv=None):
             data_path=args.data_path,
             ntest=args.ntest,
             zssr=args.zssr,
+            zssr_downsampling=args.zssr_downsampling,
             save_pred=args.save_pred,
             plots_dir=args.plots,
         )
