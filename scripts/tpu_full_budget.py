@@ -1,0 +1,83 @@
+"""Full reference-budget training runs on the attached TPU chip.
+
+Runs each named benchmark at its COMPLETE reference configuration (full
+ntrain/epochs, synthetic data when real datasets are absent) and records
+wall time, steady-state s/epoch and final metrics — the source of the
+"Full reference-budget training runs" tables in BASELINE.md.
+
+Usage: python scripts/tpu_full_budget.py [benchmark ...]
+       (default: all 13; results merged into FULL_BUDGET.json)
+
+Note: first-time compiles of full-size epoch scans are minutes through
+this environment's remote-compile relay (CLAUDE.md) — the process can
+look idle while the server compiles; let it run.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+from position_induced_transformer_tpu import configs
+from position_induced_transformer_tpu.train import runner
+
+ALL = [
+    "burgers", "sod", "darcy", "vorticity", "elasticity", "naca", "cylinder",
+    "burgers_tf", "sod_tf", "darcy_tf", "vorticity_tf", "elasticity_tf",
+    "naca_tf",
+]
+
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "FULL_BUDGET.json"
+)
+
+
+def run_one(name: str) -> dict:
+    cfg = configs.get(name)
+    t0 = time.time()
+    problem, state, history = runner.train(
+        cfg, verbose=False, sync_every=50
+    )
+    wall = time.time() - t0
+    tail = [h["seconds"] for h in history[5:]] or [history[-1]["seconds"]]
+    return {
+        "epochs": len(history),
+        "wall_s": round(wall, 1),
+        "steady_epoch_s": round(sorted(tail)[len(tail) // 2], 4),
+        "final": {
+            k: round(v, 6) for k, v in history[-1].items() if k != "epoch"
+        },
+    }
+
+
+def main(names):
+    results = {}
+    if os.path.exists(OUT):
+        try:
+            results = json.load(open(OUT)).get("results", {})
+        except Exception:
+            pass
+    for name in names or ALL:
+        try:
+            results[name] = run_one(name)
+        except Exception as e:  # record and continue
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({name: results[name]}), flush=True)
+        with open(OUT, "w") as f:
+            json.dump(
+                {"device": str(jax.devices()[0]), "results": results},
+                f, indent=1,
+            )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
