@@ -241,6 +241,33 @@ if __name__ == "__main__":
     # TF point-cloud attention (pre-built dists, per-head values)
     check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
 
+    # model-level fused-vs-XLA parity for the TF point-cloud forward
+    # (the kernel-level checks above validate the kernels; this validates
+    # the MultiHeadPosAttBatched dispatch glue on the real chip)
+    import os as _os
+
+    from position_induced_transformer_tpu.models import PiTTFPointCloud
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_halfdist_percentile_thresholds,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((4, 972, 44)), jnp.float32)
+    pc = PiTTFPointCloud(
+        out_dim=1, hid_dim=512, n_head=8,
+        locality_encoder=2.0, locality_decoder=2.0, n_blocks=4,
+    )
+    params = pc.init(jax.random.PRNGKey(0), x)
+    thr = batched_halfdist_percentile_thresholds(x[..., :2], 2.0)
+    _os.environ["PIT_FUSED_MODE"] = "never"
+    want = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
+    _os.environ["PIT_FUSED_MODE"] = "auto"
+    got = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
+    _os.environ.pop("PIT_FUSED_MODE", None)
+    rel = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-30))
+    print(json.dumps({"check": "pointcloud_model_fused_vs_xla", "rel_err": rel}), flush=True)
+    assert rel < 2e-2, rel
+
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "ROOFLINE.json"
     )
