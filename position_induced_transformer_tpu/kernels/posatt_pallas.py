@@ -76,7 +76,9 @@ def _posatt_kernel(
 
     d = dist_ref[:]
     s = scale_ref[pl.program_id(0), 0]
-    logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+    # d < inf excludes padded columns: under global attention (thr=+inf)
+    # they would be "kept", and a zero bandwidth scale makes -inf*0 = NaN
+    logits = jnp.where(jnp.logical_and(d <= thr_ref[:], d < jnp.inf), -d * s, _NEG)
 
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
@@ -198,7 +200,9 @@ def _posatt_kernel_v2(
 
     d = dist_ref[:]
     s = scale_ref[pl.program_id(0), 0]
-    logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+    # d < inf excludes padded columns: under global attention (thr=+inf)
+    # they would be "kept", and a zero bandwidth scale makes -inf*0 = NaN
+    logits = jnp.where(jnp.logical_and(d <= thr_ref[:], d < jnp.inf), -d * s, _NEG)
 
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
@@ -295,7 +299,7 @@ def _make_posatt_kernel_v3(H: int, mxu_bf16: bool):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         d = dist_ref[:]
-        keep = d <= thr_ref[:]
+        keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
         u = u_ref[:]
         if mxu_bf16:
             u = u.astype(jnp.bfloat16)
@@ -330,9 +334,9 @@ def _pick_tiles_v3(L_out: int, L_in: int, H: int, BD: int):
     TN = min(_round_up(BD, 128), 512)
     # keep 2*(H*TLo*TN) f32 (acc scratch + out block) under ~8 MB
     while H * TLo * TN * 4 * 2 > 8 * 1024 * 1024 and TN > 128:
-        TN //= 2
+        TN = max(128, _round_up(TN // 2, 128))  # keep lane alignment
     while H * TLo * TN * 4 * 2 > 8 * 1024 * 1024 and TLo > 8:
-        TLo //= 2
+        TLo = max(8, _round_up(TLo // 2, 8))  # keep sublane alignment
     return TLo, TLi, TN
 
 
@@ -411,7 +415,9 @@ def _posatt_stats(dist, thr, scale, *, interpret=False):
 
         d = dist_ref[:]
         s = scale_ref[pl.program_id(0), 0]
-        logits = jnp.where(d <= thr_ref[:], -d * s, _NEG)
+        logits = jnp.where(
+            jnp.logical_and(d <= thr_ref[:], d < jnp.inf), -d * s, _NEG
+        )
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
         l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
@@ -470,9 +476,9 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
     TN = min(_round_up(BD, 128), 512)
     # head-folded scratch is (H, TLo, TLi) + (H, TLo, TN): keep under ~6 MB
     while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLi > 128:
-        TLi //= 2
+        TLi = max(128, _round_up(TLi // 2, 128))  # keep lane alignment
     while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLo > 8:
-        TLo //= 2
+        TLo = max(8, _round_up(TLo // 2, 8))  # keep sublane alignment
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
     BD_p = _round_up(BD, TN)
     dist_p = jnp.pad(

@@ -174,6 +174,12 @@ def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
     S = mesh.shape["stage"]
 
     def apply(params, geom, x):
+        if getattr(geom, "dist_proc", None) is None:
+            raise ValueError(
+                "pipeline parallelism requires a materialized fixed-mesh "
+                "geometry (geom.dist_proc is None — lazy/per-sample-mesh "
+                "geometries are not supported)"
+            )
         stacked = stack_processor_params(params, model.n_blocks, S)
         f = model.apply({"params": params}, geom, x, method=model.encoder)
         if model.use_instance_norm:
