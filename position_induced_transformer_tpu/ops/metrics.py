@@ -22,12 +22,19 @@ def _reshape(true: jnp.ndarray, pred: jnp.ndarray, out_dim: int):
 
 
 def rel_lp_norm(
-    true: jnp.ndarray, pred: jnp.ndarray, out_dim: int, p: float = 2
+    true: jnp.ndarray,
+    pred: jnp.ndarray,
+    out_dim: int,
+    p: float = 2,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Relative Lp error, mean over variables, **sum over batch**.
 
     (reference: utils.py:80-98). ``true``/``pred`` are reshaped to
-    (B, L, out_dim); norms are taken along L.
+    (B, L, out_dim); norms are taken along L. ``weights``: optional (B,)
+    per-sample weights for the batch sum (0 drops a sample — used to mask
+    the padded tail batch so evaluation covers every test sample for any
+    batch size, unlike a drop-remainder loader).
     """
     t, q = _reshape(true, pred, out_dim)
     if p == 1:
@@ -40,20 +47,29 @@ def rel_lp_norm(
     else:
         true_norm = jnp.sum(jnp.abs(t) ** p, axis=1) ** (1.0 / p)
         diff_norm = jnp.sum(jnp.abs(t - q) ** p, axis=1) ** (1.0 / p)
-    rel = diff_norm / true_norm  # (B, out_dim)
-    return jnp.sum(jnp.mean(rel, axis=-1))
+    rel = jnp.mean(diff_norm / true_norm, axis=-1)  # (B,)
+    if weights is not None:
+        rel = rel * weights
+    return jnp.sum(rel)
 
 
-def rel_max_norm(true: jnp.ndarray, pred: jnp.ndarray, out_dim: int) -> jnp.ndarray:
+def rel_max_norm(
+    true: jnp.ndarray,
+    pred: jnp.ndarray,
+    out_dim: int,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Relative L-infinity error, mean over variables, sum over batch.
 
-    (reference: utils.py:59-77).
+    (reference: utils.py:59-77). ``weights`` as in :func:`rel_lp_norm`.
     """
     t, q = _reshape(true, pred, out_dim)
     true_norm = jnp.max(jnp.abs(t), axis=1)
     diff_norm = jnp.max(jnp.abs(t - q), axis=1)
-    rel = diff_norm / true_norm
-    return jnp.sum(jnp.mean(rel, axis=-1))
+    rel = jnp.mean(diff_norm / true_norm, axis=-1)
+    if weights is not None:
+        rel = rel * weights
+    return jnp.sum(rel)
 
 
 def rel_norm_mean(

@@ -155,10 +155,13 @@ def _evaluate_rollout(cfg, problem, state, zssr, save_pred):
         lambda p, g, x: problem.task.rollout(p, g, x, steps)
     )
     preds = []
-    for i in range(0, n - n % bs, bs):
-        x = data["x"][i : i + bs]
+    for i in range(0, n, bs):
+        # pad the final partial batch by repeating the last sample (single
+        # static shape); padded rows are sliced off below
+        idx = np.minimum(np.arange(i, i + bs), n - 1)
+        x = data["x"][idx]
         preds.append(np.asarray(rollout(state.params, problem.geom, x)))
-    pred = np.concatenate(preds, axis=0)  # (N, L, steps)
+    pred = np.concatenate(preds, axis=0)[:n]  # (N, L, steps)
     true = np.asarray(data["y"])[: pred.shape[0]]
     step_err = np.asarray(rel_norm_step(true, pred))
     result = {

@@ -240,12 +240,28 @@ def make_eval_epoch(
 ):
     """Jitted full-dataset evaluation over a (n_batches, B) index matrix.
 
-    ``metrics`` maps name -> fn(true, pred) with batch-summed outputs;
-    defaults to the task loss. Returns name -> scalar sum (divide by n_test
-    outside, matching the reference's convention)."""
+    ``metrics`` maps name -> fn(true, pred, weights=...) with batch-summed
+    outputs; defaults to the task loss. Returns name -> scalar sum (divide
+    by n_test outside, matching the reference's convention).
 
-    def eval_epoch(state: TrainState, geom, data, perm):
-        def step(_, idx):
+    ``n_valid``: number of real samples covered by ``perm``. The reference
+    evaluates every test sample (torch DataLoader without drop_last,
+    train_burgers.py:96-106); :func:`eval_permutation` pads the final
+    partial batch by repeating the last index, and ``n_valid`` masks the
+    padded duplicates out of the metric sums."""
+
+    def eval_epoch(state: TrainState, geom, data, perm, n_valid=None):
+        if n_valid is None:
+            wts = jnp.ones(perm.shape, jnp.float32)
+        else:
+            wts = (
+                (jnp.arange(perm.size) < n_valid)
+                .astype(jnp.float32)
+                .reshape(perm.shape)
+            )
+
+        def step(_, idx_w):
+            idx, w = idx_w
             batch = _gather(data, idx)
             if mesh is not None:
                 from position_induced_transformer_tpu.parallel.sharding import (
@@ -263,23 +279,33 @@ def make_eval_epoch(
                 # batch-summed (the runner divides by n_test), regardless of
                 # the train-side batch_mean_loss convention
                 if task.trajectory_loss:
-                    loss = jnp.sum(jnp.mean(rel_loss, axis=-1))
+                    loss = jnp.sum(w * jnp.mean(rel_loss, axis=-1))
                 else:
-                    loss = jnp.sum(rel_loss)
+                    loss = jnp.sum(w[:, None] * rel_loss)
                 rel = task.stepwise_rel(batch["y"], pred)  # true denominator
                 return None, {
                     "loss": loss,
-                    "rel_l2_step": jnp.sum(jnp.mean(rel, axis=-1)),
-                    "rel_l2_final": jnp.sum(rel[:, -1]),
+                    "rel_l2_step": jnp.sum(w * jnp.mean(rel, axis=-1)),
+                    "rel_l2_final": jnp.sum(w * rel[:, -1]),
                 }
             if metrics is None:
-                return None, {"loss": task.loss_fn(state.params, geom, batch)}
+                pred = task.forward(state.params, geom, batch)
+                true = batch["y"]
+                if task.swap_loss_args:
+                    true, pred = pred, true
+                loss = rel_lp_norm(
+                    true, pred, task.out_dim, task.loss_p, weights=w
+                )
+                if task.batch_mean_loss:
+                    loss = loss / batch["y"].shape[0]
+                return None, {"loss": loss}
             pred = task.forward(state.params, geom, batch)
             return None, {
-                name: fn(batch["y"], pred) for name, fn in metrics.items()
+                name: fn(batch["y"], pred, weights=w)
+                for name, fn in metrics.items()
             }
 
-        _, sums = jax.lax.scan(step, None, perm)
+        _, sums = jax.lax.scan(step, None, (perm, wts))
         return jax.tree_util.tree_map(jnp.sum, sums)
 
     return jax.jit(eval_epoch)
@@ -296,6 +322,11 @@ def epoch_permutation(rng: "jax.Array | int", n: int, batch_size: int):
 
 
 def eval_permutation(n: int, batch_size: int):
-    """Sequential index matrix covering the first n//batch*batch samples."""
-    n_batches = n // batch_size
-    return jnp.arange(n_batches * batch_size).reshape(n_batches, batch_size)
+    """Sequential (ceil(n/batch), batch) index matrix covering ALL n
+    samples; the final partial batch is padded by repeating the last index.
+    Pass ``n_valid=n`` to the eval epoch so padded duplicates are masked
+    out of the metric sums (the reference's test loader keeps the
+    remainder — train_burgers.py:96-106)."""
+    n_batches = -(-n // batch_size)
+    idx = jnp.minimum(jnp.arange(n_batches * batch_size), n - 1)
+    return idx.reshape(n_batches, batch_size)

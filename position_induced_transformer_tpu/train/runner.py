@@ -133,7 +133,8 @@ def train(
     eval_epoch = make_eval_epoch(problem.task, metrics)
     eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
     eval_perm = eval_permutation(problem.n_test, eval_bs)
-    n_eval = int(eval_perm.size)
+    n_eval = problem.n_test  # padded tail batch is masked, so every
+    # test sample counts exactly once for any batch size
 
     key = jax.random.PRNGKey(seed)
     history = []
@@ -203,7 +204,9 @@ def train(
             state, train_loss = train_epoch(
                 state, problem.geom, problem.train_data, perm
             )
-        evals = eval_epoch(state, problem.geom, problem.test_data, eval_perm)
+        evals = eval_epoch(
+            state, problem.geom, problem.test_data, eval_perm, problem.n_test
+        )
         pending.append((ep, train_loss, evals))
         if sync_every and (ep + 1 - start_epoch) % sync_every == 0:
             flush()
@@ -263,7 +266,12 @@ def predict(problem, state, data=None, batch_size: Optional[int] = None):
     bs = min(bs, n)
     fwd = jax.jit(problem.task.forward)
     outs = []
-    for i in range(0, n - n % bs, bs):
-        batch = jax.tree_util.tree_map(lambda a: a[i : i + bs], data)
+    for i in range(0, n, bs):
+        # pad the final partial batch by repeating the last sample (keeps
+        # one static batch shape / one compile); padded rows sliced off
+        # below — the reference's predict loops cover every sample
+        # (train_burgers.py:118-126, DataLoader without drop_last)
+        idx = np.minimum(np.arange(i, i + bs), n - 1)
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
         outs.append(np.asarray(fwd(state.params, problem.geom, batch)))
-    return np.concatenate(outs, axis=0)
+    return np.concatenate(outs, axis=0)[:n]

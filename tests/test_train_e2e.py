@@ -227,3 +227,76 @@ def test_naca_tf_family_e2e():
         configs.NACA_TF, grid=(21, 11), latent_grid=(11, 6), batch_size=4
     )
     _run(cfg, epochs=2, ntrain=16, ntest=8)
+
+
+def test_eval_covers_nondivisible_ntest():
+    """Evaluation must cover EVERY test sample for any batch size (the
+    reference's test loader keeps the remainder — train_burgers.py:96-106;
+    keras validation_data). ntest=13 with eval batch 8 pads the tail batch
+    and masks the duplicates, so history metrics equal a direct full-set
+    computation; predict() likewise returns all 13 rows."""
+    from position_induced_transformer_tpu.ops.metrics import (
+        rel_lp_norm,
+        rel_max_norm,
+    )
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    problem, state, history = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=13, verbose=False
+    )
+    pred = runner.predict(problem, state)
+    assert pred.shape[0] == 13
+    true = np.asarray(problem.test_data["y"])
+    row = history[-1]
+    np.testing.assert_allclose(
+        row["rel_l2"], float(rel_lp_norm(true, pred, 1, 2)) / 13, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        row["rel_l1"], float(rel_lp_norm(true, pred, 1, 1)) / 13, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        row["rel_max"], float(rel_max_norm(true, pred, 1)) / 13, rtol=1e-5
+    )
+
+
+def test_eval_permutation_pads_remainder():
+    from position_induced_transformer_tpu.train.loop import eval_permutation
+
+    perm = np.asarray(eval_permutation(13, 8))
+    assert perm.shape == (2, 8)
+    np.testing.assert_array_equal(perm.ravel()[:13], np.arange(13))
+    np.testing.assert_array_equal(perm.ravel()[13:], [12, 12, 12])
+    # exactly divisible: unchanged shape, no padding
+    perm = np.asarray(eval_permutation(16, 8))
+    assert perm.shape == (2, 8)
+    np.testing.assert_array_equal(perm.ravel(), np.arange(16))
+
+
+def test_rollout_eval_covers_nondivisible_ntest():
+    """Rollout-family eval metrics also cover the full test set when the
+    batch size does not divide ntest."""
+    cfg = _tiny(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+    )
+    problem, state, history = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=11, verbose=False
+    )
+    import jax
+
+    pred = np.asarray(
+        jax.jit(problem.task.rollout_preds)(
+            state.params, problem.geom, problem.test_data
+        )
+    )
+    rel = np.asarray(
+        problem.task.stepwise_rel(problem.test_data["y"], pred)
+    )  # (11, steps)
+    row = history[-1]
+    np.testing.assert_allclose(
+        row["rel_l2_step"], rel.mean(axis=-1).sum() / 11, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        row["rel_l2_final"], rel[:, -1].sum() / 11, rtol=1e-5
+    )
