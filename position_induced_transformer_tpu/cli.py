@@ -31,6 +31,15 @@ def _add_common(p):
         "backend (TPU when available)",
     )
     p.add_argument(
+        "--mesh", default=None,
+        help="device mesh for multi-chip execution: 'auto' (all visible "
+        "devices data-parallel) or 'data=N[,model=M]' (N-way data x M-way "
+        "tensor parallelism over ICI). train: batch sharded over 'data', "
+        "params/Adam moments over 'model'. evaluate: data-parallel "
+        "batches; with --zssr the 421^2 decoder query rows are "
+        "sequence-sharded instead",
+    )
+    p.add_argument(
         "--fused-mode", default=None, choices=["auto", "always", "never"],
         help="Pallas kernel dispatch (sets PIT_FUSED_MODE): 'auto' = "
         "measured policy (batched kernels for per-sample meshes, XLA for "
@@ -187,6 +196,7 @@ def main(argv=None):
             resume_from=args.resume,
             checkpoint_every=args.checkpoint_every,
             sync_every=args.sync_every,
+            mesh=args.mesh,
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))
@@ -224,6 +234,7 @@ def main(argv=None):
             zssr_downsampling=args.zssr_downsampling,
             save_pred=args.save_pred,
             plots_dir=args.plots,
+            mesh=args.mesh,
         )
         print(json.dumps(result))
         return 0

@@ -14,9 +14,11 @@ from position_induced_transformer_tpu.parallel.shard_map_step import (
 from position_induced_transformer_tpu.parallel.sharding import (
     batch_spec,
     make_mesh,
+    parse_mesh_spec,
     param_shardings,
     replicate_tree,
     replicated,
+    sequence_constrain_tf_geometry,
     sequence_shard_geometry,
     shard_batch,
     shard_state,
@@ -24,6 +26,7 @@ from position_induced_transformer_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "parse_mesh_spec",
     "batch_spec",
     "shard_batch",
     "param_shardings",
@@ -31,6 +34,7 @@ __all__ = [
     "replicated",
     "replicate_tree",
     "sequence_shard_geometry",
+    "sequence_constrain_tf_geometry",
     "make_shard_map_train_step",
     "shard_batch_arrays",
     "make_stage_mesh",

@@ -45,6 +45,49 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
+    """Resolve the runner/CLI ``--mesh`` argument to a device mesh.
+
+    Accepted forms: an existing :class:`Mesh` (returned as-is), ``None``
+    (single device — no mesh), ``'auto'`` (all visible devices
+    data-parallel), or ``'data=N[,model=M]'``. The reference is strictly
+    single-device (SURVEY.md §2.4); this is the production entry point for
+    the framework's DP/TP presets.
+    """
+    if spec is None or isinstance(spec, Mesh):
+        return spec
+    s = str(spec).strip().lower()
+    if s in ("", "none", "1"):
+        return None
+    if s == "auto":
+        n = len(jax.devices())
+        return make_mesh(n_data=n, n_model=1) if n > 1 else None
+    n_data, n_model = 1, 1
+    for part in s.split(","):
+        key, sep, val = part.partition("=")
+        key, val = key.strip(), val.strip()
+        if not sep or not val.isdigit() or int(val) < 1:
+            raise ValueError(
+                f"bad mesh spec {spec!r}: expected 'auto' or "
+                "'data=N[,model=M]' with positive integers"
+            )
+        if key == "data":
+            n_data = int(val)
+        elif key == "model":
+            n_model = int(val)
+        else:
+            raise ValueError(
+                f"unknown mesh axis {key!r} in {spec!r} (axes: data, model)"
+            )
+    n_avail = len(jax.devices())
+    if n_data * n_model > n_avail:
+        raise ValueError(
+            f"mesh {spec!r} needs {n_data * n_model} devices but only "
+            f"{n_avail} are visible"
+        )
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
 def batch_spec(leaf) -> P:
     """Shard the leading (batch) axis over 'data', replicate the rest."""
     return P("data", *([None] * (leaf.ndim - 1)))
@@ -122,15 +165,18 @@ def replicate_tree(mesh: Mesh, tree):
 
 
 def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data", pad: bool = False):
-    """Shard the decoder's output-mesh rows over a mesh axis (sequence
-    parallelism for ZSSR-scale decode). ``dist_up``/``thr_up`` rows are
-    distributed; everything else stays replicated.
+    """Shard the decoder's query rows over a mesh axis (sequence
+    parallelism for ZSSR-scale decode). For the torch-family
+    :class:`~..models.geometry.Geometry` the ``dist_up``/``thr_up`` rows
+    are distributed; for the TF-family ``TFGeometry`` the ``m_cross``/
+    ``thr_up`` rows (decoder cross-attention). Everything else stays
+    replicated.
 
     ``pad=True`` pads the query-row axis to a multiple of the axis size by
     repeating the last row (needed e.g. for the 421^2 = 177,241-row Darcy
     decode, which no power-of-two axis divides); model outputs then carry
     the same padded rows — slice them off with the original row count
-    (``geom.dist_up.shape[0]`` before the call)."""
+    (e.g. ``geom.dist_up.shape[0]`` before the call)."""
     import jax.numpy as jnp
 
     size = mesh.shape[axis]
@@ -151,10 +197,36 @@ def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data", pad: bool = Fa
             a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
         )
 
+    if hasattr(geom, "m_cross"):  # TFGeometry (NamedTuple)
+        raise ValueError(
+            "sequence_shard_geometry handles torch-family Geometry; for a "
+            "TFGeometry use sequence_constrain_tf_geometry inside the "
+            "jitted forward (its m_cross is consumed transposed by the "
+            "encoder, so rows cannot be padded, and device_put rejects "
+            "uneven shards)"
+        )
+
     import dataclasses
 
     return dataclasses.replace(
         geom,
         dist_up=row_shard(row_pad(geom.dist_up)),
         thr_up=row_shard(row_pad(geom.thr_up)),
+    )
+
+
+def sequence_constrain_tf_geometry(mesh: Mesh, geom, axis: str = "data"):
+    """Sequence-parallel decode constraints for a TF-family ``TFGeometry``,
+    to be applied INSIDE a jitted forward: the decoder cross-attention rows
+    (``m_cross``/``thr_up``) get a ``with_sharding_constraint`` over the
+    mesh axis. Unlike :func:`sequence_shard_geometry` this never pads —
+    GSPMD carries the uneven final shard (e.g. 177,241 = 421^2 query rows
+    on 8 devices), which also keeps ``m_cross.T`` (consumed by the encoder)
+    shape-consistent."""
+    spec = lambda a: NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    wsc = lambda a: (
+        None if a is None else jax.lax.with_sharding_constraint(a, spec(a))
+    )
+    return geom._replace(
+        m_cross=wsc(geom.m_cross), thr_up=wsc(geom.thr_up)
     )

@@ -170,7 +170,10 @@ def setup_darcy(
     model = _make_model(cfg)
 
     def denorm(out):  # (B, L, 1) -> denormalized grid
-        out = out.reshape(out.shape[0], s, s, 1)
+        # slice to the grid size first: sequence-parallel ZSSR decode pads
+        # the query rows to a multiple of the mesh axis (parallel/sharding
+        # sequence_shard_geometry pad=True); harmless when unpadded
+        out = out[:, : s * s].reshape(out.shape[0], s, s, 1)
         return y_norm.denormalize(out)
 
     task = Task(model=model, postprocess=denorm, **_task_kwargs(cfg))
@@ -503,6 +506,8 @@ def setup_darcy_tf(
 
     def apply_fn(params, geom, batch):
         out = model.apply({"params": params}, geom, grid_q, batch["x"])
+        # slice before the grid reshape: SP ZSSR decode pads the query rows
+        out = out[:, : s * s]
         return y_norm.denormalize(out.reshape(out.shape[0], s, s, m.out_dim))
 
     task = Task(

@@ -36,7 +36,14 @@ def evaluate(
     save_pred: Optional[str] = None,
     plots_dir: Optional[str] = None,
     setup_kwargs: Optional[dict] = None,
+    mesh=None,
 ) -> dict:
+    """``mesh``: a Mesh / spec string ('auto' | 'data=N[,model=M]') / None.
+    With a mesh, ZSSR decoding is sequence-parallel — the 421^2 = 177,241
+    decoder query rows are sharded over the 'data' axis (each device
+    computes the attention rows for its slab against the replicated latent
+    cloud, SURVEY.md §5 long-context) — and ordinary evaluation shards the
+    batch (data parallelism)."""
     cfg = get(config) if isinstance(config, str) else config
     restored = ckpt.restore(checkpoint_path)
     params = restored["params"] if "params" in restored else restored
@@ -76,10 +83,52 @@ def evaluate(
     )
     state = TrainState(params, None, 0)
 
-    if cfg.rollout_steps:
-        return _evaluate_rollout(cfg, problem, state, zssr, save_pred)
+    from position_induced_transformer_tpu.parallel.sharding import (
+        parse_mesh_spec,
+    )
 
-    pred = predict(problem, state)
+    mesh = parse_mesh_spec(mesh)
+    pred_mesh = mesh
+    if mesh is not None:
+        # checkpoint restore commits params to device 0; replicate them
+        # over the mesh so they can meet sharded operands in one jit
+        from position_induced_transformer_tpu.parallel.sharding import (
+            replicate_tree as _rep,
+        )
+
+        state = TrainState(_rep(mesh, state.params), None, 0)
+    if mesh is not None and zssr and problem.geom is not None:
+        # sequence-parallel ZSSR decode: shard the decoder query rows over
+        # 'data' (each device holds a slab of the (L_out, L_ltt) cross
+        # matrix); the batch stays unsharded — rows are the long axis here
+        import dataclasses as _dc
+
+        from position_induced_transformer_tpu.parallel.sharding import (
+            replicate_tree,
+            sequence_constrain_tf_geometry,
+            sequence_shard_geometry,
+        )
+
+        if hasattr(problem.geom, "m_cross"):  # TF family
+            orig_apply = problem.task.apply_fn
+            problem.task = _dc.replace(
+                problem.task,
+                apply_fn=lambda p, g, b: orig_apply(
+                    p, sequence_constrain_tf_geometry(mesh, g), b
+                ),
+            )
+        else:
+            problem.geom = sequence_shard_geometry(
+                mesh, replicate_tree(mesh, problem.geom), pad=True
+            )
+        pred_mesh = None
+
+    if cfg.rollout_steps:
+        return _evaluate_rollout(
+            cfg, problem, state, zssr, save_pred, mesh=pred_mesh
+        )
+
+    pred = predict(problem, state, mesh=pred_mesh)
     true = np.asarray(problem.test_data["y"])[: pred.shape[0]]
     n = pred.shape[0]
     out_dim = cfg.model.out_dim
@@ -137,9 +186,10 @@ def _cylinder_rollout(cfg, problem, state):
     }
 
 
-def _evaluate_rollout(cfg, problem, state, zssr, save_pred):
+def _evaluate_rollout(cfg, problem, state, zssr, save_pred, mesh=None):
     """Autoregressive rollout metrics (reference: train_vorticity.py:148-161;
-    stepwise/trajectory rel-L2 per tensorflow/4_Vorticity/utils.py)."""
+    stepwise/trajectory rel-L2 per tensorflow/4_Vorticity/utils.py).
+    ``mesh``: optional device mesh — batches shard over its 'data' axis."""
     import jax
 
     from position_induced_transformer_tpu.ops.metrics import (
@@ -151,9 +201,23 @@ def _evaluate_rollout(cfg, problem, state, zssr, save_pred):
     bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
     data = problem.test_data
     n = data["x"].shape[0]
-    rollout = jax.jit(
-        lambda p, g, x: problem.task.rollout(p, g, x, steps)
-    )
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        bs = max(n_data, bs - bs % n_data)
+
+        from position_induced_transformer_tpu.parallel.sharding import (
+            shard_batch,
+        )
+
+        rollout = jax.jit(
+            lambda p, g, x: problem.task.rollout(
+                p, g, shard_batch(mesh, {"x": x})["x"], steps
+            )
+        )
+    else:
+        rollout = jax.jit(
+            lambda p, g, x: problem.task.rollout(p, g, x, steps)
+        )
     preds = []
     for i in range(0, n, bs):
         # pad the final partial batch by repeating the last sample (single

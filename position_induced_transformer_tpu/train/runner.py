@@ -75,8 +75,18 @@ def train(
     checkpoint_every: Optional[int] = None,
     schedule_epochs: Optional[int] = None,
     sync_every: int = 1,
+    mesh=None,
 ):
     """Train a benchmark end to end; returns (problem, state, history).
+
+    ``mesh``: a ``jax.sharding.Mesh``, a spec string (``'auto'`` |
+    ``'data=N[,model=M]'``), or ``None`` (single device). With a mesh the
+    batch is sharded over the 'data' axis, parameters and Adam moments are
+    tensor-parallel over 'model' (MLP columns/rows, attention heads —
+    parallel/sharding.py), and XLA GSPMD inserts the gradient all-reduce
+    over ICI. Numerically identical to single-device training
+    (tests/test_parallel.py). The reference has no parallelism at all
+    (SURVEY.md §2.4).
 
     ``resume_from``: restore params + optimizer state + step from a
     checkpoint and continue training (elastic recovery — the reference can
@@ -128,10 +138,34 @@ def train(
         )
         start_epoch = int(state.step) // max(1, n_batches)
 
-    train_epoch = make_train_epoch(problem.task, optimizer)
+    from position_induced_transformer_tpu.parallel.sharding import (
+        parse_mesh_spec,
+        replicate_tree,
+        shard_state,
+    )
+
+    mesh = parse_mesh_spec(mesh)
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} is not divisible by the mesh "
+                f"data axis ({n_data})"
+            )
+        state = shard_state(mesh, state, n_head=cfg.model.n_head)
+        if problem.geom is not None:
+            problem.geom = replicate_tree(mesh, problem.geom)
+        problem.train_data = replicate_tree(mesh, problem.train_data)
+        problem.test_data = replicate_tree(mesh, problem.test_data)
+
+    train_epoch = make_train_epoch(problem.task, optimizer, mesh=mesh)
     metrics = None if cfg.rollout_steps else default_metrics(cfg.model.out_dim)
-    eval_epoch = make_eval_epoch(problem.task, metrics)
+    eval_epoch = make_eval_epoch(problem.task, metrics, mesh=mesh)
     eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        # the eval batch axis must also divide over 'data'
+        eval_bs = max(n_data, eval_bs - eval_bs % n_data)
     eval_perm = eval_permutation(problem.n_test, eval_bs)
     n_eval = problem.n_test  # padded tail batch is masked, so every
     # test sample counts exactly once for any batch size
@@ -257,14 +291,30 @@ def save_history(history, csv_path=None, plot_path=None):
         plt.close()
 
 
-def predict(problem, state, data=None, batch_size: Optional[int] = None):
+def predict(
+    problem, state, data=None, batch_size: Optional[int] = None, mesh=None
+):
     """Full-dataset predictions (reference final predict loops, e.g.
-    train_burgers.py:118-126)."""
+    train_burgers.py:118-126). ``mesh``: optional device mesh — batches are
+    sharded over its 'data' axis (data-parallel inference)."""
     data = data if data is not None else problem.test_data
     n = data["x"].shape[0]
     bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
     bs = min(bs, n)
-    fwd = jax.jit(problem.task.forward)
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        bs = max(n_data, bs - bs % n_data)
+
+        def fwd_fn(params, geom, batch):
+            from position_induced_transformer_tpu.parallel.sharding import (
+                shard_batch,
+            )
+
+            return problem.task.forward(params, geom, shard_batch(mesh, batch))
+
+        fwd = jax.jit(fwd_fn)
+    else:
+        fwd = jax.jit(problem.task.forward)
     outs = []
     for i in range(0, n, bs):
         # pad the final partial batch by repeating the last sample (keeps

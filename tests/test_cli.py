@@ -44,3 +44,32 @@ def test_train_reproducible_with_seed(tmp_path):
         )
         histories.append([(r["train_loss"], r["rel_l2"]) for r in h])
     assert histories[0] == histories[1]
+
+
+def test_train_cli_mesh_flag(capsys):
+    """`train --mesh data=2,model=2` runs through the production runner on
+    the fake 8-device mesh and produces finite metrics."""
+    assert (
+        main(
+            [
+                "train", "--benchmark", "burgers", "--mesh", "data=2,model=2",
+                "--epochs", "1", "--ntrain", "16", "--ntest", "8",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])["final"]
+    import numpy as np
+
+    assert np.isfinite([final["train_loss"], final["rel_l2"]]).all()
+
+
+def test_train_cli_mesh_bad_spec_is_clean_error():
+    with pytest.raises(ValueError, match="mesh"):
+        main(
+            [
+                "train", "--benchmark", "burgers", "--mesh", "rows=3",
+                "--epochs", "1", "--ntrain", "8", "--ntest", "8",
+            ]
+        )

@@ -358,3 +358,136 @@ def test_pipeline_training_epoch_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def test_parse_mesh_spec():
+    from position_induced_transformer_tpu.parallel import parse_mesh_spec
+
+    m = parse_mesh_spec("data=4,model=2")
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    assert parse_mesh_spec(m) is m
+    assert parse_mesh_spec(None) is None
+    auto = parse_mesh_spec("auto")
+    assert auto.shape["data"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=x")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("stage=2")
+    with pytest.raises(ValueError):
+        parse_mesh_spec(f"data={len(jax.devices()) * 2}")
+
+
+def test_runner_train_mesh_matches_single_device():
+    """The PRODUCTION path: runner.train(mesh='data=4,model=2') — state
+    sharded, geometry/data replicated, GSPMD collectives — reproduces the
+    single-device run exactly (same shuffles, same arithmetic graph up to
+    reduction order). ntest=13 also exercises the padded eval tail batch
+    under the mesh."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    kw = dict(epochs=2, ntrain=32, ntest=13, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="data=4,model=2", **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-4)
+
+
+def test_runner_train_mesh_rejects_indivisible_batch():
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=6,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        runner.train(
+            cfg, mesh="data=4", epochs=1, ntrain=24, ntest=8, verbose=False
+        )
+
+
+def test_evaluate_zssr_sequence_parallel_matches(tmp_path):
+    """`evaluate --zssr --mesh data=8` shards the decoder query rows
+    (121 = 11^2 rows here, NOT divisible by 8 -> padded) and must return
+    the same metrics as the unsharded evaluation."""
+    import os
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = configs.DARCY
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+        latent_grid=(8, 8), batch_size=8,
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+        checkpoint_path=ckpt, setup_kwargs={"downsampling": 40},
+    )
+    kw = dict(ntest=8, zssr=True, zssr_downsampling=40)
+    ref = evaluate.evaluate(cfg, checkpoint_path=ckpt, **kw)
+    sp = evaluate.evaluate(cfg, checkpoint_path=ckpt, mesh="data=8", **kw)
+    np.testing.assert_allclose(sp["rel_l2"], ref["rel_l2"], rtol=1e-5)
+    np.testing.assert_allclose(sp["rel_l1"], ref["rel_l1"], rtol=1e-5)
+
+
+def test_evaluate_zssr_sequence_parallel_tf(tmp_path):
+    """TF-family ZSSR under a mesh: decoder rows constrained in-jit
+    (uneven shards — m_cross is consumed transposed by the encoder, so no
+    padding); metrics match the unsharded evaluation."""
+    import os
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = configs.DARCY_TF
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+        latent_grid=(8, 8), batch_size=8,
+    )
+    ckpt = os.path.join(tmp_path, "ckpt_tf")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+        checkpoint_path=ckpt, setup_kwargs={"downsampling": 40},
+    )
+    kw = dict(ntest=8, zssr=True, zssr_downsampling=40)
+    ref = evaluate.evaluate(cfg, checkpoint_path=ckpt, **kw)
+    sp = evaluate.evaluate(cfg, checkpoint_path=ckpt, mesh="data=8", **kw)
+    np.testing.assert_allclose(sp["rel_l2"], ref["rel_l2"], rtol=1e-5)
+
+
+def test_evaluate_data_parallel_matches(tmp_path):
+    """Plain (non-ZSSR) `evaluate --mesh data=4`: batches shard over
+    'data'; metrics match the single-device evaluation."""
+    import os
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=ckpt
+    )
+    ref = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8)
+    dp = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8, mesh="data=4")
+    np.testing.assert_allclose(dp["rel_l2"], ref["rel_l2"], rtol=1e-5)
+    np.testing.assert_allclose(dp["rel_max"], ref["rel_max"], rtol=1e-5)
