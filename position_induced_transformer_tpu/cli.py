@@ -31,6 +31,14 @@ def _add_common(p):
         "backend (TPU when available)",
     )
     p.add_argument(
+        "--model-variant", default=None,
+        choices=["pit", "lite", "transformer", "selfpit"],
+        help="ablation model for TF-family benchmarks (reference swaps one "
+        "constructor line per driver, tensorflow/*/train.py): 'lite' = "
+        "self-attention processor, 'transformer' = all self-attention, "
+        "'selfpit' = hybrid dot-product + distance-bias attention",
+    )
+    p.add_argument(
         "--mesh", default=None,
         help="device mesh for multi-chip execution: 'auto' (all visible "
         "devices data-parallel) or 'data=N[,model=M]' (N-way data x M-way "
@@ -154,6 +162,10 @@ def main(argv=None):
         from position_induced_transformer_tpu.utils import count_params
 
         cfg = get_cfg(args.benchmark)
+        if args.model_variant:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, model_variant=args.model_variant)
         problem = benchmarks.setup(
             cfg, args.data_path,
             ntrain=args.ntrain or min(cfg.ntrain, 4 * cfg.batch_size),
@@ -197,6 +209,7 @@ def main(argv=None):
             checkpoint_every=args.checkpoint_every,
             sync_every=args.sync_every,
             mesh=args.mesh,
+            model_variant=args.model_variant,
         )
         final = history[-1] if history else {}
         print(json.dumps({"final": final}))
@@ -235,6 +248,7 @@ def main(argv=None):
             save_pred=args.save_pred,
             plots_dir=args.plots,
             mesh=args.mesh,
+            model_variant=args.model_variant,
         )
         print(json.dumps(result))
         return 0

@@ -55,6 +55,12 @@ class BenchmarkConfig:
     domain: Tuple[float, float] = (0.0, 1.0)
     periodic_grid: bool = False  # drop grid endpoint
     seed: int = 0
+    model_variant: str = "pit"  # ablation baselines for the TF-family
+    # benchmarks (reference swaps one constructor line per driver,
+    # tensorflow/1_InviscidBurgers/train.py:38-40): 'pit' | 'lite'
+    # (self-attention processor) | 'transformer' (all self-attention, no
+    # latent downsampling) | 'selfpit' (hybrid dot-product + distance-bias
+    # attention; requires latent == query resolution)
 
 
 BURGERS = BenchmarkConfig(

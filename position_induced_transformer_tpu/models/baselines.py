@@ -11,6 +11,13 @@ tensorflow/1_InviscidBurgers/utils.py:230-553):
 - ``SelfMultiHeadPosAtt`` / ``SelfPiT``: hybrid attention
   ``softmax(QK^T/sqrt(d) - lambda*D)`` — dot-product logits with an
   additive position-distance bias.
+
+The standalone classes below mirror the 1_InviscidBurgers dir's baselines
+exactly. The RUNNABLE experiment path is ``BenchmarkConfig.model_variant``
+(`--model-variant lite|transformer|selfpit`), which parameterizes each
+benchmark's own PiTTF/PiTTFPointCloud with swapped attention kinds — the
+same one-line-swap the reference does per dir
+(tensorflow/1_InviscidBurgers/train.py:38-40).
 """
 
 from __future__ import annotations
@@ -20,80 +27,12 @@ import jax.numpy as jnp
 
 from position_induced_transformer_tpu.models.pit_tf import (
     MultiHeadPosAtt,
+    MultiHeadSelfAtt,
+    SelfMultiHeadPosAtt,
     TFGeometry,
     TFMlp,
 )
 from position_induced_transformer_tpu.ops.initializers import he_normal_tf
-
-
-class MultiHeadSelfAtt(nn.Module):
-    """Scaled dot-product MHA, GELU output
-    (reference: tensorflow/1_InviscidBurgers/utils.py:230-283)."""
-
-    n_head: int
-    hid_dim: int
-
-    @nn.compact
-    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
-        v_dim = round(self.hid_dim / self.n_head)
-        shape = (self.n_head, inputs.shape[-1], v_dim)
-        q = self.param("query", he_normal_tf, shape)
-        k = self.param("key", he_normal_tf, shape)
-        v = self.param("value", he_normal_tf, shape)
-        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
-        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
-        att = nn.softmax(
-            jnp.einsum("...ij,...kj->...ik", Q, K) / v_dim**0.5, axis=-1
-        )
-        V = jnp.einsum("bnj,hjk->bhnk", inputs, v)
-        out = jnp.einsum("...nj,...jd->...nd", att, V)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-            inputs.shape[0], -1, self.hid_dim
-        )
-        return nn.gelu(out, approximate=False)
-
-
-class SelfMultiHeadPosAtt(nn.Module):
-    """Hybrid: dot-product logits plus additive distance bias
-    ``QK^T/sqrt(d) - tan(r)*D`` with percentile locality on the bias
-    (reference: tensorflow/1_InviscidBurgers/utils.py:418-481)."""
-
-    n_head: int
-    hid_dim: int
-    locality: float  # percentile, >100 = global
-
-    @nn.compact
-    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
-        v_dim = round(self.hid_dim / self.n_head)
-        shape = (self.n_head, inputs.shape[-1], v_dim)
-        r = self.param(
-            "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
-        )
-        q = self.param("query", nn.initializers.lecun_normal(), shape)
-        k = self.param("key", nn.initializers.lecun_normal(), shape)
-        w = self.param("weight", he_normal_tf, shape)
-
-        scaled = dist * jnp.tan(jnp.maximum(r, 0.0))
-        if self.locality <= 100:
-            mask = jnp.quantile(
-                scaled, self.locality / 100.0, axis=-1, keepdims=True
-            )
-            scaled = jnp.where(
-                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
-            )
-        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
-        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
-        V = jnp.einsum("bnj,hjk->bhnk", inputs, w)
-        logits = (
-            jnp.einsum("...mi,...ni->...mn", Q, K) / v_dim**0.5
-            - scaled[None]
-        )
-        att = nn.softmax(logits, axis=-1)
-        out = jnp.einsum("...nj,...jd->...nd", att, V)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-            inputs.shape[0], -1, self.hid_dim
-        )
-        return nn.gelu(out, approximate=False)
 
 
 class _EncProcDec(nn.Module):

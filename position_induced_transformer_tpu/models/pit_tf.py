@@ -151,6 +151,80 @@ class MultiHeadPosAtt(nn.Module):
         return nn.gelu(out, approximate=False)
 
 
+class MultiHeadSelfAtt(nn.Module):
+    """Scaled dot-product MHA with in-op Q/K/V projections and trailing
+    GELU (reference: tensorflow/1_InviscidBurgers/utils.py:230-283) — the
+    attention the `lite`/`transformer` ablation variants swap in."""
+
+    n_head: int
+    hid_dim: int
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        v_dim = round(self.hid_dim / self.n_head)
+        shape = (self.n_head, inputs.shape[-1], v_dim)
+        q = self.param("query", he_normal_tf, shape)
+        k = self.param("key", he_normal_tf, shape)
+        v = self.param("value", he_normal_tf, shape)
+        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
+        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
+        att = nn.softmax(
+            jnp.einsum("...ij,...kj->...ik", Q, K) / v_dim**0.5, axis=-1
+        )
+        V = jnp.einsum("bnj,hjk->bhnk", inputs, v)
+        out = jnp.einsum("...nj,...jd->...nd", att, V)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            inputs.shape[0], -1, self.hid_dim
+        )
+        return nn.gelu(out, approximate=False)
+
+
+class SelfMultiHeadPosAtt(nn.Module):
+    """Hybrid attention: dot-product logits plus an additive distance bias
+    ``QK^T/sqrt(d) - tan(max(r,0))*D`` with percentile locality on the bias
+    (reference: tensorflow/1_InviscidBurgers/utils.py:418-481) — the
+    `selfpit` ablation variant's attention. Requires the distance matrix to
+    be square in its last axis against the sequence (latent == query for
+    the cross roles, reference SelfPiT usage)."""
+
+    n_head: int
+    hid_dim: int
+    locality: float  # percentile, >100 = global
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+        v_dim = round(self.hid_dim / self.n_head)
+        shape = (self.n_head, inputs.shape[-1], v_dim)
+        r = self.param(
+            "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
+        )
+        q = self.param("query", nn.initializers.lecun_normal(), shape)
+        k = self.param("key", nn.initializers.lecun_normal(), shape)
+        w = self.param("weight", he_normal_tf, shape)
+
+        scaled = dist * jnp.tan(jnp.maximum(r, 0.0))
+        if self.locality <= 100:
+            mask = jnp.quantile(
+                scaled, self.locality / 100.0, axis=-1, keepdims=True
+            )
+            scaled = jnp.where(
+                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+            )
+        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
+        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
+        V = jnp.einsum("bnj,hjk->bhnk", inputs, w)
+        logits = (
+            jnp.einsum("...mi,...ni->...mn", Q, K) / v_dim**0.5
+            - scaled[None]
+        )
+        att = nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...nj,...jd->...nd", att, V)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            inputs.shape[0], -1, self.hid_dim
+        )
+        return nn.gelu(out, approximate=False)
+
+
 class TFMlp(nn.Module):
     """Dense(gelu) -> Dense, he_normal (tensorflow/1_InviscidBurgers/utils.py:63-78)."""
 
@@ -171,6 +245,16 @@ class PiTTF(nn.Module):
     Processor: n_blocks x (MLP(PA(x)) + W(x), gelu) — additive residual.
     Decoder: cross-att up [-> optional self-att up2 with MLP/W residual,
     present in the 1-D experiments] -> MLP head.
+
+    ``processor_attention``/``coder_attention`` select the attention kind
+    per role — 'position' (PiT), 'self' (dot-product MHA) or 'hybrid'
+    (dot-product + additive distance bias) — reproducing the reference's
+    ablation baselines, which are each experiment dir's PiT with one
+    constructor line swapped (reference:
+    tensorflow/1_InviscidBurgers/train.py:38-40; LiteTransformer =
+    processor 'self', utils.py:285-353; Transformer = everything 'self'
+    and hence no latent downsampling, utils.py:355-416; SelfPiT =
+    everything 'hybrid', utils.py:483-553).
     """
 
     out_dim: int
@@ -181,9 +265,25 @@ class PiTTF(nn.Module):
     n_blocks: int = 4
     bandwidth: str = "tan_sin"
     use_decoder_selfatt: bool = True  # up2 path (1-D dirs)
+    processor_attention: str = "position"  # position | self | hybrid
+    coder_attention: str = "position"  # down/up/up2 attention kind
+
+    def _att(self, kind, locality, name, dist, x, thr=None):
+        if kind == "position":
+            return MultiHeadPosAtt(
+                self.n_head, self.hid_dim, locality, self.bandwidth, name=name
+            )(dist, x, thr)
+        if kind == "self":
+            return MultiHeadSelfAtt(self.n_head, self.hid_dim, name=name)(x)
+        if kind == "hybrid":
+            return SelfMultiHeadPosAtt(
+                self.n_head, self.hid_dim, locality, name=name
+            )(dist, x)
+        raise ValueError(f"unknown attention kind {kind!r}")
 
     @nn.compact
     def __call__(self, geom: TFGeometry, mesh: jnp.ndarray, inputs: jnp.ndarray):
+        ca, pa_kind = self.coder_attention, self.processor_attention
         # Encoder (mesh generated from resolution in TF — utils.py:212-215;
         # here passed in, broadcast over batch)
         if mesh.ndim == 2:
@@ -193,32 +293,35 @@ class PiTTF(nn.Module):
         en = jnp.concatenate([mesh, inputs], axis=-1)
         en = nn.Dense(self.hid_dim, kernel_init=he_normal_tf, name="en_layer")(en)
         en = nn.gelu(en, approximate=False)
-        x = MultiHeadPosAtt(
-            self.n_head, self.hid_dim, self.locality_encoder, self.bandwidth,
-            name="down",
-        )(geom.m_cross.T, en, geom.thr_down)
+        x = self._att(
+            ca, self.locality_encoder, "down",
+            None if ca == "self" else geom.m_cross.T, en,
+            geom.thr_down if ca == "position" else None,
+        )
 
         # Processor: locality 200 => global (utils.py:181)
         for i in range(self.n_blocks):
-            pa = MultiHeadPosAtt(
-                self.n_head, self.hid_dim, 200.0, self.bandwidth,
-                name=f"MHPA_{i}",
-            )(geom.m_ltt, x)
+            pa = self._att(
+                pa_kind, 200.0, f"MHPA_{i}",
+                None if pa_kind == "self" else geom.m_ltt, x,
+            )
             x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + nn.Dense(
                 self.hid_dim, kernel_init=he_normal_tf, name=f"W_{i}"
             )(x)
             x = nn.gelu(x, approximate=False)
 
         # Decoder
-        de = MultiHeadPosAtt(
-            self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
-            name="up",
-        )(geom.m_cross, x, geom.thr_up)
+        de = self._att(
+            ca, self.locality_decoder, "up",
+            None if ca == "self" else geom.m_cross, x,
+            geom.thr_up if ca == "position" else None,
+        )
         if self.use_decoder_selfatt:
-            de2 = MultiHeadPosAtt(
-                self.n_head, self.hid_dim, self.locality_decoder, self.bandwidth,
-                name="up2",
-            )(geom.m_qry, de, geom.thr_qry)
+            de2 = self._att(
+                ca, self.locality_decoder, "up2",
+                None if ca == "self" else geom.m_qry, de,
+                geom.thr_qry if ca == "position" else None,
+            )
             de = TFMlp(self.hid_dim, self.hid_dim, name="mlp")(de2) + nn.Dense(
                 self.hid_dim, kernel_init=he_normal_tf, name="w"
             )(de)
@@ -332,6 +435,21 @@ class PiTTFPointCloud(nn.Module):
     locality_encoder: float
     locality_decoder: float
     n_blocks: int = 4
+    processor_attention: str = "position"  # position | self (ablations,
+    # reference: tensorflow/5_Elasticity/utils.py:244-382 LiteTransformer/
+    # Transformer — the dir's PiT with attention modules swapped)
+    coder_attention: str = "position"
+
+    def _att(self, kind, locality, name, dist, x, thr=None):
+        if kind == "position":
+            return MultiHeadPosAttBatched(
+                self.n_head, self.hid_dim, locality, name=name
+            )(dist, x, thr)
+        if kind == "self":
+            return MultiHeadSelfAtt(self.n_head, self.hid_dim, name=name)(x)
+        raise ValueError(
+            f"unknown point-cloud attention kind {kind!r} (position | self)"
+        )
 
     @nn.compact
     def __call__(
@@ -359,13 +477,14 @@ class PiTTFPointCloud(nn.Module):
         ):  # first non-None wins (encoder==decoder locality shares one)
             if given.get(loc) is None:
                 given[loc] = t
+        need_thr = self.coder_attention == "position"
         thr = {
             loc: (
                 given[loc]
                 if given[loc] is not None
                 else (
                     quantile_threshold(m_dist, loc / 100.0)
-                    if loc <= 100
+                    if loc <= 100 and need_thr
                     else None
                 )
             )
@@ -378,25 +497,27 @@ class PiTTFPointCloud(nn.Module):
         en = dense("en_layer")(inputs)
         en = nn.gelu(en, approximate=False)
         x = TFMlp(self.hid_dim, self.hid_dim, name="mlp1")(
-            MultiHeadPosAttBatched(
-                self.n_head, self.hid_dim, self.locality_encoder, name="down"
-            )(m_dist, en, thr[self.locality_encoder])
+            self._att(
+                self.coder_attention, self.locality_encoder, "down",
+                m_dist, en, thr[self.locality_encoder],
+            )
         ) + dense("w1")(en)
         x = nn.gelu(x, approximate=False)
 
         for i in range(self.n_blocks):
-            pa = MultiHeadPosAttBatched(
-                self.n_head, self.hid_dim, 200.0, name=f"PA_{i}"
-            )(m_dist, x)
+            pa = self._att(
+                self.processor_attention, 200.0, f"PA_{i}", m_dist, x
+            )
             x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + dense(
                 f"W_{i}"
             )(x)
             x = nn.gelu(x, approximate=False)
 
         de = TFMlp(self.hid_dim, self.hid_dim, name="mlp2")(
-            MultiHeadPosAttBatched(
-                self.n_head, self.hid_dim, self.locality_decoder, name="up"
-            )(m_dist, x, thr[self.locality_decoder])
+            self._att(
+                self.coder_attention, self.locality_decoder, "up",
+                m_dist, x, thr[self.locality_decoder],
+            )
         ) + dense("w2")(x)
         de = nn.gelu(de, approximate=False)
         return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)

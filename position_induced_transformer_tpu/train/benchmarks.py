@@ -43,7 +43,53 @@ class Problem:
     # for models whose call signature differs from (geom, x)
 
 
+# model_variant -> (processor_attention, coder_attention) for the TF family
+# (reference ablations: tensorflow/1_InviscidBurgers/train.py:38-40,
+# utils.py:230-553 — each dir's PiT with attention modules swapped)
+_VARIANT_ATTENTION = {
+    "pit": ("position", "position"),
+    "lite": ("self", "position"),
+    "transformer": ("self", "self"),
+    "selfpit": ("hybrid", "hybrid"),
+}
+
+
+def _variant_attention(cfg: BenchmarkConfig, point_cloud: bool = False) -> dict:
+    """Attention-kind kwargs for PiTTF/PiTTFPointCloud from the config's
+    ``model_variant``; validates the variant against the benchmark."""
+    v = cfg.model_variant or "pit"
+    if v not in _VARIANT_ATTENTION:
+        raise ValueError(
+            f"unknown model variant {v!r}; available: "
+            f"{sorted(_VARIANT_ATTENTION)}"
+        )
+    if point_cloud and v == "selfpit":
+        raise ValueError(
+            "the 'selfpit' variant is not defined for the point-cloud "
+            "family (the reference has no SelfPiT in 5_Elasticity)"
+        )
+    if v == "selfpit" and (
+        cfg.grid is None
+        or cfg.latent_grid is None
+        or tuple(cfg.grid) != tuple(cfg.latent_grid)
+    ):
+        raise ValueError(
+            "the 'selfpit' variant requires latent == query resolution "
+            "(its hybrid attention mixes dot-product logits with the "
+            "distance bias; reference SelfPiT lives in "
+            "tensorflow/1_InviscidBurgers where ltt_res == qry_res)"
+        )
+    pa, ca = _VARIANT_ATTENTION[v]
+    return {"processor_attention": pa, "coder_attention": ca}
+
+
 def _make_model(cfg: BenchmarkConfig) -> PiT:
+    if (cfg.model_variant or "pit") != "pit":
+        raise ValueError(
+            f"model variant {cfg.model_variant!r} exists for the TF-family "
+            "benchmarks only (the reference's ablation baselines live in "
+            "tensorflow/*/utils.py; the torch implementation has none)"
+        )
     m = cfg.model
     return PiT(
         space_dim=m.space_dim,
@@ -379,6 +425,7 @@ def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks, use_decoder_selfatt=True,
+        **_variant_attention(cfg),
     )
 
     def apply_fn(params, geom, batch):
@@ -429,6 +476,7 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks, bandwidth="square", use_decoder_selfatt=True,
+        **_variant_attention(cfg),
     )
 
     def apply_fn(params, geom, batch):
@@ -502,6 +550,7 @@ def setup_darcy_tf(
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks, use_decoder_selfatt=False,
+        **_variant_attention(cfg),
     )
 
     def apply_fn(params, geom, batch):
@@ -559,6 +608,7 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks, use_decoder_selfatt=False,
+        **_variant_attention(cfg),
     )
 
     def apply_fn(params, geom, batch):
@@ -595,6 +645,7 @@ def setup_elasticity_tf(
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks,
+        **_variant_attention(cfg, point_cloud=True),
     )
 
     # the point clouds are constant across training, so the (B, L, L)
@@ -678,6 +729,7 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         out_dim=m.out_dim, hid_dim=m.hid_dim, n_head=m.n_head,
         locality_encoder=m.en_loc, locality_decoder=m.de_loc,
         n_blocks=m.n_blocks, bandwidth="tan", use_decoder_selfatt=False,
+        **_variant_attention(cfg),
     )
 
     def apply_fn(params, geom, batch):

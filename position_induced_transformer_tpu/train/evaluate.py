@@ -37,6 +37,7 @@ def evaluate(
     plots_dir: Optional[str] = None,
     setup_kwargs: Optional[dict] = None,
     mesh=None,
+    model_variant: Optional[str] = None,
 ) -> dict:
     """``mesh``: a Mesh / spec string ('auto' | 'data=N[,model=M]') / None.
     With a mesh, ZSSR decoding is sequence-parallel — the 421^2 = 177,241
@@ -45,6 +46,10 @@ def evaluate(
     cloud, SURVEY.md §5 long-context) — and ordinary evaluation shards the
     batch (data parallelism)."""
     cfg = get(config) if isinstance(config, str) else config
+    if model_variant:
+        import dataclasses as _dc0
+
+        cfg = _dc0.replace(cfg, model_variant=model_variant)
     restored = ckpt.restore(checkpoint_path)
     params = restored["params"] if "params" in restored else restored
 

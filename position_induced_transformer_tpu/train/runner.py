@@ -76,6 +76,7 @@ def train(
     schedule_epochs: Optional[int] = None,
     sync_every: int = 1,
     mesh=None,
+    model_variant: Optional[str] = None,
 ):
     """Train a benchmark end to end; returns (problem, state, history).
 
@@ -103,6 +104,10 @@ def train(
     the device saturated. With N != 1 the per-row ``seconds`` is the mean
     over the sync group (epochs are only observable at sync points)."""
     cfg = get(config) if isinstance(config, str) else config
+    if model_variant:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model_variant=model_variant)
     problem = benchmarks.setup(
         cfg, data_path, ntrain=ntrain, ntest=ntest, **(setup_kwargs or {})
     )

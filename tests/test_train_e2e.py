@@ -300,3 +300,85 @@ def test_rollout_eval_covers_nondivisible_ntest():
     np.testing.assert_allclose(
         row["rel_l2_final"], rel[:, -1].sum() / 11, rtol=1e-5
     )
+
+
+def test_model_variant_lite_e2e():
+    """`--model-variant lite`: self-attention processor inside the
+    position-attention encoder/decoder (reference LiteTransformer,
+    tensorflow/1_InviscidBurgers/utils.py:285-353, enabled by swapping one
+    constructor line in train.py:38-40). Trains end to end; the processor
+    blocks carry Q/K/V params instead of band_width."""
+    cfg = _tiny(
+        configs.BURGERS_TF, grid=(64,), latent_grid=(32,), batch_size=8,
+        model_variant="lite",
+    )
+    problem, state, _ = _run(cfg)
+    assert {"query", "key", "value"} <= set(state.params["MHPA_0"])
+    assert "band_width" in state.params["down"]  # coders stay positional
+
+
+def test_model_variant_transformer_e2e():
+    """`--model-variant transformer`: all attention dot-product, hence no
+    latent downsampling (reference Transformer,
+    tensorflow/1_InviscidBurgers/utils.py:355-416)."""
+    cfg = _tiny(
+        configs.BURGERS_TF, grid=(64,), latent_grid=(32,), batch_size=8,
+        model_variant="transformer",
+    )
+    problem, state, _ = _run(cfg)
+    assert {"query", "key", "value"} <= set(state.params["down"])
+
+
+def test_model_variant_selfpit_e2e():
+    """`--model-variant selfpit`: hybrid QK^T/sqrt(d) - tan(r)*D attention
+    everywhere (reference SelfPiT,
+    tensorflow/1_InviscidBurgers/utils.py:483-553); requires latent ==
+    query resolution like the reference dir."""
+    cfg = _tiny(
+        configs.BURGERS_TF, grid=(64,), latent_grid=(64,), batch_size=8,
+        model_variant="selfpit",
+    )
+    problem, state, _ = _run(cfg)
+    assert {"query", "key", "weight", "band_width"} <= set(
+        state.params["down"]
+    )
+
+
+def test_model_variant_lite_darcy_tf():
+    """Variant routing through a no-up2 2-D benchmark (reference
+    3_Darcy2D/utils.py:319-389 LiteTransformer mirrors its PiT: no decoder
+    self-attention, in-call denormalization)."""
+    cfg = _tiny(
+        configs.DARCY_TF, grid=(22, 22), latent_grid=(8, 8), batch_size=8,
+        model_variant="lite",
+    )
+    _run(cfg, setup_kwargs={"downsampling": 20})
+
+
+def test_model_variant_point_cloud_lite_and_transformer():
+    """Point-cloud family variants (reference 5_Elasticity/utils.py:244-382)."""
+    for variant in ("lite", "transformer"):
+        cfg = _tiny(
+            configs.ELASTICITY_TF, batch_size=4, model_variant=variant
+        )
+        _run(cfg, epochs=2, ntrain=8, ntest=4)
+
+
+def test_model_variant_errors():
+    """Clear errors: torch-family benchmarks have no baselines; selfpit
+    needs latent == query; point clouds have no selfpit."""
+    import pytest
+
+    from position_induced_transformer_tpu.train import benchmarks
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,),
+                model_variant="lite")
+    with pytest.raises(ValueError, match="TF-family"):
+        benchmarks.setup(cfg, ntrain=8, ntest=8)
+    cfg = _tiny(configs.BURGERS_TF, grid=(64,), latent_grid=(32,),
+                model_variant="selfpit")
+    with pytest.raises(ValueError, match="latent == query"):
+        benchmarks.setup(cfg, ntrain=8, ntest=8)
+    cfg = _tiny(configs.ELASTICITY_TF, model_variant="selfpit")
+    with pytest.raises(ValueError, match="point-cloud"):
+        benchmarks.setup(cfg, ntrain=8, ntest=8)
