@@ -1,0 +1,174 @@
+"""PiTTF / PiTTFPointCloud pinned bit-level-ish against the independent
+numpy oracle (tests/tf_numpy_oracle.py, hand-ported from the reference
+TensorFlow source) with SHARED weights — the same standard the torch
+family meets against the installed torch package (tests/reference_oracle.py).
+
+Meshes are random point clouds so no two distances tie (quantile
+tie-breaking on regular grids is fp-fragile — see test_ops_core.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from position_induced_transformer_tpu.models import (
+    PiTTF,
+    PiTTFPointCloud,
+    TFGeometry,
+    tf_precompute_thresholds,
+)
+from position_induced_transformer_tpu.ops import euclidean_sq
+
+from tests import tf_numpy_oracle as oracle
+
+
+def _rand_mesh(rng, n, d=1):
+    return jnp.asarray(rng.uniform(0, 1, (n, d)), jnp.float32)
+
+
+def _geom(rng, lq, ll, d=1):
+    gq, gl = _rand_mesh(rng, lq, d), _rand_mesh(rng, ll, d)
+    return (
+        gq,
+        TFGeometry(
+            m_qry=euclidean_sq(gq, gq),
+            m_cross=euclidean_sq(gq, gl),
+            m_ltt=euclidean_sq(gl, gl),
+        ),
+    )
+
+
+def _compare(model, geom, mesh, x, bandwidth, use_up2, en_loc, de_loc):
+    params = model.init(jax.random.PRNGKey(0), geom, mesh, x)["params"]
+    got = np.asarray(
+        jax.jit(model.apply)({"params": params}, geom, mesh, x)
+    )
+    want = oracle.pit_tf_forward(
+        params,
+        np.asarray(geom.m_qry) if geom.m_qry is not None else None,
+        np.asarray(geom.m_cross),
+        np.asarray(geom.m_ltt),
+        np.asarray(mesh),
+        np.asarray(x),
+        en_loc,
+        de_loc,
+        n_blocks=model.n_blocks,
+        bandwidth=bandwidth,
+        use_decoder_selfatt=use_up2,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    return params
+
+
+@pytest.mark.parametrize(
+    "bandwidth,use_up2,en_loc,de_loc",
+    [
+        ("tan_sin", True, 30.0, 60.0),  # 1_InviscidBurgers architecture
+        ("square", True, 40.0, 20.0),  # 2_ShockTube
+        ("tan_sin", False, 25.0, 50.0),  # 3_Darcy2D (minus in-call denorm)
+        ("tan", False, 35.0, 200.0),  # 6_NACA (incl. a global role)
+    ],
+)
+def test_pittf_matches_numpy_oracle(bandwidth, use_up2, en_loc, de_loc):
+    rng = np.random.default_rng(3)
+    mesh, geom = _geom(rng, lq=24, ll=12)
+    model = PiTTF(
+        out_dim=2, hid_dim=16, n_head=2,
+        locality_encoder=en_loc, locality_decoder=de_loc,
+        n_blocks=2, bandwidth=bandwidth, use_decoder_selfatt=use_up2,
+    )
+    x = jnp.asarray(rng.standard_normal((3, 24, 2)), jnp.float32)
+    _compare(model, geom, mesh, x, bandwidth, use_up2, en_loc, de_loc)
+
+
+def test_pittf_precomputed_thresholds_match_oracle_and_incall():
+    """The hoisted sign-aware thresholds (tf_precompute_thresholds) must
+    reproduce both the in-call-quantile path and the numpy oracle —
+    including a NEGATIVE tan-bandwidth head (pre-NonNeg-projection state,
+    where quantile(s*d, p) = s*quantile(d, 1-p))."""
+    rng = np.random.default_rng(7)
+    mesh, geom = _geom(rng, lq=20, ll=10)
+    en_loc, de_loc = 30.0, 45.0
+    model = PiTTF(
+        out_dim=1, hid_dim=16, n_head=2,
+        locality_encoder=en_loc, locality_decoder=de_loc,
+        n_blocks=1, bandwidth="tan", use_decoder_selfatt=False,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 20, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), geom, mesh, x)["params"]
+    # force one negative and one positive bandwidth in every attention op
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, a: (
+            jnp.asarray([[[-0.4]], [[0.3]]], jnp.float32)
+            if any(getattr(k, "key", None) == "band_width" for k in p)
+            else a
+        ),
+        params,
+    )
+    plain = jax.jit(model.apply)({"params": params}, geom, mesh, x)
+    geom_thr = tf_precompute_thresholds(geom, en_loc, de_loc)
+    hoisted = jax.jit(model.apply)({"params": params}, geom_thr, mesh, x)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+    want = oracle.pit_tf_forward(
+        params, None, np.asarray(geom.m_cross), np.asarray(geom.m_ltt),
+        np.asarray(mesh), np.asarray(x), en_loc, de_loc,
+        n_blocks=1, bandwidth="tan", use_decoder_selfatt=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hoisted), want, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pittf_point_cloud_matches_numpy_oracle():
+    """Elasticity-family point-cloud model (per-sample dist^2/2 built from
+    the first two input channels) vs the oracle."""
+    rng = np.random.default_rng(11)
+    model = PiTTFPointCloud(
+        out_dim=1, hid_dim=16, n_head=4,
+        locality_encoder=35.0, locality_decoder=35.0, n_blocks=2,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 18, 5)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), x)["params"]
+    got = np.asarray(jax.jit(model.apply)({"params": params}, x))
+    want = oracle.pit_tf_point_cloud_forward(
+        params, np.asarray(x), 35.0, 35.0, n_blocks=2
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pittf_gradients_finite_and_match_fd():
+    """Spot-check: d(loss)/d(band_width) of the jax module matches a
+    central finite difference through the numpy oracle (the mask is a
+    locally constant set, so the FD is smooth for small eps)."""
+    rng = np.random.default_rng(13)
+    mesh, geom = _geom(rng, lq=16, ll=8)
+    model = PiTTF(
+        out_dim=1, hid_dim=8, n_head=1,
+        locality_encoder=40.0, locality_decoder=40.0,
+        n_blocks=1, use_decoder_selfatt=True,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), geom, mesh, x)["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, geom, mesh, x) ** 2)
+
+    g = jax.grad(loss)(params)["down"]["band_width"]
+
+    def oracle_loss(r):
+        p2 = jax.tree_util.tree_map(np.asarray, params)
+        p2["down"] = dict(p2["down"], band_width=np.full((1, 1, 1), r))
+        out = oracle.pit_tf_forward(
+            p2, np.asarray(geom.m_qry), np.asarray(geom.m_cross),
+            np.asarray(geom.m_ltt), np.asarray(mesh), np.asarray(x),
+            40.0, 40.0, n_blocks=1, use_decoder_selfatt=True,
+        )
+        return float(np.sum(out**2))
+
+    r0 = float(params["down"]["band_width"][0, 0, 0])
+    eps = 1e-4
+    fd = (oracle_loss(r0 + eps) - oracle_loss(r0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0, 0]), fd, rtol=5e-3)
