@@ -130,7 +130,8 @@ def evaluate(
 
     if cfg.rollout_steps:
         return _evaluate_rollout(
-            cfg, problem, state, zssr, save_pred, mesh=pred_mesh
+            cfg, problem, state, zssr, save_pred, mesh=pred_mesh,
+            plots_dir=plots_dir,
         )
 
     pred = predict(problem, state, mesh=pred_mesh)
@@ -158,9 +159,12 @@ def evaluate(
     if plots_dir:
         from position_induced_transformer_tpu.train.plots import (
             save_benchmark_plots,
+            save_step_error_plot,
         )
 
         save_benchmark_plots(problem, pred, plots_dir)
+        if "rollout_rel_l2_step" in result:  # cylinder eval rollout
+            save_step_error_plot(result["rollout_rel_l2_step"], plots_dir)
     if save_pred:
         from scipy.io import savemat
 
@@ -191,7 +195,9 @@ def _cylinder_rollout(cfg, problem, state):
     }
 
 
-def _evaluate_rollout(cfg, problem, state, zssr, save_pred, mesh=None):
+def _evaluate_rollout(
+    cfg, problem, state, zssr, save_pred, mesh=None, plots_dir=None
+):
     """Autoregressive rollout metrics (reference: train_vorticity.py:148-161;
     stepwise/trajectory rel-L2 per tensorflow/4_Vorticity/utils.py).
     ``mesh``: optional device mesh — batches shard over its 'data' axis."""
@@ -242,6 +248,16 @@ def _evaluate_rollout(cfg, problem, state, zssr, save_pred, mesh=None):
         "rel_l2_traj": float(rel_norm_traj(true, pred)),
         "rel_l2_mean_step": float(step_err.mean()),
     }
+    if plots_dir:
+        from position_induced_transformer_tpu.train.plots import (
+            save_benchmark_plots,
+            save_step_error_plot,
+        )
+
+        # rel-L2 vs rollout step curve (reference:
+        # tensorflow/4_Vorticity/evaluate.py:20-27) + prediction frames
+        save_step_error_plot(step_err, plots_dir)
+        save_benchmark_plots(problem, pred, plots_dir)
     if save_pred:
         from scipy.io import savemat
 

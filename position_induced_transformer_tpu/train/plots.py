@@ -58,6 +58,26 @@ def _grid_panels(x, true, pred, s, outdir, index=-1):
     plt.close()
 
 
+def save_step_error_plot(step_err, outdir, name="rollout_error.png"):
+    """Relative L2 error vs rollout step (reference:
+    tensorflow/4_Vorticity/evaluate.py:20-27 plots the per-step error
+    curve of the autoregressive rollout)."""
+    plt = _plt()
+    os.makedirs(outdir, exist_ok=True)
+    steps = np.arange(1, len(step_err) + 1)
+    plt.figure(figsize=(6, 4), dpi=120)
+    plt.plot(steps, np.asarray(step_err), marker="o")
+    plt.xlabel("rollout step")
+    plt.ylabel("relative $L_2$ error")
+    plt.xticks(steps[:: max(1, len(steps) // 10)])
+    plt.grid(alpha=0.3)
+    plt.tight_layout()
+    path = os.path.join(outdir, name)
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
 def _frame_plots(true, pred, s, outdir, index=-1, max_frames=5):
     plt = _plt()
     t = true[index].reshape(s, s, -1)

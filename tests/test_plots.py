@@ -47,3 +47,36 @@ def test_plots_render(tmp_path, name, shrink, setup_kwargs):
         assert {"true_var1.pdf", "pred_var1.pdf", "err_var1.pdf"} <= set(
             os.listdir(out)
         )
+
+
+def test_rollout_evaluate_emits_step_error_plot(tmp_path):
+    """`evaluate --plots` for a rollout benchmark writes the rel-L2-vs-step
+    curve (reference: tensorflow/4_Vorticity/evaluate.py:20-27) plus
+    prediction frames."""
+    import dataclasses
+    import os
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import evaluate, runner
+
+    cfg = dataclasses.replace(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+        model=dataclasses.replace(
+            configs.VORTICITY.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    plots = os.path.join(tmp_path, "plots")
+    res = evaluate.evaluate(
+        cfg, checkpoint_path=ckpt, ntest=8, plots_dir=plots
+    )
+    assert len(res["rel_l2_step"]) == 3
+    assert os.path.exists(os.path.join(plots, "rollout_error.png"))
+    assert any(f.startswith("frame") or f.startswith("rollout")
+               for f in os.listdir(plots))
