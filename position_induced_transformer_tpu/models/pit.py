@@ -99,6 +99,9 @@ def _dispatch_posatt(
     import jax
 
     mode = os.environ.get("PIT_FUSED_MODE", "auto")
+    # opt-in bf16 MXU forward contraction in the fused kernels (f32
+    # accumulation, f32 gradients) — end-to-end A/B recorded in BASELINE.md
+    mxu_bf16 = os.environ.get("PIT_MXU_BF16", "") in ("1", "true", "on")
     on_tpu = jax.default_backend() == "tpu"
     if dist is None:  # lazy batched geometry: raw per-sample coordinates
         if fused and mode != "never" and on_tpu:
@@ -107,7 +110,8 @@ def _dispatch_posatt(
             )
 
             return position_attention_batched(
-                mesh_q, mesh_k, lmda, inputs, locality, thr
+                mesh_q, mesh_k, lmda, inputs, locality, thr,
+                mxu_bf16=mxu_bf16,
             )
         from position_induced_transformer_tpu.ops.distances import (
             pairwise_sq_dist,
@@ -124,7 +128,9 @@ def _dispatch_posatt(
             position_attention_fixed,
         )
 
-        return position_attention_fixed(dist, lmda, inputs, locality, thr=thr)
+        return position_attention_fixed(
+            dist, lmda, inputs, locality, thr=thr, mxu_bf16=mxu_bf16
+        )
     return position_attention(dist, lmda, inputs, locality, thr=thr)
 
 
