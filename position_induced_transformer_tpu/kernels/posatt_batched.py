@@ -89,15 +89,11 @@ def _attention(dist, keep, s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, mxu_bf16):
+def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
     """``with_thr``: the per-row locality threshold is a precomputed input
     (per-sample meshes are constant across training, so thresholds are
     data — computed once at setup, ops/locality.py invariant) and the
-    c-1 masked-min passes disappear from the hot path.
-
-    ``mxu_bf16``: bf16 MXU contraction with f32 accumulation — the same
-    arithmetic XLA's default-precision einsum uses on TPU for the fallback
-    path, ~2x the f32 MXU rate."""
+    c-1 masked-min passes disappear from the hot path."""
 
     def kernel(scale_ref, *refs):
         if with_thr:
@@ -107,8 +103,6 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, mxu_bf16):
         mq = mq_ref[0]  # (TLo, d)
         mk = mk_ref[0]  # (Li_p, d)
         u = u_ref[0]  # (Li_p, D)
-        if mxu_bf16:
-            u = u.astype(jnp.bfloat16)
         dist = _dist_tile(mq, mk, space_dim)
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
         if with_thr:
@@ -117,8 +111,6 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, mxu_bf16):
             keep = _keep_mask(dist, col, keep_count, L_in)
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
-            if mxu_bf16:
-                att = att.astype(jnp.bfloat16)
             out_ref[0, :, h * D : (h + 1) * D] = jnp.dot(
                 att, u, preferred_element_type=jnp.float32
             )
@@ -126,12 +118,9 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, mxu_bf16):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("keep_count", "interpret", "mxu_bf16")
-)
+@functools.partial(jax.jit, static_argnames=("keep_count", "interpret"))
 def _posatt_batched_raw(
     mesh_q, mesh_k, scale, u, thr=None, *, keep_count, interpret=False,
-    mxu_bf16=False,
 ):
     """(B, L_out, H*D) fused batched position attention.
 
@@ -163,7 +152,7 @@ def _posatt_batched_raw(
 
     grid = (B, Lo_p // TLo)
     out = pl.pallas_call(
-        _make_fwd_kernel(H, D, d, keep_count, L_in, thr is not None, mxu_bf16),
+        _make_fwd_kernel(H, D, d, keep_count, L_in, thr is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
@@ -292,28 +281,27 @@ def _posatt_batched_bwd_raw(
     return du[:, :L_in, :], ds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _posatt_batched(
     mesh_q, mesh_k, scale, u, thr, keep_count, interpret=False,
-    mxu_bf16=False,
 ):
     return _posatt_batched_raw(
         mesh_q, mesh_k, scale, u, thr,
-        keep_count=keep_count, interpret=interpret, mxu_bf16=mxu_bf16,
+        keep_count=keep_count, interpret=interpret,
     )
 
 
 def _posatt_batched_fwd(
-    mesh_q, mesh_k, scale, u, thr, keep_count, interpret, mxu_bf16
+    mesh_q, mesh_k, scale, u, thr, keep_count, interpret
 ):
     out = _posatt_batched_raw(
         mesh_q, mesh_k, scale, u, thr,
-        keep_count=keep_count, interpret=interpret, mxu_bf16=mxu_bf16,
+        keep_count=keep_count, interpret=interpret,
     )
     return out, (mesh_q, mesh_k, scale, u, thr)
 
 
-def _posatt_batched_bwd(keep_count, interpret, mxu_bf16, residuals, g):
+def _posatt_batched_bwd(keep_count, interpret, residuals, g):
     mesh_q, mesh_k, scale, u, thr = residuals
     du, ds = _posatt_batched_bwd_raw(
         mesh_q, mesh_k, scale, u, g, thr,
@@ -326,11 +314,10 @@ def _posatt_batched_bwd(keep_count, interpret, mxu_bf16, residuals, g):
 _posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
 
 
-def _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, with_thr, mxu_bf16=False):
+def _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, with_thr):
     """TF-semantics forward: logits = -dist * s_h over a PRE-BUILT batched
     distance tile, per-head values folded on the last axis (B, Li, H*V).
-    The (B, H, L, L) attention tensors never exist in HBM. ``mxu_bf16``:
-    bf16 MXU contraction with f32 accumulation (XLA-default arithmetic)."""
+    The (B, H, L, L) attention tensors never exist in HBM."""
 
     def kernel(scale_ref, *refs):
         if with_thr:
@@ -353,12 +340,8 @@ def _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, with_thr, mxu_bf16=False):
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
         v = v_ref[0]
-        if mxu_bf16:
-            v = v.astype(jnp.bfloat16)
         for h in range(H):
             att = _attention(dist, keep, scale_ref[h, 0])
-            if mxu_bf16:
-                att = att.astype(jnp.bfloat16)
             out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
                 att, v[:, h * V : (h + 1) * V],
                 preferred_element_type=jnp.float32,
@@ -439,8 +422,8 @@ def _tf_pad(dist, thr, values, TLo):
     return dist_p, thr_p, v_p, Lo_p, Li_p
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_bf16"))
-def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False, mxu_bf16=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False):
     """(B, L_out, H*V): streaming softmax(-dist * s_h) @ values_h.
 
     dist: (B, L_out, L_in) pre-built per-sample distances; thr: optional
@@ -463,7 +446,7 @@ def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False, mxu_bf16=False)
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
     out = pl.pallas_call(
-        _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, thr_p is not None, mxu_bf16),
+        _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, thr_p is not None),
         grid=(B, Lo_p // TLo),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
@@ -524,21 +507,17 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
     return dv[:, :L_in, :], ds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _posatt_tf(dist, thr, scale, values, interpret=False, mxu_bf16=False):
-    return _posatt_tf_raw(
-        dist, thr, scale, values, interpret=interpret, mxu_bf16=mxu_bf16
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _posatt_tf(dist, thr, scale, values, interpret=False):
+    return _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
 
 
-def _posatt_tf_fwd(dist, thr, scale, values, interpret, mxu_bf16):
-    out = _posatt_tf_raw(
-        dist, thr, scale, values, interpret=interpret, mxu_bf16=mxu_bf16
-    )
+def _posatt_tf_fwd(dist, thr, scale, values, interpret):
+    out = _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
     return out, (dist, thr, scale, values)
 
 
-def _posatt_tf_bwd(interpret, mxu_bf16, residuals, g):
+def _posatt_tf_bwd(interpret, residuals, g):
     dist, thr, scale, values = residuals
     dv, ds = _posatt_tf_bwd_raw(
         dist, thr, scale, values, g, interpret=interpret
@@ -557,7 +536,6 @@ def position_attention_batched_dist(
     thr: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
-    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """TF-semantics fused batched position attention over PRE-BUILT
     per-sample distances (reference: tensorflow/5_Elasticity/utils.py:60-103
@@ -572,7 +550,7 @@ def position_attention_batched_dist(
     (fully-fused streaming backward); dist/thr are treated as constants
     (they derive from input coordinates, not parameters).
     """
-    return _posatt_tf(dist, thr, scales, values, interpret, mxu_bf16)
+    return _posatt_tf(dist, thr, scales, values, interpret)
 
 
 def position_attention_batched(
@@ -584,15 +562,15 @@ def position_attention_batched(
     thr: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
-    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Fused batched drop-in for ``ops.posatt.position_attention`` when the
     distance matrix would be built per sample inside the step: takes raw
     mesh coordinates (B, L_out, d)/(B, L_in, d) and returns (B, L_out, H*D).
 
-    ``mxu_bf16``: bf16 MXU contraction in the FORWARD (f32 accumulation,
-    gradients stay f32) — the same arithmetic the XLA fallback's
-    default-precision einsum uses on TPU.
+    (A bf16-MXU forward option was removed after measurement — round 3:
+    default-precision f32 jnp.dot already lowers to a single bf16 MXU pass
+    with f32 accumulation on v5e, so the casts were bit-identical no-ops;
+    BASELINE.md.)
 
     ``thr``: optional precomputed per-row locality thresholds (B, L_out, 1)
     — per-sample meshes are constant across training, so the c-th-smallest
@@ -627,7 +605,7 @@ def position_attention_batched(
         thr = midpoint_to_next(dist, topk_threshold(dist, locality))
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_batched(
-        mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret, mxu_bf16
+        mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret
     )
     assert out.shape == (B, L_out, H * inputs.shape[-1])
     return out

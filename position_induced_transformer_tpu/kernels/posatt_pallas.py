@@ -162,16 +162,6 @@ def _posatt_fixed_raw(dist, thr, scale, u, *, interpret=False):
     return out[:, :, :L_out, :]
 
 
-def _make_posatt_kernel_v2(mxu_bf16: bool):
-    def kernel(scale_ref, thr_ref, dist_ref, u_ref, out_ref, m_ref, l_ref, acc_ref):
-        return _posatt_kernel_v2(
-            scale_ref, thr_ref, dist_ref, u_ref, out_ref, m_ref, l_ref,
-            acc_ref, mxu_bf16=mxu_bf16,
-        )
-
-    return kernel
-
-
 def _posatt_kernel_v2(
     scale_ref,  # (H, 1) SMEM
     thr_ref,  # (TLo, 1)
@@ -181,8 +171,6 @@ def _posatt_kernel_v2(
     m_ref,
     l_ref,
     acc_ref,  # (TLo, TN)
-    *,
-    mxu_bf16: bool = False,
 ):
     """Batch-folded variant: values are (L_in, B*D) so one distance-tile
     fetch feeds a (TLo, TLi) x (TLi, TN) MXU matmul across the whole batch.
@@ -209,17 +197,9 @@ def _posatt_kernel_v2(
     p = jnp.exp(logits - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    if mxu_bf16:
-        # single-pass bf16 MXU matmul with f32 accumulation: ~2x MXU rate,
-        # ~1e-2 relative error on attention weights (opt-in)
-        prod = jnp.dot(
-            p.astype(jnp.bfloat16),
-            u_ref[:].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        prod = jnp.dot(p, u_ref[:], preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + prod
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, u_ref[:], preferred_element_type=jnp.float32
+    )
     m_ref[:] = m_new
 
     @pl.when(j == nj - 1)
@@ -227,8 +207,8 @@ def _posatt_kernel_v2(
         out_ref[0] = acc_ref[:] / l_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_bf16"))
-def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False, mxu_bf16=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False):
     """(H, B, L_out, D) via the batch-folded kernel."""
     H = scale.shape[0]
     B, L_in, D = u.shape
@@ -248,7 +228,7 @@ def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False, mxu_bf16=False
 
     grid = (H, BD_p // TN, Lo_p // TLo, Li_p // TLi)
     out = pl.pallas_call(
-        _make_posatt_kernel_v2(mxu_bf16),
+        _posatt_kernel_v2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -282,7 +262,7 @@ def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False, mxu_bf16=False
     return jnp.transpose(out, (0, 2, 1, 3))  # (H, B, L_out, D)
 
 
-def _make_posatt_kernel_v3(H: int, mxu_bf16: bool):
+def _make_posatt_kernel_v3(H: int):
     def kernel(scale_ref, thr_ref, dist_ref, u_ref, out_ref, m_ref, l_ref, acc_ref):
         """Head-folded batch-folded variant: ONE distance-tile fetch feeds
         all H heads' logits + MXU matmuls (H is a static trace-time unroll).
@@ -301,8 +281,6 @@ def _make_posatt_kernel_v3(H: int, mxu_bf16: bool):
         d = dist_ref[:]
         keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
         u = u_ref[:]
-        if mxu_bf16:
-            u = u.astype(jnp.bfloat16)
         for h in range(H):
             s = scale_ref[h, 0]
             logits = jnp.where(keep, -d * s, _NEG)
@@ -313,8 +291,6 @@ def _make_posatt_kernel_v3(H: int, mxu_bf16: bool):
             p = jnp.exp(logits - m_new)
             alpha = jnp.exp(m_prev - m_new)
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            if mxu_bf16:
-                p = p.astype(jnp.bfloat16)
             acc_ref[h] = acc_ref[h] * alpha + jnp.dot(
                 p, u, preferred_element_type=jnp.float32
             )
@@ -340,8 +316,8 @@ def _pick_tiles_v3(L_out: int, L_in: int, H: int, BD: int):
     return TLo, TLi, TN
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_bf16"))
-def _posatt_fixed_raw_v3(dist, thr, scale, u, *, interpret=False, mxu_bf16=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _posatt_fixed_raw_v3(dist, thr, scale, u, *, interpret=False):
     """(H, B, L_out, D) via the head-folded batch-folded kernel."""
     H = scale.shape[0]
     B, L_in, D = u.shape
@@ -360,7 +336,7 @@ def _posatt_fixed_raw_v3(dist, thr, scale, u, *, interpret=False, mxu_bf16=False
 
     grid = (BD_p // TN, Lo_p // TLo, Li_p // TLi)
     out = pl.pallas_call(
-        _make_posatt_kernel_v3(H, mxu_bf16),
+        _make_posatt_kernel_v3(H),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -660,35 +636,30 @@ def _reference_forward(dist, thr, scale, u):
     return jnp.einsum("hnj,bjd->hbnd", att, u)
 
 
-def _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16):
+def _run_raw(version, dist, thr, scale, u, interpret):
     if version == 3:
-        return _posatt_fixed_raw_v3(
-            dist, thr, scale, u, interpret=interpret, mxu_bf16=mxu_bf16
-        )
+        return _posatt_fixed_raw_v3(dist, thr, scale, u, interpret=interpret)
     if version == 2:
-        return _posatt_fixed_raw_v2(
-            dist, thr, scale, u, interpret=interpret, mxu_bf16=mxu_bf16
-        )
+        return _posatt_fixed_raw_v2(dist, thr, scale, u, interpret=interpret)
     return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _posatt_fixed(
-    dist, thr, scale, u, interpret=False, version=2, mxu_bf16=False,
-    fused_bwd=True,
+    dist, thr, scale, u, interpret=False, version=2, fused_bwd=True,
 ):
-    return _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16)
+    return _run_raw(version, dist, thr, scale, u, interpret)
 
 
-def _posatt_fixed_fwd(dist, thr, scale, u, interpret, version, mxu_bf16, fused_bwd):
-    out = _run_raw(version, dist, thr, scale, u, interpret, mxu_bf16)
+def _posatt_fixed_fwd(dist, thr, scale, u, interpret, version, fused_bwd):
+    out = _run_raw(version, dist, thr, scale, u, interpret)
     if fused_bwd:
         M, L = _posatt_stats(dist, thr, scale, interpret=interpret)
         return out, (dist, thr, scale, u, M, L)
     return out, (dist, thr, scale, u, None, None)
 
 
-def _posatt_fixed_bwd(interpret, version, mxu_bf16, fused_bwd, residuals, g):
+def _posatt_fixed_bwd(interpret, version, fused_bwd, residuals, g):
     dist, thr, scale, u, M, L = residuals
     if not fused_bwd:
         # fall back: recompute attention in XLA (materializes (H, Lo, Li))
@@ -725,7 +696,6 @@ def position_attention_fixed(
     *,
     interpret: bool = False,
     version: int = 3,
-    mxu_bf16: bool = False,
     fused_bwd: bool = True,
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of ``ops.posatt.position_attention`` for
@@ -735,9 +705,12 @@ def position_attention_fixed(
     is computed on the fly (XLA sort) when absent and ``locality < 1``.
     ``version``: 3 = head-folded + batch-folded (one distance pass total),
     2 = batch-folded values (distance read once per head), 1 =
-    per-(head, batch) grid. ``mxu_bf16``: opt-in bf16 MXU matmul with f32
-    accumulation in the v2/v3 kernels (~2x MXU rate, ~1e-2 relative error
-    on the attention-weighted sums).
+    per-(head, batch) grid.
+
+    A bf16-MXU "option" was removed after measurement (round 3): default-
+    precision f32 ``jnp.dot`` already lowers to a single bf16 MXU pass with
+    f32 accumulation on v5e, so explicit bf16 casts produced bit-identical
+    outputs and no end-to-end speedup (BASELINE.md).
     """
     H = lmda.shape[0]
     B = inputs.shape[0]
@@ -748,7 +721,7 @@ def position_attention_fixed(
         thr = quantile_threshold(dist, locality)
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_fixed(
-        dist, thr, scale, inputs, interpret, version, mxu_bf16, fused_bwd
+        dist, thr, scale, inputs, interpret, version, fused_bwd
     )
     out = jnp.transpose(out, (1, 2, 0, 3))  # (B, Lo, H, D)
     return out.reshape(B, L_out, H * inputs.shape[-1])

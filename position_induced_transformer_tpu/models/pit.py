@@ -81,8 +81,8 @@ def _dispatch_posatt(
     decoder-only-fused (B=4). The head-folded v3 kernel narrowed but did
     not close the gap (kernels/posatt_pallas.py). So `auto` uses XLA for
     all fixed-mesh shapes; the kernels stay available behind
-    ``PIT_FUSED_MODE=always`` (+ version/mxu_bf16 flags) for other
-    hardware generations.
+    ``PIT_FUSED_MODE=always`` (+ version flag) for other hardware
+    generations.
 
     Lazy batched meshes (``dist is None``, per-sample point clouds): the
     batched kernel computes distances + locality threshold + softmax +
@@ -99,9 +99,6 @@ def _dispatch_posatt(
     import jax
 
     mode = os.environ.get("PIT_FUSED_MODE", "auto")
-    # opt-in bf16 MXU forward contraction in the fused kernels (f32
-    # accumulation, f32 gradients) — end-to-end A/B recorded in BASELINE.md
-    mxu_bf16 = os.environ.get("PIT_MXU_BF16", "") in ("1", "true", "on")
     on_tpu = jax.default_backend() == "tpu"
     if dist is None:  # lazy batched geometry: raw per-sample coordinates
         if fused and mode != "never" and on_tpu:
@@ -110,8 +107,7 @@ def _dispatch_posatt(
             )
 
             return position_attention_batched(
-                mesh_q, mesh_k, lmda, inputs, locality, thr,
-                mxu_bf16=mxu_bf16,
+                mesh_q, mesh_k, lmda, inputs, locality, thr
             )
         from position_induced_transformer_tpu.ops.distances import (
             pairwise_sq_dist,
@@ -128,9 +124,7 @@ def _dispatch_posatt(
             position_attention_fixed,
         )
 
-        return position_attention_fixed(
-            dist, lmda, inputs, locality, thr=thr, mxu_bf16=mxu_bf16
-        )
+        return position_attention_fixed(dist, lmda, inputs, locality, thr=thr)
     return position_attention(dist, lmda, inputs, locality, thr=thr)
 
 

@@ -400,11 +400,7 @@ class MultiHeadPosAttBatched(nn.Module):
             values = jnp.einsum("bnj,hjk->bnhk", inputs, w).reshape(
                 inputs.shape[0], inputs.shape[1], self.hid_dim
             )
-            out = position_attention_batched_dist(
-                dist, scales, values, thr,
-                mxu_bf16=os.environ.get("PIT_MXU_BF16", "")
-                in ("1", "true", "on"),
-            )
+            out = position_attention_batched_dist(dist, scales, values, thr)
             return nn.gelu(out, approximate=False)
 
         scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)

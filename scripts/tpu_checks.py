@@ -133,16 +133,10 @@ def check_fixed(L_out, L_in, B, H, D, loc, label, rows):
     fused3 = lambda x, lm: position_attention_fixed(
         dist, lm, x, loc, thr=thr, version=3
     )
-    fused3b = lambda x, lm: position_attention_fixed(
-        dist, lm, x, loc, thr=thr, version=3, mxu_bf16=True
-    )
-
     want = oracle(u, lmda)
     err = float(jnp.max(jnp.abs(fused3(u, lmda) - want)))
 
-    for impl, fn in (
-        ("xla", oracle), ("v2", fused2), ("v3", fused3), ("v3_bf16", fused3b)
-    ):
+    for impl, fn in (("xla", oracle), ("v2", fused2), ("v3", fused3)):
         t = timeit_scanned(fn, u.shape, lmda.shape)
         row = roofline_row(label, impl, t, L_out, L_in, B, H, D, False)
         if impl == "v3":

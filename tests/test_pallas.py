@@ -77,25 +77,6 @@ def test_fused_gradients_match_oracle(L_out, L_in, B, H, D, loc, fused_bwd):
         )
 
 
-def test_fused_v2_bf16_option_close_to_oracle():
-    rng = np.random.default_rng(2)
-    L_out, L_in, B, H, D, loc = 64, 96, 3, 2, 8, 0.3
-    mesh_out = jnp.asarray(rng.random((L_out, 2)), jnp.float32)
-    mesh_in = jnp.asarray(rng.random((L_in, 2)), jnp.float32)
-    dist = euclidean_sq(mesh_out, mesh_in)
-    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
-    u = jnp.asarray(rng.random((B, L_in, D)), jnp.float32)
-
-    want = position_attention(dist, lmda, u, loc)
-    got = position_attention_fixed(
-        dist, lmda, u, loc, interpret=INTERPRET, version=2, mxu_bf16=True
-    )
-    # bf16 MXU inputs: ~1e-2 relative tolerance
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
-    )
-
-
 # ------------------------------------------------- batched (per-sample) kernel
 @pytest.mark.parametrize(
     "B,Lq,Lk,H,D,loc",
@@ -283,35 +264,6 @@ def test_tf_batched_dist_kernel_matches_oracle(B, Lo, Li, H, V, use_thr):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
-
-
-def test_batched_kernels_bf16_option_close_to_f32():
-    """mxu_bf16 forward stays within bf16 tolerance of the f32 kernel."""
-    from position_induced_transformer_tpu.kernels import (
-        position_attention_batched,
-        position_attention_batched_dist,
-    )
-
-    rng = np.random.default_rng(0)
-    B, Lq, Lk, H, D = 2, 64, 96, 2, 16
-    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
-    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
-    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
-    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
-    a = position_attention_batched(mq, mk, lmda, u, 0.3, interpret=INTERPRET)
-    b = position_attention_batched(
-        mq, mk, lmda, u, 0.3, interpret=INTERPRET, mxu_bf16=True
-    )
-    assert float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))) < 2e-2
-
-    dist = jnp.asarray(rng.random((B, Lq, Lk)), jnp.float32)
-    scales = jnp.asarray(rng.random((H, 1)), jnp.float32)
-    vals = jnp.asarray(rng.standard_normal((B, Lk, H * 8)), jnp.float32)
-    a = position_attention_batched_dist(dist, scales, vals, interpret=INTERPRET)
-    b = position_attention_batched_dist(
-        dist, scales, vals, interpret=INTERPRET, mxu_bf16=True
-    )
-    assert float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))) < 2e-2
 
 
 def test_tf_batched_dist_kernel_padded_rows_large_scale_finite():
