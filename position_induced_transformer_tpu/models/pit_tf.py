@@ -181,11 +181,17 @@ class MultiHeadSelfAtt(nn.Module):
 
 class SelfMultiHeadPosAtt(nn.Module):
     """Hybrid attention: dot-product logits plus an additive distance bias
-    ``QK^T/sqrt(d) - tan(max(r,0))*D`` with percentile locality on the bias
+    ``QK^T/sqrt(d) - tan(r)*D`` with percentile locality on the bias
     (reference: tensorflow/1_InviscidBurgers/utils.py:418-481) — the
     `selfpit` ablation variant's attention. Requires the distance matrix to
     be square in its last axis against the sequence (latent == query for
-    the cross roles, reference SelfPiT usage)."""
+    the cross roles, reference SelfPiT usage).
+
+    The reference constrains ``r`` NonNeg with keras project-after-update
+    semantics (utils.py:437); the forward itself is plain tan(r) — the
+    projection happens via ``Task.param_constraint``
+    (train/benchmarks.py nonneg_bandwidths), NOT an in-forward clamp
+    (which would zero the gradient at r < 0)."""
 
     n_head: int
     hid_dim: int
@@ -202,7 +208,7 @@ class SelfMultiHeadPosAtt(nn.Module):
         k = self.param("key", nn.initializers.lecun_normal(), shape)
         w = self.param("weight", he_normal_tf, shape)
 
-        scaled = dist * jnp.tan(jnp.maximum(r, 0.0))
+        scaled = dist * jnp.tan(r)
         if self.locality <= 100:
             mask = jnp.quantile(
                 scaled, self.locality / 100.0, axis=-1, keepdims=True

@@ -108,13 +108,19 @@ def _make_model(cfg: BenchmarkConfig) -> PiT:
 
 
 def _task_kwargs(cfg: BenchmarkConfig) -> dict:
-    return dict(
+    kw = dict(
         loss_p=cfg.loss_p,
         out_dim=cfg.model.out_dim,
         swap_loss_args=cfg.swap_loss_args,
         rollout_steps=cfg.rollout_steps,
         trajectory_loss=cfg.trajectory_loss,
     )
+    if (cfg.model_variant or "pit") == "selfpit":
+        # the hybrid attention's band_width carries the keras NonNeg
+        # constraint (reference: tensorflow/1_InviscidBurgers/utils.py:437)
+        # — project-after-update semantics, like naca_tf's tan bandwidth
+        kw["param_constraint"] = nonneg_bandwidths
+    return kw
 
 
 def nonneg_bandwidths(params):

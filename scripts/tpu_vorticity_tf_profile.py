@@ -67,6 +67,11 @@ def trace_epoch(name, outdir, cfg, problem, state, train_epoch, perm):
 
 
 def aggregate_trace(outdir, top=25):
+    """Leaf HLO ops on the device lane, aggregated by (hlo_category,
+    output shape); while/control-flow scopes excluded (they enclose the
+    leaves and would double-count)."""
+    import re
+
     files = glob.glob(
         os.path.join(outdir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -75,18 +80,31 @@ def aggregate_trace(outdir, top=25):
     path = max(files, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
-    durs = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+    dev_pids = {
+        ev["pid"]
+        for ev in trace["traceEvents"]
+        if ev.get("ph") == "M"
+        and ev.get("name") == "process_name"
+        and "TPU" in (ev.get("args") or {}).get("name", "")
+    }
+    agg, whiles = {}, 0.0
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
-        # device lanes only (TensorFlow Op / XLA Op names)
-        name = ev.get("name", "")
         args = ev.get("args") or {}
-        lane = str(args.get("group_id", "")) or name
-        key = args.get("long_name") or name
-        durs[name] = durs.get(name, 0.0) + ev["dur"] / 1e6
-    rows = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
-    return rows
+        cat = args.get("hlo_category")
+        if not cat:
+            continue
+        if "while" in cat.lower() or "control" in cat.lower():
+            whiles += ev["dur"] / 1e6
+            continue
+        ln = args.get("long_name", ev.get("name", ""))
+        m = re.search(r"= (\S+?)\{", ln)
+        shape = m.group(1) if m else "?"
+        key = f"{cat} {shape}"
+        agg[key] = agg.get(key, 0.0) + ev["dur"] / 1e6
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return [("while_scope_total", whiles)] + rows
 
 
 def main():

@@ -172,3 +172,87 @@ def test_pittf_gradients_finite_and_match_fd():
     eps = 1e-4
     fd = (oracle_loss(r0 + eps) - oracle_loss(r0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 0, 0]), fd, rtol=5e-3)
+
+
+@pytest.mark.parametrize("variant", ["lite", "transformer", "selfpit"])
+def test_pittf_variant_matches_numpy_oracle(variant):
+    """The ablation variants (`--model-variant`) pinned against the
+    independent oracle's transcription of the reference baselines
+    (LiteTransformer utils.py:285-353, Transformer :355-416, SelfPiT
+    :483-553) with shared weights. SelfPiT needs latent == query like the
+    reference dir, so both use lq points."""
+    rng = np.random.default_rng(17)
+    lq = 20
+    ll = lq if variant == "selfpit" else 10
+    mesh, geom = _geom(rng, lq=lq, ll=ll)
+    kinds = {
+        "lite": dict(processor_attention="self"),
+        "transformer": dict(
+            processor_attention="self", coder_attention="self"
+        ),
+        "selfpit": dict(
+            processor_attention="hybrid", coder_attention="hybrid"
+        ),
+    }[variant]
+    model = PiTTF(
+        out_dim=1, hid_dim=16, n_head=2,
+        locality_encoder=30.0, locality_decoder=60.0,
+        n_blocks=2, use_decoder_selfatt=True, **kinds,
+    )
+    x = jnp.asarray(rng.standard_normal((3, lq, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(5), geom, mesh, x)["params"]
+    got = np.asarray(jax.jit(model.apply)({"params": params}, geom, mesh, x))
+
+    from tests.tf_numpy_oracle import pit_tf_variant_forward
+
+    want = pit_tf_variant_forward(
+        params, np.asarray(geom.m_qry), np.asarray(geom.m_cross),
+        np.asarray(geom.m_ltt), np.asarray(mesh), np.asarray(x),
+        30.0, 60.0, variant, n_blocks=2, use_decoder_selfatt=True,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_selfpit_bandwidth_is_plain_tan_with_nonneg_constraint():
+    """The hybrid attention's forward is plain tan(r) (full gradient at
+    r < 0); the keras NonNeg constraint is project-after-update via
+    Task.param_constraint (reference utils.py:437), wired automatically
+    for the selfpit variant."""
+    import dataclasses
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import benchmarks
+
+    # wide localities: at the reference's 1-percentile on a 32-point row
+    # only one entry survives the mask, making the softmax one-hot and the
+    # bandwidth gradient legitimately zero — not what this test probes
+    cfg = dataclasses.replace(
+        configs.BURGERS_TF,
+        grid=(32,), latent_grid=(32,), batch_size=4,
+        model=dataclasses.replace(
+            configs.BURGERS_TF.model, hid_dim=8, n_blocks=1,
+            en_loc=50.0, de_loc=50.0,
+        ),
+        model_variant="selfpit",
+    )
+    problem = benchmarks.setup(cfg, ntrain=8, ntest=4)
+    assert problem.task.param_constraint is not None
+    params = problem.init_fn(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda a: a[:2], problem.train_data),
+    )["params"]
+    # force a negative bandwidth; the constraint projects it to 0
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, a: (
+            jnp.full_like(a, -0.5)
+            if any(getattr(k, "key", None) == "band_width" for k in p)
+            else a
+        ),
+        params,
+    )
+    projected = problem.task.param_constraint(params)
+    assert float(projected["down"]["band_width"].min()) == 0.0
+    # plain-tan forward: gradient w.r.t. a negative r is nonzero
+    batch = jax.tree_util.tree_map(lambda a: a[:4], problem.train_data)
+    g = jax.grad(problem.task.loss_fn)(params, problem.geom, batch)
+    assert float(jnp.abs(g["down"]["band_width"]).max()) > 0.0

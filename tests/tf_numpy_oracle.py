@@ -185,3 +185,102 @@ def pit_tf_point_cloud_forward(
     ) + dense(params["w2"], h)
     de = gelu(de)
     return tf_mlp(params["de_layer"], de)
+
+
+def self_att(p, x):
+    """Scaled dot-product MHA with trailing GELU
+    (reference: tensorflow/1_InviscidBurgers/utils.py:265-277)."""
+    q = np.asarray(p["query"], np.float64)
+    k = np.asarray(p["key"], np.float64)
+    v = np.asarray(p["value"], np.float64)
+    H, v_dim = q.shape[0], q.shape[2]
+    x = np.asarray(x, np.float64)
+    Q = np.einsum("bnj,hjk->bhnk", x, q)
+    K = np.einsum("bnj,hjk->bhnk", x, k)
+    att = softmax(
+        np.einsum("bhij,bhkj->bhik", Q, K) / v_dim**0.5, axis=-1
+    )
+    V = np.einsum("bnj,hjk->bhnk", x, v)
+    out = np.einsum("bhnj,bhjd->bhnd", att, V)
+    out = np.transpose(out, (0, 2, 1, 3)).reshape(x.shape[0], -1, H * v_dim)
+    return gelu(out)
+
+
+def hybrid_att(p, dist, locality, x):
+    """SelfMultiHeadPosAtt: logits = QK^T/sqrt(d) - tan(r)*D with
+    percentile locality on the scaled distances
+    (reference: tensorflow/1_InviscidBurgers/utils.py:462-481; r is
+    NonNeg-projected after each UPDATE, so the forward is plain tan)."""
+    r = np.asarray(p["band_width"], np.float64)
+    q = np.asarray(p["query"], np.float64)
+    k = np.asarray(p["key"], np.float64)
+    w = np.asarray(p["weight"], np.float64)
+    H, v_dim = q.shape[0], q.shape[2]
+    x = np.asarray(x, np.float64)
+    scaled = np.asarray(dist, np.float64)[None] * np.tan(r)  # (H, L, L)
+    if locality <= 100:
+        mask = np.percentile(
+            scaled, locality, axis=-1, keepdims=True, method="linear"
+        )
+        scaled = np.where(scaled <= mask, scaled, F32_MAX)
+    Q = np.einsum("bnj,hjk->bhnk", x, q)
+    K = np.einsum("bnj,hjk->bhnk", x, k)
+    V = np.einsum("bnj,hjk->bhnk", x, w)
+    logits = np.einsum("bhmi,bhni->bhmn", Q, K) / v_dim**0.5 - scaled[None]
+    att = softmax(logits, axis=-1)
+    out = np.einsum("bhnj,bhjd->bhnd", att, V)
+    out = np.transpose(out, (0, 2, 1, 3)).reshape(x.shape[0], -1, H * v_dim)
+    return gelu(out)
+
+
+def pit_tf_variant_forward(
+    params,
+    m_qry,
+    m_cross,
+    m_ltt,
+    mesh,
+    x,
+    locality_encoder,
+    locality_decoder,
+    variant,
+    n_blocks=4,
+    bandwidth="tan_sin",
+    use_decoder_selfatt=True,
+):
+    """The reference's ablation baselines — the dir's PiT.call with the
+    attention modules swapped (reference:
+    tensorflow/1_InviscidBurgers/utils.py:285-353 LiteTransformer
+    [processor self-attention], :355-416 Transformer [all self-attention,
+    no latent downsampling], :483-553 SelfPiT [hybrid everywhere])."""
+    proc, coder = {
+        "pit": ("position", "position"),
+        "lite": ("self", "position"),
+        "transformer": ("self", "self"),
+        "selfpit": ("hybrid", "hybrid"),
+    }[variant]
+
+    def att(kind, p, dist, locality, h):
+        if kind == "position":
+            return pos_att(p, dist, locality, h, bandwidth)
+        if kind == "self":
+            return self_att(p, h)
+        return hybrid_att(p, dist, locality, h)
+
+    x = np.asarray(x, np.float64)
+    grid = np.broadcast_to(
+        np.asarray(mesh, np.float64)[None], (x.shape[0],) + mesh.shape
+    )
+    en = gelu(dense(params["en_layer"], np.concatenate([grid, x], axis=-1)))
+    h = att(
+        coder, params["down"],
+        None if m_cross is None else np.asarray(m_cross).T,
+        locality_encoder, en,
+    )
+    for i in range(n_blocks):
+        pa = att(proc, params[f"MHPA_{i}"], m_ltt, 200.0, h)
+        h = gelu(tf_mlp(params[f"MLP_{i}"], pa) + dense(params[f"W_{i}"], h))
+    de = att(coder, params["up"], m_cross, locality_decoder, h)
+    if use_decoder_selfatt:
+        de2 = att(coder, params["up2"], m_qry, locality_decoder, de)
+        de = gelu(tf_mlp(params["mlp"], de2) + dense(params["w"], de))
+    return tf_mlp(params["de_layer"], de)
