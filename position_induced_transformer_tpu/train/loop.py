@@ -127,8 +127,13 @@ class Task:
             window = jnp.concatenate([window[..., 1:], out], axis=-1)
             return window, out
 
+        # PIT_ROLLOUT_UNROLL: unroll factor for the rollout scan (amortizes
+        # per-step sequencing like the epoch scan's unroll=2; default 1 —
+        # measured no win for the BPTT rollout, see BASELINE.md)
+        _unroll = int(os.environ.get("PIT_ROLLOUT_UNROLL", "1"))
         _, outs = jax.lax.scan(
-            step, batch["x"], None, length=self.rollout_steps
+            step, batch["x"], None, length=self.rollout_steps,
+            unroll=_unroll,
         )
         pred = jnp.moveaxis(outs, 0, -1)  # (B, L, out_dim, steps)
         return pred.reshape(batch["y"].shape)

@@ -5,8 +5,9 @@ ntrain/epochs, synthetic data when real datasets are absent) and records
 wall time, steady-state s/epoch and final metrics — the source of the
 "Full reference-budget training runs" tables in BASELINE.md.
 
-Usage: python scripts/tpu_full_budget.py [benchmark ...]
-       (default: all 13; results merged into FULL_BUDGET.json)
+Usage: python scripts/tpu_full_budget.py [benchmark[:variant] ...]
+       (default: all 13; results merged into FULL_BUDGET.json;
+       'burgers_tf:lite' trains the LiteTransformer ablation variant)
 
 Note: first-time compiles of full-size epoch scans are minutes through
 this environment's remote-compile relay (CLAUDE.md) — the process can
@@ -42,10 +43,11 @@ OUT = os.path.join(
 
 
 def run_one(name: str) -> dict:
-    cfg = configs.get(name)
+    bench, _, variant = name.partition(":")
+    cfg = configs.get(bench)
     t0 = time.time()
     problem, state, history = runner.train(
-        cfg, verbose=False, sync_every=50
+        cfg, verbose=False, sync_every=50, model_variant=variant or None
     )
     wall = time.time() - t0
     tail = [h["seconds"] for h in history[5:]] or [history[-1]["seconds"]]
