@@ -41,11 +41,12 @@ def _add_common(p):
     p.add_argument(
         "--mesh", default=None,
         help="device mesh for multi-chip execution: 'auto' (all visible "
-        "devices data-parallel) or 'data=N[,model=M]' (N-way data x M-way "
-        "tensor parallelism over ICI). train: batch sharded over 'data', "
-        "params/Adam moments over 'model'. evaluate: data-parallel "
-        "batches; with --zssr the 421^2 decoder query rows are "
-        "sequence-sharded instead",
+        "devices data-parallel), 'data=N[,model=M]' (N-way data x M-way "
+        "tensor parallelism over ICI), or 'stage=K' (GPipe pipeline "
+        "parallelism over the processor blocks; torch-family fixed-mesh "
+        "benchmarks). train: batch sharded over 'data', params/Adam "
+        "moments over 'model'. evaluate: data-parallel batches; with "
+        "--zssr the 421^2 decoder query rows are sequence-sharded instead",
     )
     p.add_argument(
         "--fused-mode", default=None, choices=["auto", "always", "never"],

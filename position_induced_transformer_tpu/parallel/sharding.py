@@ -50,9 +50,12 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
 
     Accepted forms: an existing :class:`Mesh` (returned as-is), ``None``
     (single device — no mesh), ``'auto'`` (all visible devices
-    data-parallel), or ``'data=N[,model=M]'``. The reference is strictly
-    single-device (SURVEY.md §2.4); this is the production entry point for
-    the framework's DP/TP presets.
+    data-parallel), ``'data=N[,model=M]'``, or ``'stage=K'`` (GPipe
+    pipeline parallelism over the processor blocks —
+    parallel/pipeline.py; exclusive of the data/model axes because the
+    pipeline schedule is a shard_map over its own 1-D mesh). The reference
+    is strictly single-device (SURVEY.md §2.4); this is the production
+    entry point for the framework's DP/TP/PP presets.
     """
     if spec is None or isinstance(spec, Mesh):
         return spec
@@ -62,24 +65,41 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
     if s == "auto":
         n = len(jax.devices())
         return make_mesh(n_data=n, n_model=1) if n > 1 else None
-    n_data, n_model = 1, 1
+    n_data, n_model, n_stage = 1, 1, 0
     for part in s.split(","):
         key, sep, val = part.partition("=")
         key, val = key.strip(), val.strip()
         if not sep or not val.isdigit() or int(val) < 1:
             raise ValueError(
-                f"bad mesh spec {spec!r}: expected 'auto' or "
-                "'data=N[,model=M]' with positive integers"
+                f"bad mesh spec {spec!r}: expected 'auto', "
+                "'data=N[,model=M]' or 'stage=K' with positive integers"
             )
         if key == "data":
             n_data = int(val)
         elif key == "model":
             n_model = int(val)
+        elif key == "stage":
+            n_stage = int(val)
         else:
             raise ValueError(
-                f"unknown mesh axis {key!r} in {spec!r} (axes: data, model)"
+                f"unknown mesh axis {key!r} in {spec!r} "
+                "(axes: data, model, stage)"
             )
     n_avail = len(jax.devices())
+    if n_stage:
+        if n_data > 1 or n_model > 1:
+            raise ValueError(
+                f"mesh {spec!r}: the 'stage' (pipeline) axis cannot be "
+                "combined with 'data'/'model' — the GPipe schedule owns "
+                "its whole mesh"
+            )
+        if n_stage > n_avail:
+            raise ValueError(
+                f"mesh {spec!r} needs {n_stage} devices but only "
+                f"{n_avail} are visible"
+            )
+        devices = np.array(jax.devices()[:n_stage])
+        return Mesh(devices, ("stage",))
     if n_data * n_model > n_avail:
         raise ValueError(
             f"mesh {spec!r} needs {n_data * n_model} devices but only "

@@ -39,12 +39,14 @@ def evaluate(
     mesh=None,
     model_variant: Optional[str] = None,
 ) -> dict:
-    """``mesh``: a Mesh / spec string ('auto' | 'data=N[,model=M]') / None.
-    With a mesh, ZSSR decoding is sequence-parallel — the 421^2 = 177,241
-    decoder query rows are sharded over the 'data' axis (each device
-    computes the attention rows for its slab against the replicated latent
-    cloud, SURVEY.md §5 long-context) — and ordinary evaluation shards the
-    batch (data parallelism)."""
+    """``mesh``: a Mesh / spec string ('auto' | 'data=N[,model=M]' |
+    'stage=K') / None. With a data mesh, ZSSR decoding is
+    sequence-parallel — the 421^2 = 177,241 decoder query rows are sharded
+    over the 'data' axis (each device computes the attention rows for its
+    slab against the replicated latent cloud, SURVEY.md §5 long-context) —
+    and ordinary evaluation shards the batch (data parallelism).
+    'stage=K' instead runs the forward GPipe pipeline-parallel over the
+    processor blocks (torch-family fixed-mesh benchmarks)."""
     cfg = get(config) if isinstance(config, str) else config
     if model_variant:
         import dataclasses as _dc0
@@ -93,6 +95,29 @@ def evaluate(
     )
 
     mesh = parse_mesh_spec(mesh)
+    if mesh is not None and "stage" in mesh.shape:
+        # pipeline-parallel evaluation ('stage=K'): swap the task forward
+        # for the GPipe-pipelined one (parallel/pipeline.py) and run the
+        # predict loop unsharded (the schedule owns its own 1-D mesh)
+        import dataclasses as _dc_pp
+
+        from position_induced_transformer_tpu.parallel.pipeline import (
+            pipeline_task,
+        )
+        from position_induced_transformer_tpu.parallel.sharding import (
+            replicate_tree as _rep_pp,
+        )
+
+        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
+            raise ValueError(
+                "pipeline parallelism ('stage=K') supports the torch-family "
+                "fixed-mesh benchmarks only"
+            )
+        problem.task = pipeline_task(problem.task, mesh, n_micro=1)
+        state = TrainState(_rep_pp(mesh, state.params), None, 0)
+        if problem.geom is not None:
+            problem.geom = _rep_pp(mesh, problem.geom)
+        mesh = None
     pred_mesh = mesh
     if mesh is not None:
         # checkpoint restore commits params to device 0; replicate them

@@ -81,11 +81,14 @@ def train(
     """Train a benchmark end to end; returns (problem, state, history).
 
     ``mesh``: a ``jax.sharding.Mesh``, a spec string (``'auto'`` |
-    ``'data=N[,model=M]'``), or ``None`` (single device). With a mesh the
-    batch is sharded over the 'data' axis, parameters and Adam moments are
-    tensor-parallel over 'model' (MLP columns/rows, attention heads —
-    parallel/sharding.py), and XLA GSPMD inserts the gradient all-reduce
-    over ICI. Numerically identical to single-device training
+    ``'data=N[,model=M]'`` | ``'stage=K'``), or ``None`` (single device).
+    With a data/model mesh the batch is sharded over the 'data' axis,
+    parameters and Adam moments are tensor-parallel over 'model' (MLP
+    columns/rows, attention heads — parallel/sharding.py), and XLA GSPMD
+    inserts the gradient all-reduce over ICI. ``'stage=K'`` instead runs
+    the processor blocks GPipe pipeline-parallel over K devices
+    (parallel/pipeline.py; torch-family fixed-mesh benchmarks, n_blocks
+    divisible by K). All numerically identical to single-device training
     (tests/test_parallel.py). The reference has no parallelism at all
     (SURVEY.md §2.4).
 
@@ -150,7 +153,33 @@ def train(
     )
 
     mesh = parse_mesh_spec(mesh)
-    if mesh is not None:
+    pp_micro = 0  # microbatch count when pipeline-parallel ('stage=K')
+    if mesh is not None and "stage" in mesh.shape:
+        # pipeline parallelism ('stage=K'): the GPipe schedule is a
+        # shard_map over its own 1-D mesh (parallel/pipeline.py), so the
+        # task forward is swapped for the pipelined one and the GSPMD
+        # batch/param sharding below is bypassed (data replicated).
+        from position_induced_transformer_tpu.parallel.pipeline import (
+            pipeline_task,
+        )
+
+        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
+            raise ValueError(
+                "pipeline parallelism ('stage=K') supports the torch-family "
+                "fixed-mesh PiT benchmarks only (the TF-semantics call "
+                "signature and per-sample-mesh geometries are not stage-"
+                "splittable)"
+            )
+        n_stages = mesh.shape["stage"]
+        pp_micro = n_stages if cfg.batch_size % n_stages == 0 else 1
+        problem.task = pipeline_task(problem.task, mesh, pp_micro)
+        state = replicate_tree(mesh, state)
+        if problem.geom is not None:
+            problem.geom = replicate_tree(mesh, problem.geom)
+        problem.train_data = replicate_tree(mesh, problem.train_data)
+        problem.test_data = replicate_tree(mesh, problem.test_data)
+        mesh = None  # no 'data' axis: epoch functions run unsharded inputs
+    elif mesh is not None:
         n_data = mesh.shape.get("data", 1)
         if cfg.batch_size % n_data:
             raise ValueError(
@@ -171,6 +200,9 @@ def train(
         n_data = mesh.shape.get("data", 1)
         # the eval batch axis must also divide over 'data'
         eval_bs = max(n_data, eval_bs - eval_bs % n_data)
+    if pp_micro:
+        # the GPipe schedule needs eval batches divisible into microbatches
+        eval_bs = max(pp_micro, eval_bs - eval_bs % pp_micro)
     eval_perm = eval_permutation(problem.n_test, eval_bs)
     n_eval = problem.n_test  # padded tail batch is masked, so every
     # test sample counts exactly once for any batch size

@@ -371,10 +371,14 @@ def test_parse_mesh_spec():
     assert auto.shape["data"] == len(jax.devices())
     with pytest.raises(ValueError):
         parse_mesh_spec("data=x")
-    with pytest.raises(ValueError):
-        parse_mesh_spec("stage=2")
+    stage = parse_mesh_spec("stage=2")
+    assert dict(stage.shape) == {"stage": 2}
+    with pytest.raises(ValueError, match="cannot be combined"):
+        parse_mesh_spec("data=2,stage=2")
     with pytest.raises(ValueError):
         parse_mesh_spec(f"data={len(jax.devices()) * 2}")
+    with pytest.raises(ValueError):
+        parse_mesh_spec(f"stage={len(jax.devices()) * 2}")
 
 
 def test_runner_train_mesh_matches_single_device():
@@ -404,6 +408,47 @@ def test_runner_train_mesh_matches_single_device():
             r1["train_loss"], r2["train_loss"], rtol=1e-4
         )
         np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-4)
+
+
+def test_runner_train_pipeline_mesh_matches_single_device():
+    """The PRODUCTION pipeline-parallel path: runner.train(mesh='stage=2')
+    GPipe-splits the processor blocks over 2 devices and reproduces the
+    single-device run (loss + eval metrics + trained params). ntest=13
+    exercises the padded eval tail under the microbatched schedule."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    kw = dict(epochs=2, ntrain=32, ntest=13, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="stage=2", **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-4)
+
+
+def test_runner_train_pipeline_rejects_tf_family():
+    cfg = configs.get("burgers_tf")
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    with pytest.raises(ValueError, match="torch-family"):
+        runner.train(
+            cfg, mesh="stage=2", epochs=1, ntrain=16, ntest=8, verbose=False
+        )
 
 
 def test_runner_train_mesh_rejects_indivisible_batch():
@@ -491,3 +536,26 @@ def test_evaluate_data_parallel_matches(tmp_path):
     dp = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8, mesh="data=4")
     np.testing.assert_allclose(dp["rel_l2"], ref["rel_l2"], rtol=1e-5)
     np.testing.assert_allclose(dp["rel_max"], ref["rel_max"], rtol=1e-5)
+
+
+def test_evaluate_pipeline_parallel_matches(tmp_path):
+    """`evaluate --mesh stage=2`: the forward runs GPipe pipeline-parallel
+    over the processor blocks; metrics match the single-device evaluation."""
+    import os
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=ckpt
+    )
+    ref = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8)
+    pp = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8, mesh="stage=2")
+    np.testing.assert_allclose(pp["rel_l2"], ref["rel_l2"], rtol=1e-5)
+    np.testing.assert_allclose(pp["rel_max"], ref["rel_max"], rtol=1e-5)
