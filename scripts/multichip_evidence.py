@@ -218,6 +218,32 @@ def pp_pipelined_forward():
     }
 
 
+def pp_production_training():
+    """PRODUCTION pipeline-parallel training at the full reference Sod
+    shape (L=1024 -> 256 latent, hid 32, 2 blocks, bs 8 — the reference
+    config whose block count divides 2 stages): runner.train(mesh='stage=2')
+    must reproduce the single-device epoch loss."""
+    cfg = configs.get("sod")
+    kw = dict(epochs=1, ntrain=4 * cfg.batch_size, ntest=8, verbose=False)
+    t0 = time.perf_counter()
+    _, _, h_single = runner.train(cfg, **kw)
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, _, h_pp = runner.train(cfg, mesh="stage=2", **kw)
+    t_pp = time.perf_counter() - t0
+    single, pp = h_single[-1]["train_loss"], h_pp[-1]["train_loss"]
+    np.testing.assert_allclose(pp, single, rtol=1e-4)
+    return {
+        "mesh": {"stage": 2},
+        "config": "sod full size (1024->256, hid 32, H1, B2, bs 8), "
+                  "runner.train(mesh='stage=2'), 4 train batches",
+        "train_loss_single": round(float(single), 6),
+        "train_loss_pipelined": round(float(pp), 6),
+        "loss_parity_rtol": 1e-4,
+        "wall_seconds_cpu": {"single": round(t_single, 1), "pp": round(t_pp, 1)},
+    }
+
+
 if __name__ == "__main__":
     results = {
         "n_devices": len(devices),
@@ -225,6 +251,7 @@ if __name__ == "__main__":
         "dp_tp_train_step": dp_tp_train_step(),
         "sp_zssr_decode": sp_zssr_decode(),
         "pp_pipelined_forward": pp_pipelined_forward(),
+        "pp_production_training": pp_production_training(),
     }
     print(json.dumps(results, indent=1))
     out = os.path.join(

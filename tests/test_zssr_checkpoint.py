@@ -114,6 +114,38 @@ def test_resume_training_matches_uninterrupted(tmp_path):
         )
 
 
+def test_resume_on_mesh_matches_uninterrupted_single_device(tmp_path):
+    """Elastic recovery across device topologies: checkpoint a
+    single-device run mid-training, resume it on a 4-way data-parallel
+    mesh — final parameters match the uninterrupted single-device run.
+    (Params carry no mesh placement, so a restart may land on a
+    different-size pod.)"""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (fake) devices")
+
+    cfg = _tiny_darcy()
+    kw = dict(ntrain=32, ntest=16, verbose=False,
+              setup_kwargs={"downsampling": 40})
+    _, straight, _ = runner.train(cfg, epochs=4, **kw)
+
+    path = os.path.join(tmp_path, "mid_mesh")
+    runner.train(cfg, epochs=2, schedule_epochs=4, checkpoint_path=path, **kw)
+    _, resumed, _ = runner.train(
+        cfg, epochs=4, resume_from=path, mesh="data=4", **kw
+    )
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+
+
 def test_legacy_checkpoint_without_x_normalizer_raises_clearly(tmp_path):
     """A darcy checkpoint carrying y_normalizer but no x_normalizer
     (pre-x-normalization format) gets a clear error, not a KeyError."""
