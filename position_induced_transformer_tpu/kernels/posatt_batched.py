@@ -281,31 +281,106 @@ def _posatt_batched_bwd_raw(
     return du[:, :L_in, :], ds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _posatt_batched(
-    mesh_q, mesh_k, scale, u, thr, keep_count, interpret=False,
-):
+# --- SPMD partitioning (multi-device meshes) ------------------------------
+# Batch-dimension partitioning rules so the production data-parallel mesh
+# (runner.train(mesh='data=N')) can shard these Mosaic custom calls: each
+# device runs the unmodified kernel on its batch shard; the per-sample
+# dScale output stays batch-leading, so its cross-device reduction is the
+# ordinary jnp.sum in the VJP below (GSPMD inserts the all-reduce). See
+# kernels/partitioning.py.
+from position_induced_transformer_tpu.kernels.partitioning import (
+    batch_partitioned,
+)
+
+
+def _multi_device() -> bool:
+    # trace-time constant; on one device the raw call is identical and
+    # skips the custom-partitioning indirection
+    return len(jax.devices()) > 1
+
+
+_fwd_part_thr = batch_partitioned(
+    lambda mq, mk, s, u, thr, kc, interp: _posatt_batched_raw(
+        mq, mk, s, u, thr, keep_count=kc, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo uno -> b lo g",
+    static_argnums=(5, 6),
+)
+_fwd_part_nothr = batch_partitioned(
+    lambda mq, mk, s, u, kc, interp: _posatt_batched_raw(
+        mq, mk, s, u, None, keep_count=kc, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f -> b lo g",
+    static_argnums=(4, 5),
+)
+_bwd_part_thr = batch_partitioned(
+    lambda mq, mk, s, u, g, thr, kc, interp: _posatt_batched_bwd_raw(
+        mq, mk, s, u, g, thr, keep_count=kc, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo g, b lo uno -> b li f2, b h2",
+    static_argnums=(6, 7),
+)
+_bwd_part_nothr = batch_partitioned(
+    lambda mq, mk, s, u, g, kc, interp: _posatt_batched_bwd_raw(
+        mq, mk, s, u, g, None, keep_count=kc, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo g -> b li f2, b h2",
+    static_argnums=(5, 6),
+)
+
+
+def _fwd_dispatch(mesh_q, mesh_k, scale, u, thr, keep_count, interpret):
+    if _multi_device():
+        if thr is None:
+            return _fwd_part_nothr(
+                mesh_q, mesh_k, scale, u, keep_count, interpret
+            )
+        return _fwd_part_thr(
+            mesh_q, mesh_k, scale, u, thr, keep_count, interpret
+        )
     return _posatt_batched_raw(
         mesh_q, mesh_k, scale, u, thr,
         keep_count=keep_count, interpret=interpret,
     )
 
 
+def _bwd_dispatch(mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret):
+    if _multi_device():
+        if thr is None:
+            return _bwd_part_nothr(
+                mesh_q, mesh_k, scale, u, g, keep_count, interpret
+            )
+        return _bwd_part_thr(
+            mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret
+        )
+    return _posatt_batched_bwd_raw(
+        mesh_q, mesh_k, scale, u, g, thr,
+        keep_count=keep_count, interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _posatt_batched(
+    mesh_q, mesh_k, scale, u, thr, keep_count, interpret=False,
+):
+    return _fwd_dispatch(
+        mesh_q, mesh_k, scale, u, thr, keep_count, interpret
+    )
+
+
 def _posatt_batched_fwd(
     mesh_q, mesh_k, scale, u, thr, keep_count, interpret
 ):
-    out = _posatt_batched_raw(
-        mesh_q, mesh_k, scale, u, thr,
-        keep_count=keep_count, interpret=interpret,
+    out = _fwd_dispatch(
+        mesh_q, mesh_k, scale, u, thr, keep_count, interpret
     )
     return out, (mesh_q, mesh_k, scale, u, thr)
 
 
 def _posatt_batched_bwd(keep_count, interpret, residuals, g):
     mesh_q, mesh_k, scale, u, thr = residuals
-    du, ds = _posatt_batched_bwd_raw(
-        mesh_q, mesh_k, scale, u, g, thr,
-        keep_count=keep_count, interpret=interpret,
+    du, ds = _bwd_dispatch(
+        mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret
     )
     dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
     return None, None, dscale, du, None
@@ -507,21 +582,69 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
     return dv[:, :L_in, :], ds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _posatt_tf(dist, thr, scale, values, interpret=False):
+# same batch-dim partitioning story as the coordinate kernels above: the
+# pre-built per-sample distances are batch-leading too
+_tf_fwd_part_thr = batch_partitioned(
+    lambda dist, thr, s, v, interp: _posatt_tf_raw(
+        dist, thr, s, v, interpret=interp
+    ),
+    "b lo li, b lo uno, h one, b li f -> b lo g",
+    static_argnums=(4,),
+)
+_tf_fwd_part_nothr = batch_partitioned(
+    lambda dist, s, v, interp: _posatt_tf_raw(
+        dist, None, s, v, interpret=interp
+    ),
+    "b lo li, h one, b li f -> b lo g",
+    static_argnums=(3,),
+)
+_tf_bwd_part_thr = batch_partitioned(
+    lambda dist, thr, s, v, g, interp: _posatt_tf_bwd_raw(
+        dist, thr, s, v, g, interpret=interp
+    ),
+    "b lo li, b lo uno, h one, b li f, b lo g -> b li f2, b h2",
+    static_argnums=(5,),
+)
+_tf_bwd_part_nothr = batch_partitioned(
+    lambda dist, s, v, g, interp: _posatt_tf_bwd_raw(
+        dist, None, s, v, g, interpret=interp
+    ),
+    "b lo li, h one, b li f, b lo g -> b li f2, b h2",
+    static_argnums=(4,),
+)
+
+
+def _tf_fwd_dispatch(dist, thr, scale, values, interpret):
+    if _multi_device():
+        if thr is None:
+            return _tf_fwd_part_nothr(dist, scale, values, interpret)
+        return _tf_fwd_part_thr(dist, thr, scale, values, interpret)
     return _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
 
 
+def _tf_bwd_dispatch(dist, thr, scale, values, g, interpret):
+    if _multi_device():
+        if thr is None:
+            return _tf_bwd_part_nothr(dist, scale, values, g, interpret)
+        return _tf_bwd_part_thr(dist, thr, scale, values, g, interpret)
+    return _posatt_tf_bwd_raw(
+        dist, thr, scale, values, g, interpret=interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _posatt_tf(dist, thr, scale, values, interpret=False):
+    return _tf_fwd_dispatch(dist, thr, scale, values, interpret)
+
+
 def _posatt_tf_fwd(dist, thr, scale, values, interpret):
-    out = _posatt_tf_raw(dist, thr, scale, values, interpret=interpret)
+    out = _tf_fwd_dispatch(dist, thr, scale, values, interpret)
     return out, (dist, thr, scale, values)
 
 
 def _posatt_tf_bwd(interpret, residuals, g):
     dist, thr, scale, values = residuals
-    dv, ds = _posatt_tf_bwd_raw(
-        dist, thr, scale, values, g, interpret=interpret
-    )
+    dv, ds = _tf_bwd_dispatch(dist, thr, scale, values, g, interpret)
     dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
     return None, None, dscale, dv
 

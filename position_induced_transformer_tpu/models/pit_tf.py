@@ -115,8 +115,13 @@ class MultiHeadPosAtt(nn.Module):
         self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
     ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
+        # keras add_weight default (no initializer given, reference
+        # utils.py:107-112) is glorot_uniform; jax computes the same fans
+        # for rank-3 shapes ((H,1,1): fan_in = fan_out = H)
         r = self.param(
-            "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
+            "band_width",
+            nn.initializers.glorot_uniform(),
+            (self.n_head, 1, 1),
         )
         w = self.param(
             "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
@@ -201,11 +206,13 @@ class SelfMultiHeadPosAtt(nn.Module):
     def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
         shape = (self.n_head, inputs.shape[-1], v_dim)
-        r = self.param(
-            "band_width", nn.initializers.lecun_normal(), (self.n_head, 1, 1)
-        )
-        q = self.param("query", nn.initializers.lecun_normal(), shape)
-        k = self.param("key", nn.initializers.lecun_normal(), shape)
+        # band_width/query/key take the keras add_weight DEFAULT init
+        # (glorot_uniform — reference utils.py:434-451 passes none); only
+        # the value projection is he_normal there
+        glorot = nn.initializers.glorot_uniform()
+        r = self.param("band_width", glorot, (self.n_head, 1, 1))
+        q = self.param("query", glorot, shape)
+        k = self.param("key", glorot, shape)
         w = self.param("weight", he_normal_tf, shape)
 
         scaled = dist * jnp.tan(r)
@@ -367,8 +374,12 @@ class MultiHeadPosAttBatched(nn.Module):
         self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
     ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
+        # keras add_weight default init (glorot_uniform) — the reference
+        # passes none for r (tensorflow/5_Elasticity/utils.py:72-76)
         r = self.param(
-            "band_width", nn.initializers.lecun_normal(), (1, self.n_head, 1, 1)
+            "band_width",
+            nn.initializers.glorot_uniform(),
+            (1, self.n_head, 1, 1),
         )
         w = self.param(
             "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)

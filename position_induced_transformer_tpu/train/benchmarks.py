@@ -741,10 +741,11 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     def apply_fn(params, geom, batch):
         return model.apply({"params": params}, geom, grid_q, batch["x"])
 
+    # dict-merge: _task_kwargs already sets param_constraint for the
+    # selfpit variant; naca_tf needs it unconditionally (tan bandwidth)
     task = Task(
         model=model, apply_fn=apply_fn, batch_mean_loss=True,
-        param_constraint=nonneg_bandwidths,
-        **_task_kwargs(cfg),
+        **{**_task_kwargs(cfg), "param_constraint": nonneg_bandwidths},
     )
     init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])
     flat = lambda a: jnp.asarray(a).reshape(a.shape[0], -1, a.shape[-1])

@@ -10,6 +10,7 @@ the same resolution-independent params to a new Geometry.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -49,9 +50,7 @@ def evaluate(
     processor blocks (torch-family fixed-mesh benchmarks)."""
     cfg = get(config) if isinstance(config, str) else config
     if model_variant:
-        import dataclasses as _dc0
-
-        cfg = _dc0.replace(cfg, model_variant=model_variant)
+        cfg = dataclasses.replace(cfg, model_variant=model_variant)
     restored = ckpt.restore(checkpoint_path)
     params = restored["params"] if "params" in restored else restored
 
@@ -92,6 +91,9 @@ def evaluate(
 
     from position_induced_transformer_tpu.parallel.sharding import (
         parse_mesh_spec,
+        replicate_tree,
+        sequence_constrain_tf_geometry,
+        sequence_shard_geometry,
     )
 
     mesh = parse_mesh_spec(mesh)
@@ -99,13 +101,8 @@ def evaluate(
         # pipeline-parallel evaluation ('stage=K'): swap the task forward
         # for the GPipe-pipelined one (parallel/pipeline.py) and run the
         # predict loop unsharded (the schedule owns its own 1-D mesh)
-        import dataclasses as _dc_pp
-
         from position_induced_transformer_tpu.parallel.pipeline import (
             pipeline_task,
-        )
-        from position_induced_transformer_tpu.parallel.sharding import (
-            replicate_tree as _rep_pp,
         )
 
         if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
@@ -114,34 +111,22 @@ def evaluate(
                 "fixed-mesh benchmarks only"
             )
         problem.task = pipeline_task(problem.task, mesh, n_micro=1)
-        state = TrainState(_rep_pp(mesh, state.params), None, 0)
+        state = TrainState(replicate_tree(mesh, state.params), None, 0)
         if problem.geom is not None:
-            problem.geom = _rep_pp(mesh, problem.geom)
+            problem.geom = replicate_tree(mesh, problem.geom)
         mesh = None
     pred_mesh = mesh
     if mesh is not None:
         # checkpoint restore commits params to device 0; replicate them
         # over the mesh so they can meet sharded operands in one jit
-        from position_induced_transformer_tpu.parallel.sharding import (
-            replicate_tree as _rep,
-        )
-
-        state = TrainState(_rep(mesh, state.params), None, 0)
+        state = TrainState(replicate_tree(mesh, state.params), None, 0)
     if mesh is not None and zssr and problem.geom is not None:
         # sequence-parallel ZSSR decode: shard the decoder query rows over
         # 'data' (each device holds a slab of the (L_out, L_ltt) cross
         # matrix); the batch stays unsharded — rows are the long axis here
-        import dataclasses as _dc
-
-        from position_induced_transformer_tpu.parallel.sharding import (
-            replicate_tree,
-            sequence_constrain_tf_geometry,
-            sequence_shard_geometry,
-        )
-
         if hasattr(problem.geom, "m_cross"):  # TF family
             orig_apply = problem.task.apply_fn
-            problem.task = _dc.replace(
+            problem.task = dataclasses.replace(
                 problem.task,
                 apply_fn=lambda p, g, b: orig_apply(
                     p, sequence_constrain_tf_geometry(mesh, g), b

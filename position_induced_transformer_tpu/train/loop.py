@@ -98,10 +98,13 @@ class Task:
             out = self.postprocess(out)
         return out
 
-    def _loss(self, true, pred):
+    def _loss(self, true, pred, weights=None):
+        """Batch-summed relative-Lp loss; ``weights`` masks padded eval
+        duplicates (the single place the swap/batch-mean conventions live —
+        the eval epoch reuses it rather than re-deriving them)."""
         if self.swap_loss_args:
             true, pred = pred, true
-        loss = rel_lp_norm(true, pred, self.out_dim, self.loss_p)
+        loss = rel_lp_norm(true, pred, self.out_dim, self.loss_p, weights=weights)
         if self.batch_mean_loss:
             loss = loss / true.shape[0]
         return loss
@@ -295,15 +298,7 @@ def make_eval_epoch(
                 }
             if metrics is None:
                 pred = task.forward(state.params, geom, batch)
-                true = batch["y"]
-                if task.swap_loss_args:
-                    true, pred = pred, true
-                loss = rel_lp_norm(
-                    true, pred, task.out_dim, task.loss_p, weights=w
-                )
-                if task.batch_mean_loss:
-                    loss = loss / batch["y"].shape[0]
-                return None, {"loss": loss}
+                return None, {"loss": task._loss(batch["y"], pred, weights=w)}
             pred = task.forward(state.params, geom, batch)
             return None, {
                 name: fn(batch["y"], pred, weights=w)

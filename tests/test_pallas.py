@@ -295,3 +295,89 @@ def test_tf_batched_dist_kernel_padded_rows_large_scale_finite():
     )(scales, vals)
     assert bool(jnp.all(jnp.isfinite(g[0])))
     assert bool(jnp.all(jnp.isfinite(g[1])))
+
+
+def test_batched_kernel_data_sharded_matches_unsharded():
+    """PRODUCTION data-parallel mesh over the batched kernels: operands
+    batch-sharded over a 'data' mesh run per-shard via the
+    custom_partitioning rules (kernels/partitioning.py) and reproduce the
+    unsharded forward AND gradients (the per-sample dScale reduction
+    crosses shards through GSPMD's all-reduce of the outer jnp.sum)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (fake) devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(7)
+    B, Lq, Lk, H, D, loc = 8, 40, 56, 2, 16, 0.1
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+
+    def loss(lm, uu, mq_, mk_, ct_):
+        return jnp.sum(
+            position_attention_batched(
+                mq_, mk_, lm, uu, loc, interpret=INTERPRET
+            )
+            * ct_
+        )
+
+    want = jax.jit(loss)(lmda, u, mq, mk, ct)
+    gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(lmda, u, mq, mk, ct)
+
+    mq_s, mk_s, u_s, ct_s = (
+        jax.device_put(a, shard) for a in (mq, mk, u, ct)
+    )
+    got = jax.jit(loss)(lmda, u_s, mq_s, mk_s, ct_s)
+    gg = jax.jit(jax.grad(loss, argnums=(0, 1)))(lmda, u_s, mq_s, mk_s, ct_s)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_tf_batched_kernel_data_sharded_matches_unsharded():
+    """Same partitioning contract for the TF-semantics kernel over
+    pre-built per-sample distances."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (fake) devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(8)
+    B, Lo, Li, H, V = 4, 24, 40, 2, 8
+    dist = jnp.asarray(rng.random((B, Lo, Li)), jnp.float32)
+    scales = jnp.asarray(rng.random((H, 1)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((B, Li, H * V)), jnp.float32)
+
+    def loss(s, v, d):
+        return jnp.sum(
+            position_attention_batched_dist(d, s, v, None, interpret=INTERPRET)
+            ** 2
+        )
+
+    want = jax.jit(loss)(scales, vals, dist)
+    gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(scales, vals, dist)
+    dist_s, vals_s = jax.device_put(dist, shard), jax.device_put(vals, shard)
+    got = jax.jit(loss)(scales, vals_s, dist_s)
+    gg = jax.jit(jax.grad(loss, argnums=(0, 1)))(scales, vals_s, dist_s)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
