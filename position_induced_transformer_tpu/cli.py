@@ -42,7 +42,9 @@ def _add_common(p):
         "--mesh", default=None,
         help="device mesh for multi-chip execution: 'auto' (all visible "
         "devices data-parallel), 'data=N[,model=M]' (N-way data x M-way "
-        "tensor parallelism over ICI), or 'stage=K' (GPipe pipeline "
+        "tensor parallelism over ICI), optionally 'dcn=K,data=N[,model=M]' "
+        "(K-slice outer data parallelism whose gradient all-reduce crosses "
+        "DCN), or 'stage=K' (GPipe pipeline "
         "parallelism over the processor blocks; torch-family fixed-mesh "
         "benchmarks). train: batch sharded over 'data', params/Adam "
         "moments over 'model'. evaluate: data-parallel batches; with "

@@ -34,13 +34,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_dcn: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh from the available devices."""
+    """Build a ('data', 'model') — or, with ``n_dcn > 1``, a
+    ('dcn', 'data', 'model') — mesh from the available devices.
+
+    The 'dcn' axis is the multi-slice outer data-parallel axis: its
+    gradient all-reduce crosses the data-center network once per step
+    while 'data'/'model' collectives stay on ICI (SURVEY.md §5
+    "Distributed comm"; the scaling-book multi-slice recipe). On real
+    multi-slice hardware the device order groups each slice contiguously
+    (``mesh_utils.create_hybrid_device_mesh``); on a single slice — or
+    the fake CPU mesh — a plain reshape gives the same program with every
+    collective on the one interconnect.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        n_data = max(1, n // n_model)
+        n_data = max(1, n // (n_model * n_dcn))
+    if n_dcn > 1:
+        want = n_dcn * n_data * n_model
+        if len({getattr(d, "slice_index", 0) for d in devices[:want]}) > 1:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, n_data, n_model),
+                dcn_mesh_shape=(n_dcn, 1, 1),
+                devices=devices[:want],
+            )
+        else:
+            arr = np.array(devices[:want]).reshape(n_dcn, n_data, n_model)
+        return Mesh(arr, ("dcn", "data", "model"))
     arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 
@@ -50,12 +75,14 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
 
     Accepted forms: an existing :class:`Mesh` (returned as-is), ``None``
     (single device — no mesh), ``'auto'`` (all visible devices
-    data-parallel), ``'data=N[,model=M]'``, or ``'stage=K'`` (GPipe
-    pipeline parallelism over the processor blocks —
-    parallel/pipeline.py; exclusive of the data/model axes because the
-    pipeline schedule is a shard_map over its own 1-D mesh). The reference
-    is strictly single-device (SURVEY.md §2.4); this is the production
-    entry point for the framework's DP/TP/PP presets.
+    data-parallel), ``'data=N[,model=M]'`` optionally with ``dcn=K``
+    (multi-slice: K-way outer data parallelism whose all-reduce crosses
+    DCN — see :func:`make_mesh`), or ``'stage=K'`` (GPipe pipeline
+    parallelism over the processor blocks — parallel/pipeline.py;
+    exclusive of the other axes because the pipeline schedule is a
+    shard_map over its own 1-D mesh). The reference is strictly
+    single-device (SURVEY.md §2.4); this is the production entry point
+    for the framework's DP/TP/PP presets.
     """
     if spec is None or isinstance(spec, Mesh):
         return spec
@@ -65,14 +92,15 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
     if s == "auto":
         n = len(jax.devices())
         return make_mesh(n_data=n, n_model=1) if n > 1 else None
-    n_data, n_model, n_stage = 1, 1, 0
+    n_data, n_model, n_stage, n_dcn = 1, 1, 0, 1
     for part in s.split(","):
         key, sep, val = part.partition("=")
         key, val = key.strip(), val.strip()
         if not sep or not val.isdigit() or int(val) < 1:
             raise ValueError(
                 f"bad mesh spec {spec!r}: expected 'auto', "
-                "'data=N[,model=M]' or 'stage=K' with positive integers"
+                "'data=N[,model=M]', 'dcn=K,data=N[,model=M]' or "
+                "'stage=K' with positive integers"
             )
         if key == "data":
             n_data = int(val)
@@ -80,18 +108,20 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
             n_model = int(val)
         elif key == "stage":
             n_stage = int(val)
+        elif key == "dcn":
+            n_dcn = int(val)
         else:
             raise ValueError(
                 f"unknown mesh axis {key!r} in {spec!r} "
-                "(axes: data, model, stage)"
+                "(axes: dcn, data, model, stage)"
             )
     n_avail = len(jax.devices())
     if n_stage:
-        if n_data > 1 or n_model > 1:
+        if n_data > 1 or n_model > 1 or n_dcn > 1:
             raise ValueError(
                 f"mesh {spec!r}: the 'stage' (pipeline) axis cannot be "
-                "combined with 'data'/'model' — the GPipe schedule owns "
-                "its whole mesh"
+                "combined with 'dcn'/'data'/'model' — the GPipe schedule "
+                "owns its whole mesh"
             )
         if n_stage > n_avail:
             raise ValueError(
@@ -100,24 +130,35 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
             )
         devices = np.array(jax.devices()[:n_stage])
         return Mesh(devices, ("stage",))
-    if n_data * n_model > n_avail:
+    if n_dcn * n_data * n_model > n_avail:
         raise ValueError(
-            f"mesh {spec!r} needs {n_data * n_model} devices but only "
-            f"{n_avail} are visible"
+            f"mesh {spec!r} needs {n_dcn * n_data * n_model} devices but "
+            f"only {n_avail} are visible"
         )
-    return make_mesh(n_data=n_data, n_model=n_model)
+    return make_mesh(n_data=n_data, n_model=n_model, n_dcn=n_dcn)
 
 
-def batch_spec(leaf) -> P:
-    """Shard the leading (batch) axis over 'data', replicate the rest."""
-    return P("data", *([None] * (leaf.ndim - 1)))
+def data_axis_size(mesh: Optional[Mesh]) -> int:
+    """Total batch-sharding ways: the ICI 'data' axis times the
+    multi-slice 'dcn' axis (1 for no mesh)."""
+    if mesh is None:
+        return 1
+    return mesh.shape.get("data", 1) * mesh.shape.get("dcn", 1)
+
+
+def batch_spec(leaf, dcn: bool = False) -> P:
+    """Shard the leading (batch) axis over 'data' (and, on a multi-slice
+    mesh, the outer 'dcn' axis), replicate the rest."""
+    axes = ("dcn", "data") if dcn else "data"
+    return P(axes, *([None] * (leaf.ndim - 1)))
 
 
 def shard_batch(mesh: Mesh, batch):
     """Sharding constraint pytree for a batch dict (apply inside jit)."""
+    dcn = "dcn" in mesh.shape
     return jax.tree_util.tree_map(
         lambda a: jax.lax.with_sharding_constraint(
-            a, NamedSharding(mesh, batch_spec(a))
+            a, NamedSharding(mesh, batch_spec(a, dcn))
         ),
         batch,
     )

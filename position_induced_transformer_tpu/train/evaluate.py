@@ -223,12 +223,13 @@ def _evaluate_rollout(
     data = problem.test_data
     n = data["x"].shape[0]
     if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
-        bs = max(n_data, bs - bs % n_data)
-
         from position_induced_transformer_tpu.parallel.sharding import (
+            data_axis_size,
             shard_batch,
         )
+
+        n_data = data_axis_size(mesh)
+        bs = max(n_data, bs - bs % n_data)
 
         rollout = jax.jit(
             lambda p, g, x: problem.task.rollout(

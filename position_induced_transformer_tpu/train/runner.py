@@ -147,6 +147,7 @@ def train(
         start_epoch = int(state.step) // max(1, n_batches)
 
     from position_induced_transformer_tpu.parallel.sharding import (
+        data_axis_size,
         parse_mesh_spec,
         replicate_tree,
         shard_state,
@@ -180,11 +181,11 @@ def train(
         problem.test_data = replicate_tree(mesh, problem.test_data)
         mesh = None  # no 'data' axis: epoch functions run unsharded inputs
     elif mesh is not None:
-        n_data = mesh.shape.get("data", 1)
+        n_data = data_axis_size(mesh)
         if cfg.batch_size % n_data:
             raise ValueError(
                 f"batch_size {cfg.batch_size} is not divisible by the mesh "
-                f"data axis ({n_data})"
+                f"data (x dcn) axis size ({n_data})"
             )
         state = shard_state(mesh, state, n_head=cfg.model.n_head)
         if problem.geom is not None:
@@ -197,8 +198,8 @@ def train(
     eval_epoch = make_eval_epoch(problem.task, metrics, mesh=mesh)
     eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
     if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
-        # the eval batch axis must also divide over 'data'
+        n_data = data_axis_size(mesh)
+        # the eval batch axis must also divide over 'data' (x 'dcn')
         eval_bs = max(n_data, eval_bs - eval_bs % n_data)
     if pp_micro:
         # the GPipe schedule needs eval batches divisible into microbatches
@@ -339,7 +340,11 @@ def predict(
     bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
     bs = min(bs, n)
     if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
+        from position_induced_transformer_tpu.parallel.sharding import (
+            data_axis_size,
+        )
+
+        n_data = data_axis_size(mesh)
         bs = max(n_data, bs - bs % n_data)
 
         def fwd_fn(params, geom, batch):
