@@ -28,16 +28,26 @@ def make_shard_map_train_step(
 
     The batch-summed reference loss convention (ops/metrics.py) makes the
     reduction a plain sum: psum over shards == loss over the global batch.
+
+    On a multi-slice ('dcn', 'data', ...) mesh the reduction is staged
+    explicitly: psum over 'data' first (intra-slice, rides ICI at full
+    bandwidth), then psum over 'dcn' (one inter-slice all-reduce of the
+    already-reduced gradients crossing the data-center network) — the
+    scaling-book two-level all-reduce the GSPMD path leaves to XLA.
     """
-    batch_spec = P("data")
+    dcn = "dcn" in mesh.shape
+    batch_spec = P(("dcn", "data")) if dcn else P("data")
     replicated = P()
 
     def device_step(params, opt_state, geom, batch):
         # per-shard loss/grads (batch leaves carry the leading shard)
         loss, grads = jax.value_and_grad(task.loss_fn)(params, geom, batch)
-        # gradient + loss all-reduce over ICI
+        # gradient + loss all-reduce: ICI first, then (multi-slice) DCN
         grads = jax.lax.psum(grads, axis_name="data")
         loss = jax.lax.psum(loss, axis_name="data")
+        if dcn:
+            grads = jax.lax.psum(grads, axis_name="dcn")
+            loss = jax.lax.psum(loss, axis_name="dcn")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if task.param_constraint is not None:
@@ -75,10 +85,12 @@ def make_shard_map_train_step(
 
 
 def shard_batch_arrays(mesh: Mesh, batch):
-    """Place a batch dict with its leading axis sharded over 'data'."""
+    """Place a batch dict with its leading axis sharded over 'data' (and
+    the outer 'dcn' axis on a multi-slice mesh)."""
+    axes = ("dcn", "data") if "dcn" in mesh.shape else "data"
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(
-            a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+            a, NamedSharding(mesh, P(axes, *([None] * (a.ndim - 1))))
         ),
         batch,
     )

@@ -173,6 +173,25 @@ def test_shard_map_step_matches_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
         )
 
+    # multi-slice mesh: the same step with the explicit two-level
+    # reduction — psum over 'data' (intra-slice ICI), then over 'dcn'
+    # (the one DCN-crossing all-reduce) — must still match
+    mesh3 = make_mesh(n_data=2, n_model=1, n_dcn=2)
+    step3 = make_shard_map_train_step(problem.task, optimizer, mesh3)
+    state0c = runner.init_state(problem, optimizer, seed=0)
+    s3, l3 = step3(
+        state0c,
+        replicate_tree(mesh3, problem.geom),
+        shard_batch_arrays(mesh3, batch),
+    )
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s3.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
 
 def test_pipeline_processor_matches_single_device():
     """GPipe stage-split forward == plain forward (4 stages x 4 micro)."""
