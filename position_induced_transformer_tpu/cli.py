@@ -132,6 +132,34 @@ def main(argv=None):
         "--plots", default=None, help="write prediction figures to this dir"
     )
 
+    p_inf = sub.add_parser(
+        "infer",
+        help="run a checkpoint on user-supplied inputs (deployment "
+        "inference; no test split needed)",
+    )
+    _add_common(p_inf)
+    p_inf.add_argument("--checkpoint", required=True)
+    p_inf.add_argument(
+        "--input", required=True,
+        help="input batch file (.npy, or .mat/.h5 with --input-key); RAW "
+        "physical values laid out like the benchmark's inputs (grid or "
+        "flattened) — normalization/denormalization is applied internally",
+    )
+    p_inf.add_argument(
+        "--input-key", default="x",
+        help="variable name inside a .mat/.h5 input file (default 'x')",
+    )
+    p_inf.add_argument(
+        "--output", default=None,
+        help="write predictions to this path (.npy or .mat)",
+    )
+    p_inf.add_argument("--batch-size", type=int, default=None)
+    p_inf.add_argument(
+        "--rollout-steps", type=int, default=None,
+        help="autoregressive rollout horizon (default: the benchmark's "
+        "configured horizon; 0 disables rollout)",
+    )
+
     sub.add_parser("benchmarks", help="list available benchmarks")
 
     p_desc = sub.add_parser(
@@ -236,6 +264,24 @@ def main(argv=None):
                 )
 
                 save_benchmark_plots(problem, pred, args.plots)
+        return 0
+
+    if args.command == "infer":
+        from position_induced_transformer_tpu.train import evaluate
+
+        result = evaluate.infer(
+            args.benchmark,
+            checkpoint_path=args.checkpoint,
+            input_path=args.input,
+            input_key=args.input_key,
+            output_path=args.output,
+            batch_size=args.batch_size,
+            rollout_steps=args.rollout_steps,
+            data_path=args.data_path,
+            mesh=args.mesh,
+            model_variant=args.model_variant,
+        )
+        print(json.dumps(result))
         return 0
 
     if args.command == "evaluate":

@@ -27,6 +27,30 @@ from position_induced_transformer_tpu.train.loop import TrainState
 from position_induced_transformer_tpu.train.runner import predict
 
 
+def _checkpoint_normalizers(cfg, restored, setup_kwargs):
+    """Inject training-time normalizer statistics from a restored
+    checkpoint into benchmark setup kwargs (darcy family: the eval/infer
+    resolution must reuse the training-resolution statistics, bilinearly
+    resized on apply — reference train_darcy.py:151-157)."""
+    if cfg.name in ("darcy", "darcy_tf") and "y_normalizer" in restored:
+        if "x_normalizer" not in restored:
+            raise ValueError(
+                "checkpoint carries y_normalizer but no x_normalizer "
+                "(predates the x-normalization fix); re-train or evaluate "
+                "with freshly fitted statistics by renaming the checkpoint "
+                "keys"
+            )
+        from position_induced_transformer_tpu.ops.normalization import (
+            PixelWiseNormalizer,
+        )
+
+        setup_kwargs["normalizers"] = (
+            PixelWiseNormalizer(**restored["x_normalizer"]),
+            PixelWiseNormalizer(**restored["y_normalizer"]),
+        )
+    return setup_kwargs
+
+
 def evaluate(
     config: str,
     checkpoint_path: str,
@@ -59,24 +83,7 @@ def evaluate(
         if cfg.name not in ("darcy", "darcy_tf"):
             raise ValueError("--zssr is a Darcy-benchmark capability")
         setup_kwargs["downsampling"] = zssr_downsampling  # 1 = full 421^2
-    if cfg.name in ("darcy", "darcy_tf") and "y_normalizer" in restored:
-        # use the training-resolution statistics (bilinearly resized on
-        # apply) rather than refitting at the eval resolution
-        if "x_normalizer" not in restored:
-            raise ValueError(
-                "checkpoint carries y_normalizer but no x_normalizer "
-                "(predates the x-normalization fix); re-train or evaluate "
-                "with freshly fitted statistics by renaming the checkpoint "
-                "keys"
-            )
-        from position_induced_transformer_tpu.ops.normalization import (
-            PixelWiseNormalizer,
-        )
-
-        setup_kwargs["normalizers"] = (
-            PixelWiseNormalizer(**restored["x_normalizer"]),
-            PixelWiseNormalizer(**restored["y_normalizer"]),
-        )
+    setup_kwargs = _checkpoint_normalizers(cfg, restored, setup_kwargs)
     ntrain = None
     if "normalizers" in setup_kwargs:
         # normalizer statistics come from the checkpoint, so the training
@@ -274,3 +281,191 @@ def _evaluate_rollout(
 
         savemat(save_pred, {"pred": pred, "true": true})
     return result
+
+
+def _load_input(path: str, key: str = "x") -> np.ndarray:
+    """Load a user-supplied input batch: .npy, or .mat/.h5 (key selects
+    the variable; MATLAB v7.3 files go through the loaders' HDF5 path)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path))
+    if path.endswith((".mat", ".h5", ".hdf5")):
+        from position_induced_transformer_tpu.data.loaders import load_mat
+
+        d = load_mat(path)
+        if key not in d:
+            raise KeyError(
+                f"variable {key!r} not found in {path}; available: "
+                f"{sorted(k for k in d if not k.startswith('__'))}"
+            )
+        return np.asarray(d[key])
+    raise ValueError(
+        f"unsupported input format {path!r} (expected .npy, .mat, .h5)"
+    )
+
+
+def _prepare_inputs(problem, x: np.ndarray):
+    """Validate/adapt a RAW user input batch to the benchmark's model
+    input layout: apply the training x-normalization where the benchmark
+    normalizes at data-preparation time (darcy family), and reshape
+    grid <-> flattened layouts when the element counts agree."""
+    import jax.numpy as jnp
+
+    x = np.asarray(x, np.float32)
+    if problem.x_normalizer is not None:
+        gs = tuple(problem.x_normalizer.mean.shape[1:])  # (h, w, C)
+        if x.shape[1:] != gs:
+            if int(np.prod(x.shape[1:])) != int(np.prod(gs)):
+                raise ValueError(
+                    f"input sample shape {tuple(x.shape[1:])} is "
+                    f"incompatible with the benchmark grid {gs}"
+                )
+            x = x.reshape((x.shape[0],) + gs)
+        x = np.asarray(problem.x_normalizer.normalize(jnp.asarray(x)))
+    expect = tuple(np.shape(problem.test_data["x"])[1:])
+    if x.shape[1:] != expect:
+        if int(np.prod(x.shape[1:])) != int(np.prod(expect)):
+            raise ValueError(
+                f"input sample shape {tuple(x.shape[1:])} does not match "
+                f"the benchmark's model input {expect} (after "
+                "normalization/reshape)"
+            )
+        x = x.reshape((x.shape[0],) + expect)
+    return jnp.asarray(x)
+
+
+def _batched_rollout(problem, state, x, steps, batch_size=None, mesh=None):
+    """Autoregressive rollout over a user batch, padded-tail batching like
+    runner.predict (every sample covered, one static compile)."""
+    import jax
+
+    n = x.shape[0]
+    cfg = problem.config
+    bs = batch_size or cfg.eval_batch_size or cfg.batch_size
+    bs = min(bs, n)
+    if mesh is not None:
+        from position_induced_transformer_tpu.parallel.sharding import (
+            data_axis_size,
+            shard_batch,
+        )
+
+        nd = data_axis_size(mesh)
+        bs = max(nd, bs - bs % nd)
+        fn = jax.jit(
+            lambda p, g, xx: problem.task.rollout(
+                p, g, shard_batch(mesh, {"x": xx})["x"], steps
+            )
+        )
+    else:
+        fn = jax.jit(lambda p, g, xx: problem.task.rollout(p, g, xx, steps))
+    outs = []
+    for i in range(0, n, bs):
+        idx = np.minimum(np.arange(i, i + bs), n - 1)
+        outs.append(np.asarray(fn(state.params, problem.geom, x[idx])))
+    return np.concatenate(outs, axis=0)[:n]
+
+
+def infer(
+    config: str,
+    checkpoint_path: str,
+    input_path: str,
+    input_key: str = "x",
+    output_path: Optional[str] = None,
+    batch_size: Optional[int] = None,
+    rollout_steps: Optional[int] = None,
+    data_path: Optional[str] = None,
+    setup_kwargs: Optional[dict] = None,
+    mesh=None,
+    model_variant: Optional[str] = None,
+) -> dict:
+    """Deployment-style inference: a restored checkpoint applied to a
+    user-supplied input batch — no test split required.
+
+    The reference has no such entry point: its eval scripts hard-code the
+    benchmark test set (e.g. tensorflow/5_Elasticity/evaluate.py
+    ``model.predict(testX)``); this accepts any .npy/.mat batch laid out
+    like the benchmark's inputs. Inputs are RAW physical values —
+    benchmarks that normalize inputs at data-preparation time (darcy
+    family) apply the checkpoint's training statistics here, and outputs
+    are post-processed exactly like evaluate/predict (in-call
+    denormalization where the benchmark denormalizes).
+
+    ``rollout_steps``: for autoregressive benchmarks, how many steps to
+    roll forward from each input state (default: the benchmark's
+    configured horizon). ``mesh``: 'auto' | 'data=N[,model=M]' |
+    'dcn=K,...' shards inference batches data-parallel; 'stage=K' runs
+    the forward GPipe pipeline-parallel (torch-family fixed meshes).
+    """
+    cfg = get(config) if isinstance(config, str) else config
+    if model_variant:
+        cfg = dataclasses.replace(cfg, model_variant=model_variant)
+    restored = ckpt.restore(checkpoint_path)
+    params = restored["params"] if "params" in restored else restored
+    setup_kwargs = _checkpoint_normalizers(
+        cfg, restored, dict(setup_kwargs or {})
+    )
+    x_raw = _load_input(input_path, input_key)
+    if x_raw.ndim < 2:
+        raise ValueError(
+            f"input must carry a leading batch axis; got shape "
+            f"{tuple(x_raw.shape)}"
+        )
+
+    # geometry + task only — keep the (synthetic) data split minimal
+    nmin = max(2, min(cfg.batch_size, 8))
+    problem = benchmarks.setup(
+        cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
+    )
+    x = _prepare_inputs(problem, x_raw)
+    state = TrainState(params, None, 0)
+
+    from position_induced_transformer_tpu.parallel.sharding import (
+        parse_mesh_spec,
+        replicate_tree,
+    )
+
+    mesh = parse_mesh_spec(mesh)
+    if mesh is not None and "stage" in mesh.shape:
+        from position_induced_transformer_tpu.parallel.pipeline import (
+            pipeline_task,
+        )
+
+        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
+            raise ValueError(
+                "pipeline parallelism ('stage=K') supports the torch-family "
+                "fixed-mesh benchmarks only"
+            )
+        problem.task = pipeline_task(problem.task, mesh, n_micro=1)
+        state = TrainState(replicate_tree(mesh, state.params), None, 0)
+        if problem.geom is not None:
+            problem.geom = replicate_tree(mesh, problem.geom)
+        mesh = None
+    elif mesh is not None:
+        state = TrainState(replicate_tree(mesh, state.params), None, 0)
+
+    steps = cfg.rollout_steps if rollout_steps is None else rollout_steps
+    if steps:
+        pred = _batched_rollout(problem, state, x, steps, batch_size, mesh)
+    else:
+        pred = predict(
+            problem, state, data={"x": x}, batch_size=batch_size, mesh=mesh
+        )
+
+    if output_path:
+        if output_path.endswith(".npy"):
+            np.save(output_path, pred)
+        elif output_path.endswith(".mat"):
+            from scipy.io import savemat
+
+            savemat(output_path, {"pred": pred})
+        else:
+            raise ValueError(
+                f"unsupported output format {output_path!r} "
+                "(expected .npy or .mat)"
+            )
+    return {
+        "benchmark": cfg.name,
+        "n": int(pred.shape[0]),
+        "pred_shape": [int(s) for s in pred.shape],
+        "rollout_steps": int(steps),
+        "output": output_path,
+    }

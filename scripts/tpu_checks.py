@@ -85,16 +85,42 @@ def timeit_scanned(apply_ul, u_shape, lmda_shape, n_iter=128, rounds=5):
         t0 = time.perf_counter()
         float(run(r + 1))
         runs.append(time.perf_counter() - t0)
-    return max(
-        (float(np.median(runs)) - float(np.median(bases))) / n_iter, 1e-9
+    diff = float(np.median(runs)) - float(np.median(bases))
+    # Resolution guard: a tiny op can be fully fused/overlapped with the
+    # on-device input generation, leaving a run-vs-baseline difference
+    # inside the relay's round-to-round jitter. Reporting such a 't' as a
+    # kernel time produces physically impossible roofline numbers (>100%
+    # of HBM peak), so flag it instead of publishing it.
+    spread = float(np.percentile(runs, 75) - np.percentile(runs, 25)) + float(
+        np.percentile(bases, 75) - np.percentile(bases, 25)
     )
+    resolved = diff > spread and diff / n_iter > 1e-6
+    return max(diff / n_iter, 1e-9), resolved
 
 
-def roofline_row(label, impl, t, Lo, Li, B, H, D, batched_dist):
-    """Minimum-traffic roofline: distances once, values once, output once."""
+def roofline_row(label, impl, t, Lo, Li, B, H, D, batched_dist, resolved=True):
+    """Minimum-traffic roofline: distances once, values once, output once.
+
+    ``resolved=False`` (from :func:`timeit_scanned`) means the op's scanned
+    time was indistinguishable from harness noise at this relay-load
+    window — the row then records only an upper bound and no derived
+    bandwidth/FLOP rates (which would be physically impossible garbage).
+    """
     dist_bytes = 4 * Lo * Li * (B if batched_dist else 1)
     bytes_min = dist_bytes + 4 * B * Li * D + 4 * B * Lo * H * D
     flops = 2 * H * B * Lo * Li * D
+    if not resolved:
+        row = {
+            "case": label,
+            "impl": impl,
+            "us": None,
+            "us_upper_bound": round(t * 1e6, 1),
+            "min_traffic_mb": round(bytes_min / 2**20, 2),
+            "note": "below harness resolution (run-vs-baseline difference "
+            "within relay jitter); derived roofline metrics omitted",
+        }
+        print(json.dumps(row), flush=True)
+        return row
     bw = bytes_min / t
     mxu = flops / t
     row = {
@@ -137,8 +163,8 @@ def check_fixed(L_out, L_in, B, H, D, loc, label, rows):
     err = float(jnp.max(jnp.abs(fused3(u, lmda) - want)))
 
     for impl, fn in (("xla", oracle), ("v2", fused2), ("v3", fused3)):
-        t = timeit_scanned(fn, u.shape, lmda.shape)
-        row = roofline_row(label, impl, t, L_out, L_in, B, H, D, False)
+        t, resolved = timeit_scanned(fn, u.shape, lmda.shape)
+        row = roofline_row(label, impl, t, L_out, L_in, B, H, D, False, resolved)
         if impl == "v3":
             row["max_abs_err_vs_xla"] = err
         rows.append(row)
@@ -162,15 +188,18 @@ def check_batched(Lq, Lk, B, H, D, loc, label, rows):
 
     err = float(jnp.max(jnp.abs(fused(u, lmda) - oracle(u, lmda))))
     for impl, fn in (("xla", oracle), ("batched_fused", fused)):
-        t = timeit_scanned(fn, u.shape, lmda.shape)
-        row = roofline_row(label, impl, t, Lq, Lk, B, H, D, True)
+        t, resolved = timeit_scanned(fn, u.shape, lmda.shape)
+        row = roofline_row(label, impl, t, Lq, Lk, B, H, D, True, resolved)
         if impl == "batched_fused":
             row["max_abs_err_vs_xla"] = err
-            # the fused kernel's true traffic has NO distance term at all
-            # (coordinates only) — report its own roofline too
-            own_bytes = 4 * (B * (Lq + Lk) * 2 + B * Lk * D + B * Lq * H * D)
-            row["fused_traffic_mb"] = round(own_bytes / 2**20, 2)
-            row["fused_eff_gbs"] = round(own_bytes / t / 1e9, 1)
+            if resolved:
+                # the fused kernel's true traffic has NO distance term at
+                # all (coordinates only) — report its own roofline too
+                own_bytes = 4 * (
+                    B * (Lq + Lk) * 2 + B * Lk * D + B * Lq * H * D
+                )
+                row["fused_traffic_mb"] = round(own_bytes / 2**20, 2)
+                row["fused_eff_gbs"] = round(own_bytes / t / 1e9, 1)
         rows.append(row)
 
 
@@ -210,8 +239,8 @@ def check_tf_batched(L, B, H, V, percentile, label, rows):
     s0 = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
     err = float(jnp.max(jnp.abs(fused(v0, s0) - oracle(v0, s0))))
     for impl, fn in (("xla", oracle), ("tf_fused", fused)):
-        t = timeit_scanned(fn, v0.shape, s0.shape, n_iter=32, rounds=3)
-        row = roofline_row(label, impl, t, L, L, B, H, V, True)
+        t, resolved = timeit_scanned(fn, v0.shape, s0.shape, n_iter=32, rounds=3)
+        row = roofline_row(label, impl, t, L, L, B, H, V, True, resolved)
         if impl == "tf_fused":
             row["max_abs_err_vs_xla"] = err
         rows.append(row)

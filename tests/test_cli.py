@@ -73,3 +73,38 @@ def test_train_cli_mesh_bad_spec_is_clean_error():
                 "--epochs", "1", "--ntrain", "8", "--ntest", "8",
             ]
         )
+
+
+def test_infer_cli_end_to_end(tmp_path, capsys):
+    """train --checkpoint, then `infer --input batch.npy --output pred.npy`
+    — the deployment flow — produces predictions for every input sample."""
+    import numpy as np
+
+    ckpt = str(tmp_path / "ckpt")
+    assert (
+        main(
+            [
+                "train", "--benchmark", "burgers", "--epochs", "1",
+                "--ntrain", "16", "--ntest", "8", "--checkpoint", ckpt,
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    x = np.random.default_rng(0).random((3, 1024, 1)).astype(np.float32)
+    inp = str(tmp_path / "inp.npy")
+    out = str(tmp_path / "pred.npy")
+    np.save(inp, x)
+    assert (
+        main(
+            [
+                "infer", "--benchmark", "burgers", "--checkpoint", ckpt,
+                "--input", inp, "--output", out,
+            ]
+        )
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n"] == 3
+    pred = np.load(out)
+    assert pred.shape[0] == 3 and np.isfinite(pred).all()
