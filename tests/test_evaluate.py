@@ -156,3 +156,29 @@ def test_infer_bad_inputs_clean_errors(tmp_path):
     savemat(m, {"u": np.ones((2, 64, 1), np.float32)})
     with pytest.raises(KeyError, match="not found"):
         evaluate.infer(cfg, checkpoint_path=path, input_path=m)
+
+
+def test_infer_tf_family(tmp_path):
+    """infer() over a TF-semantics benchmark (apply_fn call signature,
+    batch-mean loss family) matches runner.predict."""
+    cfg = dataclasses.replace(
+        configs.BURGERS_TF,
+        grid=(64,), latent_grid=(64,), batch_size=8,
+        model=dataclasses.replace(
+            configs.BURGERS_TF.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    x = np.asarray(problem.test_data["x"])[:3]
+    inp = os.path.join(tmp_path, "inp.npy")
+    np.save(inp, x)
+    res = evaluate.infer(cfg, checkpoint_path=path, input_path=inp)
+    assert res["n"] == 3
+    want = runner.predict(problem, state, data={"x": problem.test_data["x"][:3]})
+    # re-run through infer's own problem rebuild; same params, same geom
+    out = os.path.join(tmp_path, "pred.npy")
+    evaluate.infer(cfg, checkpoint_path=path, input_path=inp, output_path=out)
+    np.testing.assert_allclose(np.load(out), want, rtol=1e-5, atol=1e-6)
