@@ -117,10 +117,6 @@ def darcy(n=1124, s=43, seed=0):
     return coeff[..., None], sol[..., None]
 
 
-def _grf_2d(rng, n, s, n_modes=6, decay=2.0):
-    return _eval_modes(_grf_modes(rng, n, n_modes, decay), s)
-
-
 def vorticity(n=1200, s=64, frames=30, seed=0):
     """(n, s, s, frames) periodic band-limited fields under exact slow
     spectral advection + viscous decay:

@@ -162,6 +162,38 @@ def pipeline_task(task, mesh: Mesh, n_micro: int):
     )
 
 
+def enable_pipeline(problem, state, mesh: Mesh, batch_size: int = 0):
+    """Switch a problem onto the GPipe pipeline ('stage=K' mesh spec) —
+    the one place the runner, evaluator and infer entry points share.
+
+    Swaps ``problem.task`` for the pipelined one, replicates ``state``
+    and the fixed geometry over the pipeline mesh (the schedule is a
+    shard_map over its own 1-D mesh, so GSPMD data/param sharding is
+    bypassed), and picks the microbatch count: ``K`` microbatches when
+    ``batch_size`` divides evenly (training), else 1 (eval/infer batch
+    shapes vary with the tail). Returns ``(state, n_micro)``; callers
+    must then treat the problem as unsharded (``mesh = None``).
+    """
+    if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
+        raise ValueError(
+            "pipeline parallelism ('stage=K') supports the torch-family "
+            "fixed-mesh PiT benchmarks only (the TF-semantics call "
+            "signature and per-sample-mesh geometries are not stage-"
+            "splittable)"
+        )
+    from position_induced_transformer_tpu.parallel.sharding import (
+        replicate_tree,
+    )
+
+    n_stages = mesh.shape["stage"]
+    n_micro = n_stages if batch_size and batch_size % n_stages == 0 else 1
+    problem.task = pipeline_task(problem.task, mesh, n_micro)
+    state = replicate_tree(mesh, state)
+    if problem.geom is not None:
+        problem.geom = replicate_tree(mesh, problem.geom)
+    return state, n_micro
+
+
 def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
     """(params, geom, x) -> out: the full PiT forward with the processor
     pipelined over the mesh's 'stage' axis (encoder/decoder replicated).

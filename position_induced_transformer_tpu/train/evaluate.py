@@ -105,22 +105,14 @@ def evaluate(
 
     mesh = parse_mesh_spec(mesh)
     if mesh is not None and "stage" in mesh.shape:
-        # pipeline-parallel evaluation ('stage=K'): swap the task forward
-        # for the GPipe-pipelined one (parallel/pipeline.py) and run the
-        # predict loop unsharded (the schedule owns its own 1-D mesh)
+        # pipeline-parallel evaluation ('stage=K'): the predict loop runs
+        # unsharded on top of the pipelined task (the schedule owns its
+        # own 1-D mesh — parallel/pipeline.py enable_pipeline)
         from position_induced_transformer_tpu.parallel.pipeline import (
-            pipeline_task,
+            enable_pipeline,
         )
 
-        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
-            raise ValueError(
-                "pipeline parallelism ('stage=K') supports the torch-family "
-                "fixed-mesh benchmarks only"
-            )
-        problem.task = pipeline_task(problem.task, mesh, n_micro=1)
-        state = TrainState(replicate_tree(mesh, state.params), None, 0)
-        if problem.geom is not None:
-            problem.geom = replicate_tree(mesh, problem.geom)
+        state, _ = enable_pipeline(problem, state, mesh)
         mesh = None
     pred_mesh = mesh
     if mesh is not None:
@@ -247,13 +239,12 @@ def _evaluate_rollout(
         rollout = jax.jit(
             lambda p, g, x: problem.task.rollout(p, g, x, steps)
         )
-    preds = []
-    for i in range(0, n, bs):
-        # pad the final partial batch by repeating the last sample (single
-        # static shape); padded rows are sliced off below
-        idx = np.minimum(np.arange(i, i + bs), n - 1)
-        x = data["x"][idx]
-        preds.append(np.asarray(rollout(state.params, problem.geom, x)))
+    from position_induced_transformer_tpu.train.runner import padded_batches
+
+    preds = [
+        np.asarray(rollout(state.params, problem.geom, data["x"][idx]))
+        for idx in padded_batches(n, bs)
+    ]
     pred = np.concatenate(preds, axis=0)[:n]  # (N, L, steps)
     true = np.asarray(data["y"])[: pred.shape[0]]
     step_err = np.asarray(rel_norm_step(true, pred))
@@ -283,24 +274,43 @@ def _evaluate_rollout(
     return result
 
 
-def _load_input(path: str, key: str = "x") -> np.ndarray:
-    """Load a user-supplied input batch: .npy, or .mat/.h5 (key selects
-    the variable; MATLAB v7.3 files go through the loaders' HDF5 path)."""
-    if path.endswith(".npy"):
-        return np.asarray(np.load(path))
-    if path.endswith((".mat", ".h5", ".hdf5")):
+def _load_table(path: str):
+    """Load a multi-variable input file as a dict, or None for .npy.
+
+    .mat goes through the loaders' MATLAB reader (v5 directly; v7.3's
+    column-major HDF5 layout is transposed back to MATLAB orientation).
+    .h5/.hdf5 are read with h5py in NATIVE row-major layout — no
+    transpose — so batches written by ordinary h5py code round-trip
+    unchanged (only files following MATLAB's storage convention need the
+    .mat suffix)."""
+    if path.endswith(".mat"):
         from position_induced_transformer_tpu.data.loaders import load_mat
 
-        d = load_mat(path)
-        if key not in d:
-            raise KeyError(
-                f"variable {key!r} not found in {path}; available: "
-                f"{sorted(k for k in d if not k.startswith('__'))}"
-            )
-        return np.asarray(d[key])
-    raise ValueError(
-        f"unsupported input format {path!r} (expected .npy, .mat, .h5)"
-    )
+        return load_mat(path)
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return {k: np.array(f[k]) for k in f.keys()}
+    return None
+
+
+def _load_input(path: str, key: str = "x") -> np.ndarray:
+    """Load a user-supplied input batch: .npy, or .mat/.h5 (key selects
+    the variable — see :func:`_load_table` for the layout conventions)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path))
+    d = _load_table(path)
+    if d is None:
+        raise ValueError(
+            f"unsupported input format {path!r} (expected .npy, .mat, .h5)"
+        )
+    if key not in d:
+        raise KeyError(
+            f"variable {key!r} not found in {path}; available: "
+            f"{sorted(k for k in d if not k.startswith('__'))}"
+        )
+    return np.asarray(d[key])
 
 
 def _prepare_inputs(problem, x: np.ndarray):
@@ -333,6 +343,86 @@ def _prepare_inputs(problem, x: np.ndarray):
     return jnp.asarray(x)
 
 
+class _AccessRecorder(dict):
+    """Batch-dict proxy recording which keys a geom_fn HARD-accesses.
+
+    ``batch["mesh"]`` goes through the overridden ``__getitem__`` and is
+    recorded; ``batch.get("thr_down")`` uses dict's C-level lookup and is
+    not — exactly the required/optional split the benchmark setups encode
+    (coordinates indexed directly, precomputed thresholds fetched with
+    ``.get`` and recomputed in-op when absent)."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.hard = set()
+
+    def __getitem__(self, k):
+        self.hard.add(k)
+        return super().__getitem__(k)
+
+
+def _required_geometry_keys(problem) -> set:
+    """Which extra batch variables the benchmark's per-sample geometry
+    builder cannot do without, found by probing ``geom_fn`` on a small
+    real batch (all extra-key access flows through geom_fn —
+    Task.forward hands apply_fn ``{"x": x}`` only, train/loop.py)."""
+    if problem.task.geom_fn is None:
+        return set()
+    probe = _AccessRecorder(
+        {k: v[:1] for k, v in problem.test_data.items()}
+    )
+    problem.task.geom_fn(probe)
+    return probe.hard - {"x", "y"}
+
+
+def _prepare_infer_data(problem, x, input_path: str, input_key: str):
+    """Assemble the full inference batch dict for a benchmark.
+
+    Fixed-mesh benchmarks need only ``x``. Per-sample-geometry benchmarks
+    (elasticity, naca, elasticity_tf) rebuild geometry from extra batch
+    variables each step: coordinate arrays (``mesh``/``mesh_in``/...)
+    are REQUIRED from the input file under the same variable names, while
+    the remaining extras (precomputed ``thr_*`` locality thresholds,
+    plot-only coordinates) are optional — absent thresholds are computed
+    in-op with identical semantics (the setup-time hoist is a throughput
+    optimization, PiTTFPointCloud.__call__ /
+    ops/locality.batched_topk_thresholds)."""
+    import jax.numpy as jnp
+
+    data = {"x": _prepare_inputs(problem, x)}
+    n = int(data["x"].shape[0])
+    extra = [k for k in problem.test_data if k not in ("x", "y")]
+    if not extra:
+        return data
+    required = _required_geometry_keys(problem)
+    table = _load_table(input_path)
+    if table is None and required:
+        raise ValueError(
+            f"benchmark {problem.config.name!r} builds per-sample geometry "
+            f"from extra batch variables {sorted(required)}; provide a "
+            f".mat/.h5 input containing them alongside {input_key!r} (a "
+            "bare .npy carries only one array)"
+        )
+    for k in extra:
+        if table is None or k not in table:
+            if k in required:
+                raise ValueError(
+                    f"input file {input_path} is missing required variable "
+                    f"{k!r} (benchmark {problem.config.name!r} batch "
+                    f"layout: {['x'] + extra})"
+                )
+            continue  # optional thr_*: exact in-op fallback
+        arr = np.asarray(table[k], np.float32)
+        expect = (n,) + tuple(np.shape(problem.test_data[k])[1:])
+        if arr.shape != expect:
+            raise ValueError(
+                f"input variable {k!r} has shape {tuple(arr.shape)}, "
+                f"expected {expect}"
+            )
+        data[k] = jnp.asarray(arr)
+    return data
+
+
 def _batched_rollout(problem, state, x, steps, batch_size=None, mesh=None):
     """Autoregressive rollout over a user batch, padded-tail batching like
     runner.predict (every sample covered, one static compile)."""
@@ -357,10 +447,12 @@ def _batched_rollout(problem, state, x, steps, batch_size=None, mesh=None):
         )
     else:
         fn = jax.jit(lambda p, g, xx: problem.task.rollout(p, g, xx, steps))
-    outs = []
-    for i in range(0, n, bs):
-        idx = np.minimum(np.arange(i, i + bs), n - 1)
-        outs.append(np.asarray(fn(state.params, problem.geom, x[idx])))
+    from position_induced_transformer_tpu.train.runner import padded_batches
+
+    outs = [
+        np.asarray(fn(state.params, problem.geom, x[idx]))
+        for idx in padded_batches(n, bs)
+    ]
     return np.concatenate(outs, axis=0)[:n]
 
 
@@ -415,7 +507,7 @@ def infer(
     problem = benchmarks.setup(
         cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
     )
-    x = _prepare_inputs(problem, x_raw)
+    data = _prepare_infer_data(problem, x_raw, input_path, input_key)
     state = TrainState(params, None, 0)
 
     from position_induced_transformer_tpu.parallel.sharding import (
@@ -426,28 +518,22 @@ def infer(
     mesh = parse_mesh_spec(mesh)
     if mesh is not None and "stage" in mesh.shape:
         from position_induced_transformer_tpu.parallel.pipeline import (
-            pipeline_task,
+            enable_pipeline,
         )
 
-        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
-            raise ValueError(
-                "pipeline parallelism ('stage=K') supports the torch-family "
-                "fixed-mesh benchmarks only"
-            )
-        problem.task = pipeline_task(problem.task, mesh, n_micro=1)
-        state = TrainState(replicate_tree(mesh, state.params), None, 0)
-        if problem.geom is not None:
-            problem.geom = replicate_tree(mesh, problem.geom)
+        state, _ = enable_pipeline(problem, state, mesh)
         mesh = None
     elif mesh is not None:
         state = TrainState(replicate_tree(mesh, state.params), None, 0)
 
     steps = cfg.rollout_steps if rollout_steps is None else rollout_steps
     if steps:
-        pred = _batched_rollout(problem, state, x, steps, batch_size, mesh)
+        pred = _batched_rollout(
+            problem, state, data["x"], steps, batch_size, mesh
+        )
     else:
         pred = predict(
-            problem, state, data={"x": x}, batch_size=batch_size, mesh=mesh
+            problem, state, data=data, batch_size=batch_size, mesh=mesh
         )
 
     if output_path:

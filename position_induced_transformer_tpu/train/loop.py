@@ -106,7 +106,10 @@ class Task:
             true, pred = pred, true
         loss = rel_lp_norm(true, pred, self.out_dim, self.loss_p, weights=weights)
         if self.batch_mean_loss:
-            loss = loss / true.shape[0]
+            # mean over the VALID samples: a padded eval tail batch masks
+            # its duplicates via weights, so the denominator is their count
+            denom = true.shape[0] if weights is None else jnp.sum(weights)
+            loss = loss / denom
         return loss
 
     def rollout_preds(self, params, geom, batch):

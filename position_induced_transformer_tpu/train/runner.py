@@ -156,27 +156,13 @@ def train(
     mesh = parse_mesh_spec(mesh)
     pp_micro = 0  # microbatch count when pipeline-parallel ('stage=K')
     if mesh is not None and "stage" in mesh.shape:
-        # pipeline parallelism ('stage=K'): the GPipe schedule is a
-        # shard_map over its own 1-D mesh (parallel/pipeline.py), so the
-        # task forward is swapped for the pipelined one and the GSPMD
-        # batch/param sharding below is bypassed (data replicated).
         from position_induced_transformer_tpu.parallel.pipeline import (
-            pipeline_task,
+            enable_pipeline,
         )
 
-        if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
-            raise ValueError(
-                "pipeline parallelism ('stage=K') supports the torch-family "
-                "fixed-mesh PiT benchmarks only (the TF-semantics call "
-                "signature and per-sample-mesh geometries are not stage-"
-                "splittable)"
-            )
-        n_stages = mesh.shape["stage"]
-        pp_micro = n_stages if cfg.batch_size % n_stages == 0 else 1
-        problem.task = pipeline_task(problem.task, mesh, pp_micro)
-        state = replicate_tree(mesh, state)
-        if problem.geom is not None:
-            problem.geom = replicate_tree(mesh, problem.geom)
+        state, pp_micro = enable_pipeline(
+            problem, state, mesh, batch_size=cfg.batch_size
+        )
         problem.train_data = replicate_tree(mesh, problem.train_data)
         problem.test_data = replicate_tree(mesh, problem.test_data)
         mesh = None  # no 'data' axis: epoch functions run unsharded inputs
@@ -329,6 +315,18 @@ def save_history(history, csv_path=None, plot_path=None):
         plt.close()
 
 
+def padded_batches(n: int, batch_size: int):
+    """Index arrays covering ALL ``n`` samples in static-size batches;
+    the final partial batch repeats the last index (keeps one compiled
+    shape — slice the concatenated outputs to ``[:n]`` to drop the
+    duplicates). The single padded-tail convention shared by predict and
+    the evaluate/infer rollout loops (the reference's predict loops
+    cover every sample: train_burgers.py:118-126, DataLoader without
+    drop_last)."""
+    for i in range(0, n, batch_size):
+        yield np.minimum(np.arange(i, i + batch_size), n - 1)
+
+
 def predict(
     problem, state, data=None, batch_size: Optional[int] = None, mesh=None
 ):
@@ -358,12 +356,7 @@ def predict(
     else:
         fwd = jax.jit(problem.task.forward)
     outs = []
-    for i in range(0, n, bs):
-        # pad the final partial batch by repeating the last sample (keeps
-        # one static batch shape / one compile); padded rows sliced off
-        # below — the reference's predict loops cover every sample
-        # (train_burgers.py:118-126, DataLoader without drop_last)
-        idx = np.minimum(np.arange(i, i + bs), n - 1)
+    for idx in padded_batches(n, bs):
         batch = jax.tree_util.tree_map(lambda a: a[idx], data)
         outs.append(np.asarray(fwd(state.params, problem.geom, batch)))
     return np.concatenate(outs, axis=0)[:n]

@@ -158,6 +158,120 @@ def test_infer_bad_inputs_clean_errors(tmp_path):
         evaluate.infer(cfg, checkpoint_path=path, input_path=m)
 
 
+def test_infer_per_sample_mesh_elasticity(tmp_path):
+    """infer() on a per-sample-geometry benchmark: the coordinate
+    variables geom_fn requires (here ``mesh``) come from the .mat input
+    under the training batch names, while precomputed ``thr_*`` keys are
+    optional. A bare .npy (which cannot carry the mesh) and a .mat
+    missing it fail with clear errors."""
+    import pytest
+    from scipy.io import savemat
+
+    cfg = dataclasses.replace(
+        configs.ELASTICITY, batch_size=4,
+        model=dataclasses.replace(
+            configs.ELASTICITY.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False,
+        checkpoint_path=path, setup_kwargs={"n_points": 48},
+    )
+    x = np.asarray(problem.test_data["x"])[:3]
+    mesh = np.asarray(problem.test_data["mesh"])[:3]
+    inp = os.path.join(tmp_path, "inp.mat")
+    savemat(inp, {"x": x, "mesh": mesh})
+    out = os.path.join(tmp_path, "pred.npy")
+    res = evaluate.infer(
+        cfg, checkpoint_path=path, input_path=inp, output_path=out,
+        setup_kwargs={"n_points": 48},
+    )
+    assert res["n"] == 3
+    want = runner.predict(
+        problem, state,
+        data={
+            "x": problem.test_data["x"][:3],
+            "mesh": problem.test_data["mesh"][:3],
+        },
+    )
+    np.testing.assert_allclose(np.load(out), want, rtol=1e-5, atol=1e-6)
+
+    bare = os.path.join(tmp_path, "x.npy")
+    np.save(bare, x)
+    with pytest.raises(ValueError, match="mesh"):
+        evaluate.infer(
+            cfg, checkpoint_path=path, input_path=bare,
+            setup_kwargs={"n_points": 48},
+        )
+    nomesh = os.path.join(tmp_path, "nomesh.mat")
+    savemat(nomesh, {"x": x})
+    with pytest.raises(ValueError, match="missing required variable"):
+        evaluate.infer(
+            cfg, checkpoint_path=path, input_path=nomesh,
+            setup_kwargs={"n_points": 48},
+        )
+
+
+def test_infer_elasticity_tf_without_thresholds(tmp_path):
+    """TF point-cloud infer() from a bare .npy: geom_fn never indexes the
+    ``mesh`` extra (plot-only) so it is not demanded, and the absent
+    precomputed thr_en/thr_de fall back to the identical in-op percentile
+    computation — predictions match predict() on the benchmark's own
+    batch (which carries the setup-time thresholds)."""
+    cfg = dataclasses.replace(
+        configs.ELASTICITY_TF, batch_size=4,
+        model=dataclasses.replace(
+            configs.ELASTICITY_TF.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False,
+        checkpoint_path=path, setup_kwargs={"n_points": 48},
+    )
+    x = np.asarray(problem.test_data["x"])[:3]
+    inp = os.path.join(tmp_path, "inp.npy")
+    np.save(inp, x)
+    out = os.path.join(tmp_path, "pred.npy")
+    res = evaluate.infer(
+        cfg, checkpoint_path=path, input_path=inp, output_path=out,
+        setup_kwargs={"n_points": 48},
+    )
+    assert res["n"] == 3
+    sub = {k: v[:3] for k, v in problem.test_data.items() if k != "y"}
+    want = runner.predict(problem, state, data=sub)
+    np.testing.assert_allclose(np.load(out), want, rtol=1e-5, atol=1e-6)
+
+
+def test_infer_h5_native_layout(tmp_path):
+    """.h5 input batches written with plain h5py load in NATIVE row-major
+    layout (no MATLAB-convention transpose) — a (n, L, C) batch
+    round-trips unchanged and infer() matches predict()."""
+    import h5py
+
+    cfg = dataclasses.replace(
+        configs.BURGERS,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(configs.BURGERS.model, hid_dim=16, n_blocks=2),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    x = np.asarray(problem.test_data["x"])[:3]  # (3, 64, 1): transpose-fragile
+    inp = os.path.join(tmp_path, "inp.h5")
+    with h5py.File(inp, "w") as f:
+        f["x"] = x
+    out = os.path.join(tmp_path, "pred.npy")
+    res = evaluate.infer(
+        cfg, checkpoint_path=path, input_path=inp, output_path=out
+    )
+    assert res["n"] == 3
+    want = runner.predict(problem, state, data={"x": problem.test_data["x"][:3]})
+    np.testing.assert_allclose(np.load(out), want, rtol=1e-5, atol=1e-6)
+
+
 def test_infer_tf_family(tmp_path):
     """infer() over a TF-semantics benchmark (apply_fn call signature,
     batch-mean loss family) matches runner.predict."""

@@ -259,6 +259,28 @@ def test_eval_covers_nondivisible_ntest():
     )
 
 
+def test_batch_mean_loss_weighted_denominator():
+    """Task._loss with padding weights must divide by the VALID-sample
+    count, not the padded batch size: the masked padded tail batch of a
+    batch-mean-loss (TF-family) eval equals the loss computed over just
+    the valid samples."""
+    import jax.numpy as jnp
+
+    from position_induced_transformer_tpu.train.loop import Task
+
+    rng = np.random.RandomState(0)
+    true = np.asarray(rng.randn(8, 16, 1), np.float32)
+    pred = np.asarray(rng.randn(8, 16, 1), np.float32)
+    # padded batch: 5 valid samples + 3 repeats of the last one, masked
+    true_p = np.concatenate([true[:5], np.repeat(true[4:5], 3, axis=0)])
+    pred_p = np.concatenate([pred[:5], np.repeat(pred[4:5], 3, axis=0)])
+    w = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    task = Task(model=None, batch_mean_loss=True)
+    got = float(task._loss(jnp.asarray(true_p), jnp.asarray(pred_p), weights=w))
+    want = float(task._loss(jnp.asarray(true[:5]), jnp.asarray(pred[:5])))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_eval_permutation_pads_remainder():
     from position_induced_transformer_tpu.train.loop import eval_permutation
 
