@@ -118,6 +118,13 @@ def train(
     seed = seed if seed is not None else cfg.seed
 
     n_batches = problem.n_train // cfg.batch_size
+    if n_batches == 0:
+        raise ValueError(
+            f"ntrain={problem.n_train} yields zero whole training batches "
+            f"at batch_size={cfg.batch_size} (the epoch drops the "
+            "remainder, like the reference's ntrain//batch iteration "
+            "count) — pass --ntrain >= the benchmark batch size"
+        )
     # reference: train_burgers.py:56
     total_steps = (schedule_epochs or epochs) * n_batches
     optimizer = make_optimizer(cfg.lr, total_steps)

@@ -65,6 +65,19 @@ def test_train_cli_mesh_flag(capsys):
     assert np.isfinite([final["train_loss"], final["rel_l2"]]).all()
 
 
+def test_train_ntrain_below_batch_is_clean_error():
+    """ntrain < batch_size used to crash deep inside optax
+    (cosine_decay_schedule decay_steps=0); it must be a clear error at
+    the entry point."""
+    with pytest.raises(ValueError, match="zero whole training batches"):
+        main(
+            [
+                "train", "--benchmark", "burgers", "--epochs", "1",
+                "--ntrain", "4", "--ntest", "8",  # burgers batch_size=8
+            ]
+        )
+
+
 def test_train_cli_mesh_bad_spec_is_clean_error():
     with pytest.raises(ValueError, match="mesh"):
         main(
