@@ -637,6 +637,50 @@ def test_evaluate_data_parallel_matches(tmp_path):
     np.testing.assert_allclose(dp["rel_max"], ref["rel_max"], rtol=1e-5)
 
 
+def test_infer_data_parallel_per_sample_mesh(tmp_path):
+    """`infer --mesh data=2` on a per-sample-geometry benchmark: the
+    multi-variable batch dict (x + mesh read from the .mat input) shards
+    over 'data' and predictions match the unsharded infer run."""
+    import os
+
+    from scipy.io import savemat
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = dataclasses.replace(
+        configs.ELASTICITY, batch_size=4,
+        model=dataclasses.replace(
+            configs.ELASTICITY.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False,
+        checkpoint_path=ckpt, setup_kwargs={"n_points": 48},
+    )
+    savemat(
+        os.path.join(tmp_path, "inp.mat"),
+        {
+            "x": np.asarray(problem.test_data["x"])[:3],
+            "mesh": np.asarray(problem.test_data["mesh"])[:3],
+        },
+    )
+    kw = dict(
+        checkpoint_path=ckpt,
+        input_path=os.path.join(tmp_path, "inp.mat"),
+        setup_kwargs={"n_points": 48},
+    )
+    evaluate.infer(cfg, output_path=os.path.join(tmp_path, "p0.npy"), **kw)
+    evaluate.infer(
+        cfg, output_path=os.path.join(tmp_path, "p2.npy"), mesh="data=2", **kw
+    )
+    np.testing.assert_allclose(
+        np.load(os.path.join(tmp_path, "p2.npy")),
+        np.load(os.path.join(tmp_path, "p0.npy")),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_evaluate_pipeline_parallel_matches(tmp_path):
     """`evaluate --mesh stage=2`: the forward runs GPipe pipeline-parallel
     over the processor blocks; metrics match the single-device evaluation."""
