@@ -160,6 +160,21 @@ def main(argv=None):
         "configured horizon; 0 disables rollout)",
     )
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="serve a checkpoint over HTTP (warm compiled model; "
+        "POST /predict with a .npy/.mat/.h5 body, GET /health, GET /info)",
+    )
+    _add_common(p_srv)
+    p_srv.add_argument("--checkpoint", required=True)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8765)
+    p_srv.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the startup compile at the serving batch size (first "
+        "request then pays XLA compilation)",
+    )
+
     sub.add_parser("benchmarks", help="list available benchmarks")
 
     p_desc = sub.add_parser(
@@ -282,6 +297,21 @@ def main(argv=None):
             model_variant=args.model_variant,
         )
         print(json.dumps(result))
+        return 0
+
+    if args.command == "serve":
+        from position_induced_transformer_tpu.train.serve import serve
+
+        serve(
+            args.benchmark,
+            checkpoint_path=args.checkpoint,
+            host=args.host,
+            port=args.port,
+            warmup=not args.no_warmup,
+            data_path=args.data_path,
+            mesh=args.mesh,
+            model_variant=args.model_variant,
+        )
         return 0
 
     if args.command == "evaluate":

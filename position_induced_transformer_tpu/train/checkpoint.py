@@ -40,6 +40,25 @@ def save(path: str, tree: Any) -> str:
         return fname
 
 
+def _restore_here(ckptr, path: str) -> Any:
+    """Orbax restore onto the CURRENT topology when the checkpoint's saved
+    sharding metadata names devices that do not exist here (e.g. trained
+    on a 'stage=2' pipeline mesh or an 8-chip pod, evaluated/served on one
+    chip): rebuild the target from the checkpoint's own shape/dtype
+    metadata with an explicit single-device sharding. Params carry no mesh
+    dimension, so placement is the only thing that changes; callers
+    replicate over their own mesh afterwards."""
+    meta = ckptr.metadata(path).item_metadata.tree
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(
+            tuple(m.shape), m.dtype, sharding=sharding
+        ),
+        meta,
+    )
+    return ckptr.restore(path, target=target)
+
+
 def restore(path: str, target: Optional[Any] = None) -> Any:
     """Restore a checkpoint; ``target`` provides structure/dtypes."""
     path = os.path.abspath(path)
@@ -47,12 +66,17 @@ def restore(path: str, target: Optional[Any] = None) -> Any:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        if target is not None:
-            shapes = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target
-            )
-            return ckptr.restore(path, target=shapes)
-        return ckptr.restore(path)
+        try:
+            if target is not None:
+                shapes = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target
+                )
+                return ckptr.restore(path, target=shapes)
+            return ckptr.restore(path)
+        except ValueError as e:
+            if "available devices" not in str(e):
+                raise
+            return _restore_here(ckptr, path)
     import flax.serialization
 
     fname = path if path.endswith(".msgpack") else path + ".msgpack"

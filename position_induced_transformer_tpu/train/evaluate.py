@@ -423,37 +423,144 @@ def _prepare_infer_data(problem, x, input_path: str, input_key: str):
     return data
 
 
-def _batched_rollout(problem, state, x, steps, batch_size=None, mesh=None):
-    """Autoregressive rollout over a user batch, padded-tail batching like
-    runner.predict (every sample covered, one static compile)."""
-    import jax
+class Predictor:
+    """A restored checkpoint held WARM for repeated inference calls.
 
-    n = x.shape[0]
-    cfg = problem.config
-    bs = batch_size or cfg.eval_batch_size or cfg.batch_size
-    bs = min(bs, n)
-    if mesh is not None:
+    Loads the checkpoint and builds the benchmark problem once, then
+    keeps persistent jitted callables — repeated ``predict_*`` calls at
+    the same batch shape reuse the compiled executable instead of
+    re-tracing per call (the property a serving process needs;
+    :func:`infer` wraps one of these for the one-shot CLI flow).
+
+    ``mesh``: 'auto' | 'data=N[,model=M]' | 'dcn=K,...' shards inference
+    batches data-parallel; 'stage=K' runs the forward GPipe
+    pipeline-parallel (torch-family fixed meshes).
+    """
+
+    def __init__(
+        self,
+        config,
+        checkpoint_path: str,
+        data_path: Optional[str] = None,
+        setup_kwargs: Optional[dict] = None,
+        mesh=None,
+        model_variant: Optional[str] = None,
+    ):
+        import jax
+
+        cfg = get(config) if isinstance(config, str) else config
+        if model_variant:
+            cfg = dataclasses.replace(cfg, model_variant=model_variant)
+        restored = ckpt.restore(checkpoint_path)
+        params = restored["params"] if "params" in restored else restored
+        setup_kwargs = _checkpoint_normalizers(
+            cfg, restored, dict(setup_kwargs or {})
+        )
+        # geometry + task only — keep the (synthetic) data split minimal
+        nmin = max(2, min(cfg.batch_size, 8))
+        problem = benchmarks.setup(
+            cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
+        )
+        state = TrainState(params, None, 0)
+
         from position_induced_transformer_tpu.parallel.sharding import (
-            data_axis_size,
-            shard_batch,
+            parse_mesh_spec,
+            replicate_tree,
         )
 
-        nd = data_axis_size(mesh)
-        bs = max(nd, bs - bs % nd)
-        fn = jax.jit(
-            lambda p, g, xx: problem.task.rollout(
-                p, g, shard_batch(mesh, {"x": xx})["x"], steps
+        mesh = parse_mesh_spec(mesh)
+        if mesh is not None and "stage" in mesh.shape:
+            from position_induced_transformer_tpu.parallel.pipeline import (
+                enable_pipeline,
             )
-        )
-    else:
-        fn = jax.jit(lambda p, g, xx: problem.task.rollout(p, g, xx, steps))
-    from position_induced_transformer_tpu.train.runner import padded_batches
 
-    outs = [
-        np.asarray(fn(state.params, problem.geom, x[idx]))
-        for idx in padded_batches(n, bs)
-    ]
-    return np.concatenate(outs, axis=0)[:n]
+            state, _ = enable_pipeline(problem, state, mesh)
+            mesh = None
+        elif mesh is not None:
+            state = TrainState(replicate_tree(mesh, state.params), None, 0)
+
+        self.cfg = cfg
+        self.problem = problem
+        self.state = state
+        self.mesh = mesh
+        task = problem.task
+        if mesh is not None:
+            from position_induced_transformer_tpu.parallel.sharding import (
+                shard_batch,
+            )
+
+            self._fwd = jax.jit(
+                lambda p, g, b: task.forward(p, g, shard_batch(mesh, b))
+            )
+            self._rollout = jax.jit(
+                lambda p, g, x, steps: task.rollout(
+                    p, g, shard_batch(mesh, {"x": x})["x"], steps
+                ),
+                static_argnums=3,
+            )
+        else:
+            self._fwd = jax.jit(task.forward)
+            self._rollout = jax.jit(task.rollout, static_argnums=3)
+
+    def _batch_size(self, n: int, batch_size: Optional[int]) -> int:
+        bs = batch_size or self.cfg.eval_batch_size or self.cfg.batch_size
+        bs = min(bs, n)
+        if self.mesh is not None:
+            from position_induced_transformer_tpu.parallel.sharding import (
+                data_axis_size,
+            )
+
+            nd = data_axis_size(self.mesh)
+            bs = max(nd, bs - bs % nd)
+        return bs
+
+    def predict_array(
+        self,
+        data: dict,
+        rollout_steps: int = 0,
+        batch_size: Optional[int] = None,
+    ) -> np.ndarray:
+        """Predictions over a prepared batch dict (padded-tail batching —
+        every sample covered, one compiled shape per batch size)."""
+        import jax
+
+        from position_induced_transformer_tpu.train.runner import (
+            padded_batches,
+        )
+
+        n = data["x"].shape[0]
+        bs = self._batch_size(n, batch_size)
+        params, geom = self.state.params, self.problem.geom
+        outs = []
+        for idx in padded_batches(n, bs):
+            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            if rollout_steps:
+                out = self._rollout(params, geom, batch["x"], rollout_steps)
+            else:
+                out = self._fwd(params, geom, batch)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=0)[:n]
+
+    def predict_file(
+        self,
+        input_path: str,
+        input_key: str = "x",
+        rollout_steps: Optional[int] = None,
+        batch_size: Optional[int] = None,
+    ) -> np.ndarray:
+        """Predictions for a user-supplied .npy/.mat/.h5 input batch
+        (RAW physical values; see :func:`infer` for the conventions)."""
+        x_raw = _load_input(input_path, input_key)
+        if x_raw.ndim < 2:
+            raise ValueError(
+                f"input must carry a leading batch axis; got shape "
+                f"{tuple(x_raw.shape)}"
+            )
+        data = _prepare_infer_data(self.problem, x_raw, input_path, input_key)
+        steps = (
+            self.cfg.rollout_steps if rollout_steps is None else rollout_steps
+        )
+        return self.predict_array(data, steps, batch_size)
 
 
 def infer(
@@ -483,58 +590,19 @@ def infer(
 
     ``rollout_steps``: for autoregressive benchmarks, how many steps to
     roll forward from each input state (default: the benchmark's
-    configured horizon). ``mesh``: 'auto' | 'data=N[,model=M]' |
-    'dcn=K,...' shards inference batches data-parallel; 'stage=K' runs
-    the forward GPipe pipeline-parallel (torch-family fixed meshes).
+    configured horizon). ``mesh``: see :class:`Predictor`. For a
+    long-lived process serving many requests, hold a :class:`Predictor`
+    (or run the ``serve`` CLI) instead of calling this per batch.
     """
-    cfg = get(config) if isinstance(config, str) else config
-    if model_variant:
-        cfg = dataclasses.replace(cfg, model_variant=model_variant)
-    restored = ckpt.restore(checkpoint_path)
-    params = restored["params"] if "params" in restored else restored
-    setup_kwargs = _checkpoint_normalizers(
-        cfg, restored, dict(setup_kwargs or {})
+    predictor = Predictor(
+        config, checkpoint_path, data_path=data_path,
+        setup_kwargs=setup_kwargs, mesh=mesh, model_variant=model_variant,
     )
-    x_raw = _load_input(input_path, input_key)
-    if x_raw.ndim < 2:
-        raise ValueError(
-            f"input must carry a leading batch axis; got shape "
-            f"{tuple(x_raw.shape)}"
-        )
-
-    # geometry + task only — keep the (synthetic) data split minimal
-    nmin = max(2, min(cfg.batch_size, 8))
-    problem = benchmarks.setup(
-        cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
-    )
-    data = _prepare_infer_data(problem, x_raw, input_path, input_key)
-    state = TrainState(params, None, 0)
-
-    from position_induced_transformer_tpu.parallel.sharding import (
-        parse_mesh_spec,
-        replicate_tree,
-    )
-
-    mesh = parse_mesh_spec(mesh)
-    if mesh is not None and "stage" in mesh.shape:
-        from position_induced_transformer_tpu.parallel.pipeline import (
-            enable_pipeline,
-        )
-
-        state, _ = enable_pipeline(problem, state, mesh)
-        mesh = None
-    elif mesh is not None:
-        state = TrainState(replicate_tree(mesh, state.params), None, 0)
-
+    cfg = predictor.cfg
     steps = cfg.rollout_steps if rollout_steps is None else rollout_steps
-    if steps:
-        pred = _batched_rollout(
-            problem, state, data["x"], steps, batch_size, mesh
-        )
-    else:
-        pred = predict(
-            problem, state, data=data, batch_size=batch_size, mesh=mesh
-        )
+    pred = predictor.predict_file(
+        input_path, input_key, rollout_steps=steps, batch_size=batch_size
+    )
 
     if output_path:
         if output_path.endswith(".npy"):

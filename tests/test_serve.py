@@ -1,0 +1,166 @@
+"""HTTP model server: warm-checkpoint serving over the infer conventions.
+
+The reference has no serving entry point (its evaluate scripts are batch
+jobs over the benchmark test split, e.g.
+tensorflow/5_Elasticity/evaluate.py); this is TPU-deployment surface:
+compile once, answer many requests.
+"""
+
+import dataclasses
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from position_induced_transformer_tpu import configs
+from position_induced_transformer_tpu.train import runner
+
+
+@pytest.fixture(scope="module")
+def burgers_server():
+    """A tiny trained burgers model served on an ephemeral port."""
+    import tempfile
+
+    from position_induced_transformer_tpu.train.serve import make_server
+
+    cfg = dataclasses.replace(
+        configs.BURGERS,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(configs.BURGERS.model, hid_dim=16, n_blocks=2),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = os.path.join(tmp, "ckpt")
+        problem, state, _ = runner.train(
+            cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+            checkpoint_path=ckpt,
+        )
+        server = make_server(
+            cfg, ckpt, host="127.0.0.1", port=0, verbose=False
+        )
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.server_address[1]
+        try:
+            yield f"http://127.0.0.1:{port}", problem, state
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+def _post(url, body, **params):
+    from urllib.parse import urlencode
+
+    q = ("?" + urlencode(params)) if params else ""
+    req = urllib.request.Request(
+        url + q, data=body, method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_health_and_info(burgers_server):
+    base, _, _ = burgers_server
+    with urllib.request.urlopen(base + "/health") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["benchmark"] == "burgers"
+    with urllib.request.urlopen(base + "/info") as r:
+        info = json.loads(r.read())
+    assert info["hid_dim"] == 16 and info["input_shape"] == [64, 1]
+
+
+def test_predict_npy_roundtrip_matches_predict(burgers_server):
+    """POST an .npy batch; the response equals runner.predict — and a
+    second request at the same shape reuses the warm executable."""
+    base, problem, state = burgers_server
+    x = np.asarray(problem.test_data["x"])[:5]  # odd n: tail padding
+    buf = io.BytesIO()
+    np.save(buf, x)
+    status, body = _post(base + "/predict", buf.getvalue())
+    assert status == 200, body
+    pred = np.load(io.BytesIO(body))
+    want = runner.predict(problem, state, data={"x": problem.test_data["x"][:5]})
+    np.testing.assert_allclose(pred, want, rtol=1e-5, atol=1e-6)
+    # warm second call, .mat response format
+    status, body = _post(base + "/predict", buf.getvalue(), format="mat")
+    assert status == 200
+    from scipy.io import loadmat
+
+    pred2 = loadmat(io.BytesIO(body))["pred"]
+    np.testing.assert_allclose(pred2, want, rtol=1e-5, atol=1e-6)
+    with urllib.request.urlopen(base + "/health") as r:
+        assert json.loads(r.read())["requests"] == 2
+
+
+def test_predict_bad_payloads_are_400(burgers_server):
+    base, _, _ = burgers_server
+    status, body = _post(base + "/predict", b"not a tensor at all")
+    assert status == 400
+    assert "unrecognized input payload" in json.loads(body)["error"]
+    # wrong sample shape -> benchmark validation error surfaced as 400
+    buf = io.BytesIO()
+    np.save(buf, np.ones((2, 7, 3), np.float32))
+    status, body = _post(base + "/predict", buf.getvalue())
+    assert status == 400
+    assert "does not match" in json.loads(body)["error"]
+    # unknown endpoint
+    status, body = _post(base + "/nope", b"")
+    assert status == 404
+
+
+def test_serve_per_sample_mesh_mat_upload(tmp_path):
+    """Serving a per-sample-geometry benchmark: a .mat upload carrying
+    x + mesh predicts like the direct path."""
+    from scipy.io import savemat
+
+    from position_induced_transformer_tpu.train.serve import make_server
+
+    cfg = dataclasses.replace(
+        configs.ELASTICITY, batch_size=4,
+        model=dataclasses.replace(
+            configs.ELASTICITY.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False,
+        checkpoint_path=ckpt, setup_kwargs={"n_points": 48},
+    )
+    server = make_server(
+        cfg, ckpt, host="127.0.0.1", port=0, verbose=False,
+        setup_kwargs={"n_points": 48},
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        buf = io.BytesIO()
+        savemat(
+            buf,
+            {
+                "x": np.asarray(problem.test_data["x"])[:3],
+                "mesh": np.asarray(problem.test_data["mesh"])[:3],
+            },
+        )
+        status, body = _post(base + "/predict", buf.getvalue())
+        assert status == 200, body
+        pred = np.load(io.BytesIO(body))
+        want = runner.predict(
+            problem, state,
+            data={
+                "x": problem.test_data["x"][:3],
+                "mesh": problem.test_data["mesh"][:3],
+            },
+        )
+        np.testing.assert_allclose(pred, want, rtol=1e-5, atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -164,3 +164,43 @@ def test_legacy_checkpoint_without_x_normalizer_raises_clearly(tmp_path):
     ckpt.save(legacy, restored)
     with pytest.raises(ValueError, match="x_normalizer"):
         evaluate.evaluate(cfg, legacy, ntest=8)
+
+
+def test_restore_from_different_topology_subprocess(tmp_path):
+    """A checkpoint written by a multi-device run (here a 2-device
+    'stage=2' pipeline mesh) must restore for evaluate/infer/serve on a
+    SINGLE device: orbax's saved sharding metadata names devices that do
+    not exist there, and checkpoint.restore falls back to rebuilding the
+    target from the checkpoint's own shape/dtype metadata with a
+    current-device placement (train/checkpoint.py _restore_here).
+    Subprocesses are required — device count is fixed per process."""
+    import subprocess
+    import sys
+
+    env2 = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env1 = dict(os.environ)
+    env1.pop("XLA_FLAGS", None)
+    ckpt_path = os.path.join(tmp_path, "ckpt")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "position_induced_transformer_tpu",
+            "train", "--benchmark", "sod", "--epochs", "1",
+            "--ntrain", "16", "--ntest", "8", "--mesh", "stage=2",
+            "--checkpoint", ckpt_path, "--platform", "cpu",
+        ],
+        capture_output=True, text=True, env=env2,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "position_induced_transformer_tpu",
+            "evaluate", "--benchmark", "sod", "--ntest", "8",
+            "--checkpoint", ckpt_path, "--platform", "cpu",
+        ],
+        capture_output=True, text=True, env=env1,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert np.isfinite(out["rel_l2"])
