@@ -60,16 +60,27 @@ def _add_common(p):
 
 
 def _apply_platform(args):
+    import os
+
+    import jax
+
     platform = getattr(args, "platform", None)
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
     fused = getattr(args, "fused_mode", None)
     if fused:
-        import os
-
         os.environ["PIT_FUSED_MODE"] = fused
+    # persistent XLA compile cache: TPU compiles are expensive (remote
+    # compile through a relay can take minutes), so every CLI entry point
+    # reuses compiled executables across processes/restarts. Respects an
+    # existing JAX_COMPILATION_CACHE_DIR / prior jax.config setting;
+    # override the default location with PIT_JAX_CACHE.
+    if not jax.config.jax_compilation_cache_dir:
+        cache = os.environ.get(
+            "PIT_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "pit-jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
 
 
 def main(argv=None):

@@ -293,7 +293,10 @@ def setup_elasticity(
     # measured NO faster here (0.96x — at L=972 the extra (B, L, 1)
     # gathers cost as much as the ~19 in-kernel min passes they remove),
     # so elasticity keeps the in-kernel locality mask.
-    task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
+    task = Task(
+        model=model, geom_fn=geom_fn, geometry_required_keys=("mesh",),
+        **_task_kwargs(cfg),
+    )
     return Problem(
         cfg, model, task, None,
         {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr), "y": jnp.asarray(Y_tr)},
@@ -361,7 +364,11 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
             g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
         )
 
-    task = Task(model=model, geom_fn=geom_fn, **_task_kwargs(cfg))
+    task = Task(
+        model=model, geom_fn=geom_fn,
+        geometry_required_keys=("mesh_in", "mesh_ltt", "mesh_out"),
+        **_task_kwargs(cfg),
+    )
     return Problem(
         cfg, model, task, None,
         prep(c_tr, X_tr, Y_tr), prep(c_te, X_te, Y_te), ntrain, ntest,
@@ -685,6 +692,7 @@ def setup_elasticity_tf(
     )
     task = Task(
         model=model, apply_fn=apply_fn, geom_fn=geom_fn,
+        geometry_required_keys=(),  # thresholds optional, 'mesh' plot-only
         batch_mean_loss=True, **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, data["x"])

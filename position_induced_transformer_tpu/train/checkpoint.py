@@ -73,10 +73,16 @@ def restore(path: str, target: Optional[Any] = None) -> Any:
                 )
                 return ckptr.restore(path, target=shapes)
             return ckptr.restore(path)
-        except ValueError as e:
-            if "available devices" not in str(e):
-                raise
-            return _restore_here(ckptr, path)
+        except Exception as e:  # noqa: BLE001 — availability over purity:
+            # the common failure is a topology mismatch surfacing as an
+            # orbax ValueError whose message format is private, so rather
+            # than pattern-match it, always attempt the metadata-driven
+            # current-topology restore; if that fails too, the ORIGINAL
+            # error is the informative one.
+            try:
+                return _restore_here(ckptr, path)
+            except Exception:
+                raise e
     import flax.serialization
 
     fname = path if path.endswith(".msgpack") else path + ".msgpack"

@@ -295,11 +295,13 @@ def _load_table(path: str):
     return None
 
 
-def _load_input(path: str, key: str = "x") -> np.ndarray:
-    """Load a user-supplied input batch: .npy, or .mat/.h5 (key selects
-    the variable — see :func:`_load_table` for the layout conventions)."""
+def _load_input(path: str, key: str = "x"):
+    """Load a user-supplied input batch: ``(x, table)`` where ``table``
+    is the full variable dict for .mat/.h5 (None for a bare .npy) — the
+    file is parsed ONCE; key selects the input variable (see
+    :func:`_load_table` for the layout conventions)."""
     if path.endswith(".npy"):
-        return np.asarray(np.load(path))
+        return np.asarray(np.load(path)), None
     d = _load_table(path)
     if d is None:
         raise ValueError(
@@ -310,7 +312,7 @@ def _load_input(path: str, key: str = "x") -> np.ndarray:
             f"variable {key!r} not found in {path}; available: "
             f"{sorted(k for k in d if not k.startswith('__'))}"
         )
-    return np.asarray(d[key])
+    return np.asarray(d[key]), d
 
 
 def _prepare_inputs(problem, x: np.ndarray):
@@ -363,9 +365,15 @@ class _AccessRecorder(dict):
 
 def _required_geometry_keys(problem) -> set:
     """Which extra batch variables the benchmark's per-sample geometry
-    builder cannot do without, found by probing ``geom_fn`` on a small
+    builder cannot do without. An explicit ``Task.geometry_required_keys``
+    declaration wins; otherwise found by probing ``geom_fn`` on a small
     real batch (all extra-key access flows through geom_fn —
-    Task.forward hands apply_fn ``{"x": x}`` only, train/loop.py)."""
+    Task.forward hands apply_fn ``{"x": x}`` only, train/loop.py). The
+    probe relies on the geom_fn convention of ``batch[...]`` for
+    required coordinates and ``.get`` for optionals — benchmarks that
+    deviate must declare the explicit tuple."""
+    if problem.task.geometry_required_keys is not None:
+        return set(problem.task.geometry_required_keys)
     if problem.task.geom_fn is None:
         return set()
     probe = _AccessRecorder(
@@ -375,7 +383,9 @@ def _required_geometry_keys(problem) -> set:
     return probe.hard - {"x", "y"}
 
 
-def _prepare_infer_data(problem, x, input_path: str, input_key: str):
+def _prepare_infer_data(
+    problem, x, table, input_path: str, input_key: str, required=None
+):
     """Assemble the full inference batch dict for a benchmark.
 
     Fixed-mesh benchmarks need only ``x``. Per-sample-geometry benchmarks
@@ -386,7 +396,8 @@ def _prepare_infer_data(problem, x, input_path: str, input_key: str):
     plot-only coordinates) are optional — absent thresholds are computed
     in-op with identical semantics (the setup-time hoist is a throughput
     optimization, PiTTFPointCloud.__call__ /
-    ops/locality.batched_topk_thresholds)."""
+    ops/locality.batched_topk_thresholds). ``table`` is the already
+    parsed variable dict from :func:`_load_input` (None for .npy)."""
     import jax.numpy as jnp
 
     data = {"x": _prepare_inputs(problem, x)}
@@ -394,8 +405,8 @@ def _prepare_infer_data(problem, x, input_path: str, input_key: str):
     extra = [k for k in problem.test_data if k not in ("x", "y")]
     if not extra:
         return data
-    required = _required_geometry_keys(problem)
-    table = _load_table(input_path)
+    if required is None:
+        required = _required_geometry_keys(problem)
     if table is None and required:
         raise ValueError(
             f"benchmark {problem.config.name!r} builds per-sample geometry "
@@ -483,6 +494,8 @@ class Predictor:
         self.problem = problem
         self.state = state
         self.mesh = mesh
+        # constant per benchmark — probed once, reused on every request
+        self.required_keys = frozenset(_required_geometry_keys(problem))
         task = problem.task
         if mesh is not None:
             from position_induced_transformer_tpu.parallel.sharding import (
@@ -550,13 +563,16 @@ class Predictor:
     ) -> np.ndarray:
         """Predictions for a user-supplied .npy/.mat/.h5 input batch
         (RAW physical values; see :func:`infer` for the conventions)."""
-        x_raw = _load_input(input_path, input_key)
+        x_raw, table = _load_input(input_path, input_key)
         if x_raw.ndim < 2:
             raise ValueError(
                 f"input must carry a leading batch axis; got shape "
                 f"{tuple(x_raw.shape)}"
             )
-        data = _prepare_infer_data(self.problem, x_raw, input_path, input_key)
+        data = _prepare_infer_data(
+            self.problem, x_raw, table, input_path, input_key,
+            required=self.required_keys,
+        )
         steps = (
             self.cfg.rollout_steps if rollout_steps is None else rollout_steps
         )

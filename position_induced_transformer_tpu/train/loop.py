@@ -70,6 +70,12 @@ class Task:
     # all activations. Env PIT_ROLLOUT_REMAT overrides (measurement:
     # scripts/tpu_epoch_sweep.py).
     geom_fn: Optional[Callable] = None  # batch -> Geometry (per-sample meshes)
+    geometry_required_keys: "Optional[tuple]" = None  # batch variables
+    # geom_fn cannot do without (deployment infer/serve reads them from
+    # the user's input file). None = infer by probing geom_fn, which
+    # relies on the convention batch["coords"] for required keys vs
+    # batch.get("thr_*") for optionals (evaluate._AccessRecorder);
+    # declare the tuple explicitly when deviating from that convention.
     apply_fn: Optional[Callable] = None  # (params, geom, batch) -> out,
     # overriding model.apply(geom, x) — used by the TF-semantics family
     # whose call signature differs (geom, mesh, inputs)

@@ -143,6 +143,19 @@ class PredictHandler(BaseHTTPRequestHandler):
         except (ValueError, KeyError) as e:
             self._reply_json(400, {"error": str(e)})
             return
+        except Exception as e:
+            # anything else (truncated/odd payloads raise OSError from
+            # h5py, TypeError from group-valued keys, scipy
+            # NotImplementedError, ...) must still produce an HTTP error
+            # instead of a dropped connection
+            import traceback
+
+            if srv.verbose:
+                traceback.print_exc()
+            self._reply_json(
+                400, {"error": f"{type(e).__name__}: {e}"}
+            )
+            return
         buf = io.BytesIO()
         if out_fmt == "mat":
             from scipy.io import savemat
@@ -195,11 +208,13 @@ def make_server(
         import jax
 
         problem = predictor.problem
-        data = {
-            k: v
-            for k, v in problem.test_data.items()
-            if k != "y"
-        }
+        # warm with the REQUEST-path pytree structure: x plus only the
+        # coordinate variables geom_fn requires. Optional extras
+        # (thr_* thresholds, plot-only meshes) are absent from a minimal
+        # upload, and a different key set would be a different jit
+        # pytree — the warmed executable would never be reused.
+        keys = {"x"} | set(predictor.required_keys)
+        data = {k: v for k, v in problem.test_data.items() if k in keys}
         n = int(np.shape(data["x"])[0])
         # tile the benchmark sample up to the SERVING batch size, so the
         # compiled shape matches what full-size requests will use

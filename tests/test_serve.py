@@ -114,6 +114,11 @@ def test_predict_bad_payloads_are_400(burgers_server):
     # unknown endpoint
     status, body = _post(base + "/nope", b"")
     assert status == 404
+    # truncated HDF5 body: h5py raises OSError, which must surface as a
+    # 400 JSON error, not a dropped connection
+    status, body = _post(base + "/predict", b"\x89HDF\r\n\x1a\ngarbage")
+    assert status == 400
+    assert "error" in json.loads(body)
 
 
 def test_serve_per_sample_mesh_mat_upload(tmp_path):
