@@ -3,7 +3,7 @@
 
 import numpy as np
 import pytest
-from scipy.io import savemat
+from scipy.io import loadmat, savemat
 
 from position_induced_transformer_tpu.data import loaders
 
@@ -83,3 +83,60 @@ def test_elasticity_real_npy(tmp_path):
     )
     assert X.shape == (16, 30, 44)  # XY ++ broadcast 42-dim radius vector
     assert ext.shape == (16, 30, 2) and Y.shape == (16, 30, 1)
+
+
+def test_darcy_real_mat_downsampling(tmp_path):
+    """Real piececonst_r421 layout: coeff/sol (N, 421, 421), strided
+    downsampling to s=43 with a channel axis appended (reference:
+    train_darcy.py:11-22 r=10 slicing)."""
+    rng = np.random.default_rng(2)
+    tr = str(tmp_path / "train.mat")
+    te = str(tmp_path / "test.mat")
+    savemat(tr, {"coeff": rng.random((4, 421, 421)), "sol": rng.random((4, 421, 421))})
+    savemat(te, {"coeff": rng.random((3, 421, 421)), "sol": rng.random((3, 421, 421))})
+    x_tr, y_tr, x_te, y_te = loaders.darcy(
+        tr, te, downsampling=10, ntrain=4, ntest=3
+    )
+    assert x_tr.shape == (4, 43, 43, 1) and y_te.shape == (3, 43, 43, 1)
+    assert x_tr.dtype == np.float32
+    # strided slice, not interpolation
+    full = loadmat(tr)["coeff"].astype(np.float32)
+    np.testing.assert_array_equal(x_tr[..., 0], full[:, ::10, ::10][:, :43, :43])
+
+
+def test_vorticity_real_mat_frame_split(tmp_path):
+    """Real NavierStokes layout: u (N, 64, 64, T); the loader splits
+    frames into [:memory] inputs and [memory:memory+steps] targets
+    (reference: train_vorticity.py:7-21)."""
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "ns.mat")
+    u = rng.random((6, 16, 16, 9)).astype(np.float32)
+    savemat(path, {"u": u})
+    x_tr, y_tr, x_te, y_te = loaders.vorticity(
+        path, ntrain=4, ntest=2, memory=4, steps=5
+    )
+    assert x_tr.shape == (4, 16, 16, 4) and y_tr.shape == (4, 16, 16, 5)
+    np.testing.assert_array_equal(x_te, u[-2:, :, :, :4])
+    np.testing.assert_array_equal(y_te, u[-2:, :, :, 4:9])
+
+
+def test_naca_real_npy_layout(tmp_path):
+    """Real NACA directory layout: shape_coords (N,120,2), C-grid
+    vertex X/Y (N,221,51), state Q (N,C,221,51) of which the first 4
+    channels transpose to (N,221,51,4) (reference: train_naca.py:8-13)."""
+    rng = np.random.default_rng(4)
+    n, nx, ny = 5, 221, 51
+    np.save(tmp_path / "shape_coords.npy", rng.random((n, 120, 2)).astype(np.float32))
+    np.save(tmp_path / "NACA_Cylinder_X.npy", rng.random((n, nx, ny)))
+    np.save(tmp_path / "NACA_Cylinder_Y.npy", rng.random((n, nx, ny)))
+    q = rng.random((n, 6, nx, ny))
+    np.save(tmp_path / "NACA_Cylinder_Q.npy", q)
+    coords_tr, X_tr, Y_tr, coords_te, X_te, Y_te = loaders.naca(
+        str(tmp_path), ntrain=3, ntest=2
+    )
+    assert coords_tr.shape == (3, 120, 2)
+    assert X_tr.shape == (3, nx, ny, 2) and X_tr.dtype == np.float32
+    assert Y_te.shape == (2, nx, ny, 4)
+    np.testing.assert_allclose(
+        Y_te, q[-2:, :4].transpose(0, 2, 3, 1).astype(np.float32)
+    )
