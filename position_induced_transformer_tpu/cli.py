@@ -83,6 +83,69 @@ def _apply_platform(args):
         jax.config.update("jax_compilation_cache_dir", cache)
 
 
+def _convert(args):
+    """Checkpoint interop with the reference: import its ``model.pth``
+    state dicts (train_burgers.py:116) into our checkpoint format, or
+    export ours back for loading with ``model.load_state_dict`` —
+    torch-family PiT models (the name mapping lives in
+    utils/torch_compat.py)."""
+    from position_induced_transformer_tpu.train import checkpoint as ckpt
+    from position_induced_transformer_tpu.utils import torch_compat
+
+    def validate(params):
+        if not args.benchmark:
+            return
+        import jax
+
+        from position_induced_transformer_tpu.configs import get as get_cfg
+        from position_induced_transformer_tpu.train import benchmarks, runner
+        from position_induced_transformer_tpu.train.loop import make_optimizer
+
+        cfg = get_cfg(args.benchmark)
+        problem = benchmarks.setup(
+            cfg, None,
+            ntrain=min(cfg.ntrain, 2 * cfg.batch_size),
+            ntest=min(cfg.ntest, cfg.batch_size),
+        )
+        expect = runner.init_state(problem, make_optimizer(cfg.lr, 1)).params
+        want = {
+            (p, tuple(v.shape))
+            for p, v in jax.tree_util.tree_leaves_with_path(expect)
+        }
+        got = {
+            (p, tuple(v.shape))
+            for p, v in jax.tree_util.tree_leaves_with_path(params)
+        }
+        if want != got:
+            missing = sorted(str(p) for p, _ in want - got)
+            extra = sorted(str(p) for p, _ in got - want)
+            raise ValueError(
+                f"converted parameters do not match benchmark "
+                f"{args.benchmark!r}: missing {missing or 'none'}, "
+                f"unexpected/mis-shaped {extra or 'none'}"
+            )
+
+    if args.from_torch and args.dst:
+        state = torch_compat.load_torch_checkpoint(args.from_torch)
+        params = torch_compat.torch_state_dict_to_flax(state)
+        validate(params)
+        out = ckpt.save(args.dst, {"params": params})
+        print(json.dumps({"imported": args.from_torch, "checkpoint": out}))
+        return 0
+    if args.src and args.to_torch:
+        restored = ckpt.restore(args.src)
+        params = restored["params"] if "params" in restored else restored
+        validate(params)
+        state = torch_compat.flax_params_to_torch_state_dict(params)
+        torch_compat.save_torch_checkpoint(args.to_torch, state)
+        print(json.dumps({"exported": args.to_torch, "n_tensors": len(state)}))
+        return 0
+    raise ValueError(
+        "convert needs either --from-torch + --to (import) or "
+        "--from + --to-torch (export)"
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="position_induced_transformer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -186,6 +249,33 @@ def main(argv=None):
         "request then pays XLA compilation)",
     )
 
+    p_conv = sub.add_parser(
+        "convert",
+        help="convert checkpoints to/from the reference's torch .pth "
+        "format (torch-family PiT models)",
+    )
+    p_conv.add_argument(
+        "--benchmark", default=None,
+        help="validate the converted parameter structure against this "
+        "benchmark's model (recommended)",
+    )
+    p_conv.add_argument(
+        "--from-torch", default=None,
+        help="reference model.pth to import ({'model_state': ...} or a "
+        "bare state dict)",
+    )
+    p_conv.add_argument(
+        "--to-torch", default=None,
+        help="write a reference-compatible model.pth here",
+    )
+    p_conv.add_argument(
+        "--from", dest="src", default=None, help="our checkpoint to export"
+    )
+    p_conv.add_argument(
+        "--to", dest="dst", default=None,
+        help="write the imported checkpoint here",
+    )
+
     sub.add_parser("benchmarks", help="list available benchmarks")
 
     p_desc = sub.add_parser(
@@ -194,6 +284,9 @@ def main(argv=None):
     _add_common(p_desc)
 
     args = parser.parse_args(argv)
+
+    if args.command == "convert":
+        return _convert(args)
 
     if args.command == "benchmarks":
         from position_induced_transformer_tpu.configs import REGISTRY

@@ -66,6 +66,33 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
     return params
 
 
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``model.pth`` (``{'model_state': state_dict}``,
+    train_burgers.py:116 — or a bare state dict) into numpy arrays.
+    Imports torch lazily; the rest of this module stays torch-free."""
+    import torch
+
+    loaded = torch.load(path, map_location="cpu", weights_only=True)
+    state = loaded.get("model_state", loaded)
+    return {k: np.asarray(v.numpy()) for k, v in state.items()}
+
+
+def save_torch_checkpoint(path: str, state: Mapping[str, np.ndarray]) -> None:
+    """Write a reference-compatible ``model.pth``
+    (``{'model_state': state_dict}`` of torch tensors)."""
+    import torch
+
+    torch.save(
+        {
+            "model_state": {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state.items()
+            }
+        },
+        path,
+    )
+
+
 def flax_params_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
     """Inverse of :func:`torch_state_dict_to_flax`: export PiT params as a
     reference-compatible state-dict mapping (numpy arrays; load with

@@ -121,3 +121,86 @@ def test_infer_cli_end_to_end(tmp_path, capsys):
     assert res["n"] == 3
     pred = np.load(out)
     assert pred.shape[0] == 3 and np.isfinite(pred).all()
+
+
+def test_convert_torch_checkpoint_roundtrip(tmp_path):
+    """`convert --from-torch` imports a real reference model.pth
+    ({'model_state': state_dict}, train_burgers.py:116) into our
+    checkpoint format — validated against the benchmark's parameter
+    structure — and `convert --to-torch` round-trips it bitwise."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from reference_oracle import load_reference
+
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("torch reference unavailable")
+    import torch
+
+    ref_pit, _ = ref
+    mesh_ltt = torch.linspace(0, 1, 257)[:-1].reshape(-1, 1)
+    tmod = ref_pit.pit_periodic1d(
+        space_dim=1, in_dim=1, out_dim=1, hid_dim=64, n_head=2, n_blocks=5,
+        mesh_ltt=mesh_ltt, en_loc=0.02, de_loc=0.02,
+    )
+    pth = os.path.join(tmp_path, "model.pth")
+    torch.save({"model_state": tmod.state_dict()}, pth)
+
+    ours = os.path.join(tmp_path, "ckpt")
+    assert (
+        main(
+            [
+                "convert", "--benchmark", "burgers",
+                "--from-torch", pth, "--to", ours,
+            ]
+        )
+        == 0
+    )
+    back = os.path.join(tmp_path, "back.pth")
+    assert (
+        main(
+            [
+                "convert", "--benchmark", "burgers",
+                "--from", ours, "--to-torch", back,
+            ]
+        )
+        == 0
+    )
+    orig = tmod.state_dict()
+    rt = torch.load(back, weights_only=True)["model_state"]
+    assert set(rt) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(rt[k].numpy(), orig[k].numpy())
+
+    # the imported checkpoint is directly usable by the eval stack
+    from position_induced_transformer_tpu.train import evaluate
+
+    res = evaluate.evaluate("burgers", checkpoint_path=ours, ntest=8)
+    assert np.isfinite(res["rel_l2"])
+
+
+def test_convert_structure_mismatch_is_clean_error(tmp_path):
+    """Importing a .pth whose architecture differs from the benchmark is
+    rejected with a clear error, not a silent bad checkpoint."""
+    import os
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    pth = os.path.join(tmp_path, "model.pth")
+    # wrong shapes everywhere: a minimal fake state dict
+    torch.save(
+        {"model_state": {"down.lmda": torch.zeros(1, 1, 2)}}, pth
+    )
+    with pytest.raises(ValueError, match="do not match benchmark"):
+        main(
+            [
+                "convert", "--benchmark", "burgers",
+                "--from-torch", pth, "--to", os.path.join(tmp_path, "out"),
+            ]
+        )
