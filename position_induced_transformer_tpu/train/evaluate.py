@@ -554,6 +554,21 @@ class Predictor:
             outs.append(np.asarray(out))
         return np.concatenate(outs, axis=0)[:n]
 
+    def prepare_file(self, input_path: str, input_key: str = "x") -> dict:
+        """Parse + validate a user input file into the batch dict
+        ``predict_array`` takes (the load half of :meth:`predict_file`,
+        split out so a serving layer can coalesce prepared batches)."""
+        x_raw, table = _load_input(input_path, input_key)
+        if x_raw.ndim < 2:
+            raise ValueError(
+                f"input must carry a leading batch axis; got shape "
+                f"{tuple(x_raw.shape)}"
+            )
+        return _prepare_infer_data(
+            self.problem, x_raw, table, input_path, input_key,
+            required=self.required_keys,
+        )
+
     def predict_file(
         self,
         input_path: str,
@@ -563,16 +578,7 @@ class Predictor:
     ) -> np.ndarray:
         """Predictions for a user-supplied .npy/.mat/.h5 input batch
         (RAW physical values; see :func:`infer` for the conventions)."""
-        x_raw, table = _load_input(input_path, input_key)
-        if x_raw.ndim < 2:
-            raise ValueError(
-                f"input must carry a leading batch axis; got shape "
-                f"{tuple(x_raw.shape)}"
-            )
-        data = _prepare_infer_data(
-            self.problem, x_raw, table, input_path, input_key,
-            required=self.required_keys,
-        )
+        data = self.prepare_file(input_path, input_key)
         steps = (
             self.cfg.rollout_steps if rollout_steps is None else rollout_steps
         )

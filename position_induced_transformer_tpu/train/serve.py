@@ -20,8 +20,12 @@ Protocol (stdlib-only, binary-friendly):
   Response body: the predictions as ``.npy`` bytes (or a ``.mat`` with
   variable ``pred`` when ``format=mat``).
 
-Requests are serialized through a lock: one device, one compiled model —
-concurrency belongs at the replica level, not inside a process.
+Device execution runs on a single worker thread (one device, one
+compiled model) with DYNAMIC BATCHING: shape-compatible concurrent
+requests are concatenated into one device call — N clients posting
+single samples cost ~one dispatch, not N (each dispatch pays a fixed
+floor on TPU). Scale beyond one device's throughput at the replica
+level.
 """
 
 from __future__ import annotations
@@ -56,6 +60,99 @@ def _sniff_suffix(body: bytes) -> str:
     )
 
 
+class _Request:
+    __slots__ = ("data", "steps", "batch_size", "done", "result", "error")
+
+    def __init__(self, data, steps, batch_size):
+        self.data = data
+        self.steps = steps
+        self.batch_size = batch_size
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+    def key(self):
+        # coalescible iff same rollout horizon / batch override, same
+        # variable set and same per-sample shapes (batch axes may differ)
+        return (
+            self.steps,
+            self.batch_size,
+            tuple(
+                (k, tuple(np.shape(v)[1:]))
+                for k, v in sorted(self.data.items())
+            ),
+        )
+
+
+class _Batcher:
+    """Dynamic request batching: concurrent /predict requests whose
+    samples are shape-compatible are concatenated into ONE device call.
+
+    On TPU each dispatch pays a fixed floor (milliseconds through a
+    relay), so N concurrent single-sample requests cost ~N floors served
+    naively but ~1 when coalesced — the standard inference-server trade
+    of a tiny queuing window for device efficiency. The worker drains
+    whatever is queued when it becomes free (natural batching under
+    load: no artificial delay when idle, full coalescing when busy)."""
+
+    def __init__(self, predictor):
+        self.predictor = predictor
+        self._queue: list[_Request] = []
+        self._cv = threading.Condition()
+        self.n_calls = 0  # device-call count (vs server.n_requests)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def predict(self, data, steps, batch_size) -> np.ndarray:
+        req = _Request(data, steps, batch_size)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _worker(self):
+        import jax
+
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                batch, self._queue = self._queue, []
+            groups: dict = {}
+            for r in batch:
+                groups.setdefault(r.key(), []).append(r)
+            for reqs in groups.values():
+                try:
+                    if len(reqs) == 1:
+                        data, offsets = reqs[0].data, [0]
+                    else:
+                        keys = reqs[0].data.keys()
+                        data = {
+                            k: np.concatenate(
+                                [np.asarray(r.data[k]) for r in reqs]
+                            )
+                            for k in keys
+                        }
+                        offsets = np.cumsum(
+                            [0] + [r.data["x"].shape[0] for r in reqs]
+                        )[:-1]
+                    out = self.predictor.predict_array(
+                        data, reqs[0].steps, reqs[0].batch_size
+                    )
+                    self.n_calls += 1
+                    for r, start in zip(reqs, offsets):
+                        r.result = out[start : start + r.data["x"].shape[0]]
+                except Exception as e:  # delivered to every waiter
+                    for r in reqs:
+                        r.error = e
+                finally:
+                    for r in reqs:
+                        r.done.set()
+
+
 class PredictHandler(BaseHTTPRequestHandler):
     # set on the server: predictor, lock, counters
     server: "PredictServer"
@@ -86,6 +183,8 @@ class PredictHandler(BaseHTTPRequestHandler):
                     "status": "ok",
                     "benchmark": srv.predictor.cfg.name,
                     "requests": srv.n_requests,
+                    # < requests under concurrent load: dynamic batching
+                    "device_calls": srv.batcher.n_calls,
                 },
             )
         elif path == "/info":
@@ -135,11 +234,14 @@ class PredictHandler(BaseHTTPRequestHandler):
             with tempfile.NamedTemporaryFile(suffix=suffix) as f:
                 f.write(body)
                 f.flush()
-                with srv.lock:  # one device, one compiled model
-                    pred = srv.predictor.predict_file(
-                        f.name, key, rollout_steps=steps, batch_size=bs
-                    )
-                    srv.n_requests += 1
+                data = srv.predictor.prepare_file(f.name, key)
+            if steps is None:
+                steps = srv.predictor.cfg.rollout_steps
+            # the batcher's worker thread serializes device calls and
+            # coalesces shape-compatible concurrent requests into one
+            pred = srv.batcher.predict(data, steps, bs)
+            with srv.lock:
+                srv.n_requests += 1
         except (ValueError, KeyError) as e:
             self._reply_json(400, {"error": str(e)})
             return
@@ -175,7 +277,9 @@ class PredictServer(ThreadingHTTPServer):
     def __init__(self, addr, predictor, verbose: bool = True):
         super().__init__(addr, PredictHandler)
         self.predictor = predictor
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()  # counters only; the batcher's
+        # worker thread serializes device execution
+        self.batcher = _Batcher(predictor)
         self.n_requests = 0
         self.verbose = verbose
 

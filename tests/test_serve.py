@@ -121,6 +121,44 @@ def test_predict_bad_payloads_are_400(burgers_server):
     assert "error" in json.loads(body)
 
 
+def test_concurrent_requests_are_batched(burgers_server):
+    """Dynamic batching: 8 concurrent single-sample requests coalesce
+    into fewer device calls than requests (the worker drains the queue
+    per free slot), and every client still gets ITS OWN correct rows."""
+    import concurrent.futures
+
+    base, problem, state = burgers_server
+    with urllib.request.urlopen(base + "/health") as r:
+        before = json.loads(r.read())
+
+    xs = np.asarray(problem.test_data["x"])[:8]
+
+    def one(i):
+        buf = io.BytesIO()
+        np.save(buf, xs[i : i + 1])
+        status, body = _post(base + "/predict", buf.getvalue())
+        assert status == 200, body
+        return i, np.load(io.BytesIO(body))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = dict(ex.map(one, range(8)))
+
+    want = runner.predict(problem, state, data={"x": problem.test_data["x"][:8]})
+    for i in range(8):
+        assert results[i].shape[0] == 1
+        np.testing.assert_allclose(
+            results[i][0], want[i], rtol=1e-5, atol=1e-6
+        )
+    with urllib.request.urlopen(base + "/health") as r:
+        after = json.loads(r.read())
+    n_req = after["requests"] - before["requests"]
+    n_dev = after["device_calls"] - before["device_calls"]
+    assert n_req == 8
+    # the first request may run alone before the others queue; the rest
+    # must have been coalesced (strictly fewer device calls than requests)
+    assert n_dev < n_req, (n_dev, n_req)
+
+
 def test_serve_per_sample_mesh_mat_upload(tmp_path):
     """Serving a per-sample-geometry benchmark: a .mat upload carrying
     x + mesh predicts like the direct path."""
