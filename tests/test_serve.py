@@ -159,6 +159,46 @@ def test_concurrent_requests_are_batched(burgers_server):
     assert n_dev < n_req, (n_dev, n_req)
 
 
+def test_serve_rollout_benchmark(tmp_path):
+    """Serving an autoregressive benchmark: /predict rolls each input
+    state forward for the benchmark's horizon (or a per-request
+    ?rollout_steps override)."""
+    from position_induced_transformer_tpu.train.serve import make_server
+
+    cfg = dataclasses.replace(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+        model=dataclasses.replace(
+            configs.VORTICITY.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    ckpt = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=ckpt
+    )
+    server = make_server(cfg, ckpt, host="127.0.0.1", port=0, verbose=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        x0 = np.asarray(problem.test_data["x"])[:2]  # (2, L, memory)
+        buf = io.BytesIO()
+        np.save(buf, x0)
+        status, body = _post(base + "/predict", buf.getvalue())
+        assert status == 200, body
+        pred = np.load(io.BytesIO(body))
+        assert pred.shape[0] == 2 and pred.shape[-1] == 3  # horizon
+        status, body = _post(
+            base + "/predict", buf.getvalue(), rollout_steps=5
+        )
+        assert status == 200, body
+        assert np.load(io.BytesIO(body)).shape[-1] == 5
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_serve_per_sample_mesh_mat_upload(tmp_path):
     """Serving a per-sample-geometry benchmark: a .mat upload carrying
     x + mesh predicts like the direct path."""
