@@ -784,3 +784,58 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
 
 def setup(cfg: BenchmarkConfig, data_path=None, **kw) -> Problem:
     return SETUPS[cfg.name](cfg, data_path, **kw)
+
+
+def host_setup_context():
+    """Context manager placing setup's eager array math on the host CPU
+    backend instead of the accelerator.
+
+    On a TPU backend every eager op in a ``setup_*`` (normalizer fit,
+    distance-matrix builders, quantile thresholds, even reshapes) is a
+    separate device dispatch — and in this environment a separate remote
+    compile, observed at seconds-to-minutes each when the relay degrades
+    (CLAUDE.md). None of that math needs the accelerator: under this
+    context it runs on the CPU backend, and the caller uploads the
+    finished arrays in one batched :func:`jax.device_put`
+    (:func:`commit_problem`). Used by the serving/inference startup path
+    (``evaluate.Predictor``), where the data split is tiny; full training
+    setups keep the accelerator (per-sample locality thresholds at NACA
+    scale are far faster there). No-op on CPU backends. Opt out globally
+    with ``PIT_SETUP_HOST=never``.
+    """
+    import os
+    from contextlib import nullcontext
+
+    import jax
+
+    if os.environ.get("PIT_SETUP_HOST") == "never":
+        return nullcontext()
+    if jax.default_backend() == "cpu":
+        return nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return nullcontext()
+    return jax.default_device(cpu)
+
+
+def commit_problem(problem: Problem, device=None) -> Problem:
+    """Upload a host-built :class:`Problem`'s array pytrees to ``device``
+    (default: the first default-backend device) in batched transfers.
+
+    Counterpart of :func:`host_setup_context`: jit arguments must live on
+    the execution device, and a single ``jax.device_put`` of each pytree
+    replaces the per-array round-trips setup would otherwise make."""
+    import jax
+
+    if device is None:
+        if jax.default_backend() == "cpu":
+            return problem
+        device = jax.local_devices()[0]
+    put = lambda t: jax.device_put(t, device)
+    return dataclasses.replace(
+        problem,
+        geom=None if problem.geom is None else put(problem.geom),
+        train_data=put(problem.train_data),
+        test_data=put(problem.test_data),
+    )

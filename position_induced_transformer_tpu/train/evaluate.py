@@ -44,9 +44,13 @@ def _checkpoint_normalizers(cfg, restored, setup_kwargs):
             PixelWiseNormalizer,
         )
 
+        # host numpy stats: restore may commit arrays to the accelerator
+        # (checkpoint._restore_here), and setup under host_setup_context
+        # must not mix committed devices in its eager normalize calls
+        host = lambda d: {k: np.asarray(v) for k, v in d.items()}
         setup_kwargs["normalizers"] = (
-            PixelWiseNormalizer(**restored["x_normalizer"]),
-            PixelWiseNormalizer(**restored["y_normalizer"]),
+            PixelWiseNormalizer(**host(restored["x_normalizer"])),
+            PixelWiseNormalizer(**host(restored["y_normalizer"])),
         )
     return setup_kwargs
 
@@ -467,11 +471,17 @@ class Predictor:
         setup_kwargs = _checkpoint_normalizers(
             cfg, restored, dict(setup_kwargs or {})
         )
-        # geometry + task only — keep the (synthetic) data split minimal
+        # geometry + task only — keep the (synthetic) data split minimal.
+        # Setup math runs on the host CPU backend (zero accelerator
+        # round-trips — on a degraded relay each eager device op costs
+        # seconds to minutes); the finished arrays upload in one batched
+        # device_put (benchmarks.commit_problem).
         nmin = max(2, min(cfg.batch_size, 8))
-        problem = benchmarks.setup(
-            cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
-        )
+        with benchmarks.host_setup_context():
+            problem = benchmarks.setup(
+                cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
+            )
+        problem = benchmarks.commit_problem(problem)
         state = TrainState(params, None, 0)
 
         from position_induced_transformer_tpu.parallel.sharding import (

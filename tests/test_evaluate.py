@@ -296,3 +296,48 @@ def test_infer_tf_family(tmp_path):
     out = os.path.join(tmp_path, "pred.npy")
     evaluate.infer(cfg, checkpoint_path=path, input_path=inp, output_path=out)
     np.testing.assert_allclose(np.load(out), want, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_host_setup_parity(tmp_path, monkeypatch):
+    """Serving startup builds its problem under
+    benchmarks.host_setup_context() and uploads once via commit_problem
+    (zero accelerator round-trips during setup — the degraded-relay
+    hazard in CLAUDE.md). On the CPU test backend the context is a no-op,
+    so force the non-cpu branch and check nothing changes: identical
+    predictions through a darcy Predictor (normalizer stats restored from
+    the checkpoint — the riskiest committed-device interplay)."""
+    import jax
+
+    from position_induced_transformer_tpu.train import benchmarks
+
+    cfg = dataclasses.replace(
+        configs.DARCY,
+        model=dataclasses.replace(configs.DARCY.model, hid_dim=16, n_blocks=2),
+        latent_grid=(8, 8), batch_size=4,
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False, checkpoint_path=path,
+        setup_kwargs={"downsampling": 30},
+    )
+    data = {"x": np.asarray(problem.test_data["x"])[:3]}
+    base = evaluate.Predictor(
+        cfg, path, setup_kwargs={"downsampling": 30}
+    ).predict_array(data)
+
+    # Non-cpu branch: host context engages (still CPU devices here) and
+    # commit_problem device_puts the pytrees explicitly.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    forced = evaluate.Predictor(
+        cfg, path, setup_kwargs={"downsampling": 30}
+    ).predict_array(data)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(forced), np.asarray(base))
+
+    # the context object itself: non-cpu -> a default_device manager,
+    # cpu -> nullcontext
+    import contextlib
+
+    assert isinstance(
+        benchmarks.host_setup_context(), contextlib.nullcontext
+    )
