@@ -326,6 +326,10 @@ def _prepare_inputs(problem, x: np.ndarray):
     grid <-> flattened layouts when the element counts agree."""
     import jax.numpy as jnp
 
+    from position_induced_transformer_tpu.train.benchmarks import (
+        host_setup_context,
+    )
+
     x = np.asarray(x, np.float32)
     if problem.x_normalizer is not None:
         gs = tuple(problem.x_normalizer.mean.shape[1:])  # (h, w, C)
@@ -336,7 +340,11 @@ def _prepare_inputs(problem, x: np.ndarray):
                     f"incompatible with the benchmark grid {gs}"
                 )
             x = x.reshape((x.shape[0],) + gs)
-        x = np.asarray(problem.x_normalizer.normalize(jnp.asarray(x)))
+        # normalize on the host backend: request prep must not make
+        # eager accelerator round-trips (same rationale as Predictor's
+        # host_setup_context startup)
+        with host_setup_context():
+            x = np.asarray(problem.x_normalizer.normalize(jnp.asarray(x)))
     expect = tuple(np.shape(problem.test_data["x"])[1:])
     if x.shape[1:] != expect:
         if int(np.prod(x.shape[1:])) != int(np.prod(expect)):
@@ -346,7 +354,9 @@ def _prepare_inputs(problem, x: np.ndarray):
                 "normalization/reshape)"
             )
         x = x.reshape((x.shape[0],) + expect)
-    return jnp.asarray(x)
+    # host numpy out: batch slicing stays on the host; the jitted forward
+    # uploads each (possibly padded) batch itself
+    return np.ascontiguousarray(x)
 
 
 class _AccessRecorder(dict):
@@ -402,8 +412,6 @@ def _prepare_infer_data(
     optimization, PiTTFPointCloud.__call__ /
     ops/locality.batched_topk_thresholds). ``table`` is the already
     parsed variable dict from :func:`_load_input` (None for .npy)."""
-    import jax.numpy as jnp
-
     data = {"x": _prepare_inputs(problem, x)}
     n = int(data["x"].shape[0])
     extra = [k for k in problem.test_data if k not in ("x", "y")]
@@ -434,7 +442,7 @@ def _prepare_infer_data(
                 f"input variable {k!r} has shape {tuple(arr.shape)}, "
                 f"expected {expect}"
             )
-        data[k] = jnp.asarray(arr)
+        data[k] = arr  # host numpy; the jitted forward uploads per batch
     return data
 
 
