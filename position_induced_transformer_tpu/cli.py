@@ -51,6 +51,15 @@ def _add_common(p):
         "--zssr the 421^2 decoder query rows are sequence-sharded instead",
     )
     p.add_argument(
+        "--multihost", default=None,
+        help="join a multi-process JAX cluster before anything else: "
+        "'auto' (TPU pod metadata autodetect — the standard one-process-"
+        "per-host launch) or 'coordinator=HOST:PORT,num_processes=N,"
+        "process_id=I'. Every host runs the SAME command; --mesh then "
+        "spans the global device list and stdout/artifacts are written "
+        "by process 0 (parallel/multihost.py)",
+    )
+    p.add_argument(
         "--fused-mode", default=None, choices=["auto", "always", "never"],
         help="Pallas kernel dispatch (sets PIT_FUSED_MODE): 'auto' = "
         "measured policy (batched kernels for per-sample meshes, XLA for "
@@ -67,6 +76,13 @@ def _apply_platform(args):
     platform = getattr(args, "platform", None)
     if platform:
         jax.config.update("jax_platforms", platform)
+    multihost = getattr(args, "multihost", None)
+    if multihost:
+        from position_induced_transformer_tpu.parallel import (
+            multihost as mh,
+        )
+
+        mh.initialize(multihost)  # before any backend/array use
     fused = getattr(args, "fused_mode", None)
     if fused:
         os.environ["PIT_FUSED_MODE"] = fused
@@ -361,14 +377,23 @@ def main(argv=None):
             mesh=args.mesh,
             model_variant=args.model_variant,
         )
+        from position_induced_transformer_tpu.parallel.multihost import (
+            is_main,
+        )
+
         final = history[-1] if history else {}
-        print(json.dumps({"final": final}))
+        if is_main():
+            print(json.dumps({"final": final}))
         if args.save_pred or args.plots:
             from scipy.io import savemat
             import numpy as np
 
+            # predict runs on EVERY process (test_data may be globally
+            # replicated arrays after a --multihost --mesh run; the
+            # computation itself has no cross-process collectives) —
+            # only the artifact writes gate to process 0
             pred = runner.predict(problem, state)
-            if args.save_pred:
+            if args.save_pred and is_main():
                 savemat(
                     args.save_pred,
                     {
@@ -377,7 +402,7 @@ def main(argv=None):
                         "trueY": np.asarray(problem.test_data["y"]),
                     },
                 )
-            if args.plots:
+            if args.plots and is_main():
                 from position_induced_transformer_tpu.train.plots import (
                     save_benchmark_plots,
                 )

@@ -201,9 +201,15 @@ def train(
     n_eval = problem.n_test  # padded tail batch is masked, so every
     # test sample counts exactly once for any batch size
 
+    # multi-host: every process runs the identical program (SPMD over the
+    # global mesh — parallel/multihost.py conventions); stdout/JSONL/
+    # artifact writes happen on process 0 only. Orbax checkpoint saves
+    # stay collective (all processes call ckpt.save).
+    main = jax.process_index() == 0
+    verbose = verbose and main
     key = jax.random.PRNGKey(seed)
     history = []
-    logf = open(log_path, "a") if log_path else None
+    logf = open(log_path, "a") if (log_path and main) else None
 
     def normalize_row(ep, dt, train_loss, evals):
         denom = (
@@ -285,7 +291,7 @@ def train(
     flush()
     if logf:
         logf.close()
-    if history_csv or history_plot:
+    if (history_csv or history_plot) and main:
         save_history(history, history_csv, history_plot)
     if checkpoint_path:
         ckpt.save(checkpoint_path, _payload(state))

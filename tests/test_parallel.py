@@ -702,3 +702,109 @@ def test_evaluate_pipeline_parallel_matches(tmp_path):
     pp = evaluate.evaluate(cfg, checkpoint_path=ckpt, ntest=8, mesh="stage=2")
     np.testing.assert_allclose(pp["rel_l2"], ref["rel_l2"], rtol=1e-5)
     np.testing.assert_allclose(pp["rel_max"], ref["rel_max"], rtol=1e-5)
+
+
+def test_multihost_two_process_train_matches_single(tmp_path):
+    """PRODUCTION multi-host entry (parallel/multihost.py): two separate
+    JAX processes (gloo CPU collectives, one device each) joined via the
+    CLI's --multihost wiring train `--mesh data=2` SPMD over the global
+    2-device mesh — and reproduce the single-process loss/metrics
+    bit-for-bit. Also writes an orbax checkpoint collectively (both
+    processes call save) and restores it here, single-process, for an
+    evaluate — the pod-trained -> one-chip flow."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    ckpt_path = os.path.join(tmp_path, "ckpt")
+    child = os.path.join(tmp_path, "child.py")
+    with open(child, "w") as f:
+        f.write(
+            """
+import sys, json
+rank = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", sys.argv[5])
+sys.path.insert(0, sys.argv[4])
+from position_induced_transformer_tpu.parallel import multihost
+multihost.initialize(
+    f"coordinator=localhost:{port},num_processes=2,process_id={rank}"
+)
+import dataclasses
+from position_induced_transformer_tpu import configs
+from position_induced_transformer_tpu.train import runner
+cfg = dataclasses.replace(
+    configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8,
+    model=dataclasses.replace(
+        configs.BURGERS.model, hid_dim=16, n_blocks=2
+    ),
+)
+problem, state, hist = runner.train(
+    cfg, epochs=2, ntrain=16, ntest=8, verbose=False, mesh="data=2",
+    checkpoint_path=sys.argv[6],
+)
+if multihost.is_main():
+    json.dump(hist[-1], open(out, "w"))
+"""
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.abspath(os.path.join(repo, ".jax_cache"))
+    hist_path = os.path.join(tmp_path, "hist.json")
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, child, str(r), str(port), hist_path,
+                repo, cache, ckpt_path,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for r in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    cfg = dataclasses.replace(
+        configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(
+            configs.BURGERS.model, hid_dim=16, n_blocks=2
+        ),
+    )
+    single_ckpt = os.path.join(tmp_path, "ckpt_single")
+    _, _, h1 = runner.train(
+        cfg, epochs=2, ntrain=16, ntest=8, verbose=False,
+        checkpoint_path=single_ckpt,
+    )
+    got = json.load(open(hist_path))
+    np.testing.assert_allclose(
+        got["train_loss"], h1[-1]["train_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(got["rel_l2"], h1[-1]["rel_l2"], rtol=1e-6)
+
+    # the collectively-written checkpoint restores on this (different,
+    # 8-fake-device) topology and evaluates exactly like the
+    # single-process-trained one
+    from position_induced_transformer_tpu.train import evaluate
+
+    res = evaluate.evaluate(cfg, checkpoint_path=ckpt_path, ntest=8)
+    ref = evaluate.evaluate(cfg, checkpoint_path=single_ckpt, ntest=8)
+    np.testing.assert_allclose(res["rel_l2"], ref["rel_l2"], rtol=1e-6)
+
+
+def test_multihost_spec_errors():
+    from position_induced_transformer_tpu.parallel import multihost
+
+    with pytest.raises(ValueError, match="bad --multihost"):
+        multihost.initialize("coordinator=localhost:1,nproc=2")
+    with pytest.raises(ValueError, match="missing"):
+        multihost.initialize("coordinator=localhost:1,num_processes=2")
