@@ -29,10 +29,51 @@ def _load_local_baseline():
     return None
 
 
+_STAGE = {"stage": "import"}
+
+
+def _watchdog(timeout_s: float):
+    """Emit the one JSON line and exit if the bench stalls.
+
+    The TPU relay has been observed to hang device discovery indefinitely
+    (jax.devices() blocked > 10 min, 2026-08-17); without a watchdog the
+    driver's round-end bench would stall with no record at all. The error
+    line keeps the one-JSON-line contract and names the stage reached."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "burgers_train_steps_per_sec",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": None,
+                    "error": (
+                        f"watchdog: not finished after {timeout_s:.0f}s, "
+                        f"stalled at stage {_STAGE['stage']!r} (TPU relay "
+                        "unreachable/degraded?)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "")
+    wd = _watchdog(float(os.environ.get("PIT_BENCH_TIMEOUT", "1500")))
     import jax
     import jax.numpy as jnp
+
+    _STAGE["stage"] = "backend_init"
+    jax.devices()  # force device discovery under the watchdog
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -53,6 +94,7 @@ def main():
 
     cfg = configs.BURGERS
     ntrain, batch = 256, cfg.batch_size
+    _STAGE["stage"] = "setup"
     problem = benchmarks.setup(cfg, ntrain=ntrain, ntest=batch)
     n_batches = ntrain // batch
 
@@ -62,8 +104,10 @@ def main():
 
     perm = epoch_permutation(0, ntrain, batch)
     # compile + warm up
+    _STAGE["stage"] = "compile"
     state, loss = jax.block_until_ready(train_epoch(state, problem.geom, problem.train_data, perm))
     # timed epochs
+    _STAGE["stage"] = "timed_epochs"
     n_epochs = 15
     t0 = time.perf_counter()
     for i in range(n_epochs):
@@ -77,6 +121,7 @@ def main():
     dt = time.perf_counter() - t0
     steps_per_sec = n_epochs * n_batches / dt
 
+    wd.cancel()
     baseline = _load_local_baseline()
     vs = steps_per_sec / baseline if baseline else None
     print(
