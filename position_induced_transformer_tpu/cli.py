@@ -458,7 +458,12 @@ def main(argv=None):
             mesh=args.mesh,
             model_variant=args.model_variant,
         )
-        print(json.dumps(result))
+        from position_induced_transformer_tpu.parallel.multihost import (
+            is_main,
+        )
+
+        if is_main():
+            print(json.dumps(result))
         return 0
 
     return 1

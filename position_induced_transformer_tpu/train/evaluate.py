@@ -169,7 +169,11 @@ def evaluate(
     result["rel_l1_quartiles"] = [float(q25), float(q50), float(q75)]
     if cfg.name == "cylinder" and "test_trajectories" in problem.extras:
         result.update(_cylinder_rollout(cfg, problem, state))
-    if plots_dir:
+    from position_induced_transformer_tpu.parallel.multihost import (
+        is_main,
+    )
+
+    if plots_dir and is_main():
         from position_induced_transformer_tpu.train.plots import (
             save_benchmark_plots,
             save_step_error_plot,
@@ -178,7 +182,7 @@ def evaluate(
         save_benchmark_plots(problem, pred, plots_dir)
         if "rollout_rel_l2_step" in result:  # cylinder eval rollout
             save_step_error_plot(result["rollout_rel_l2_step"], plots_dir)
-    if save_pred:
+    if save_pred and is_main():
         from scipy.io import savemat
 
         savemat(save_pred, {"pred": pred, "true": true})
@@ -261,7 +265,11 @@ def _evaluate_rollout(
         "rel_l2_traj": float(rel_norm_traj(true, pred)),
         "rel_l2_mean_step": float(step_err.mean()),
     }
-    if plots_dir:
+    from position_induced_transformer_tpu.parallel.multihost import (
+        is_main,
+    )
+
+    if plots_dir and is_main():
         from position_induced_transformer_tpu.train.plots import (
             save_benchmark_plots,
             save_step_error_plot,
@@ -271,7 +279,7 @@ def _evaluate_rollout(
         # tensorflow/4_Vorticity/evaluate.py:20-27) + prediction frames
         save_step_error_plot(step_err, plots_dir)
         save_benchmark_plots(problem, pred, plots_dir)
-    if save_pred:
+    if save_pred and is_main():
         from scipy.io import savemat
 
         savemat(save_pred, {"pred": pred, "true": true})
@@ -480,16 +488,27 @@ class Predictor:
             cfg, restored, dict(setup_kwargs or {})
         )
         # geometry + task only — keep the (synthetic) data split minimal.
+        # Exception: a darcy-family checkpoint WITHOUT stored normalizer
+        # statistics (e.g. one imported from a reference torch .pth via
+        # the convert CLI) must refit them on the FULL training split —
+        # fitting on the minimal split would silently denormalize with
+        # garbage statistics (evaluate() follows the same convention).
         # Setup math runs on the host CPU backend (zero accelerator
         # round-trips — on a degraded relay each eager device op costs
         # seconds to minutes); the finished arrays upload in one batched
-        # device_put (benchmarks.commit_problem).
+        # device_put (benchmarks.commit_problem) or, with a mesh, via
+        # replicate_tree below.
         nmin = max(2, min(cfg.batch_size, 8))
+        ntrain = nmin
+        if (
+            cfg.name in ("darcy", "darcy_tf")
+            and "normalizers" not in setup_kwargs
+        ):
+            ntrain = None  # full split — stats must match training
         with benchmarks.host_setup_context():
             problem = benchmarks.setup(
-                cfg, data_path, ntrain=nmin, ntest=nmin, **setup_kwargs
+                cfg, data_path, ntrain=ntrain, ntest=nmin, **setup_kwargs
             )
-        problem = benchmarks.commit_problem(problem)
         state = TrainState(params, None, 0)
 
         from position_induced_transformer_tpu.parallel.sharding import (
@@ -504,9 +523,23 @@ class Predictor:
             )
 
             state, _ = enable_pipeline(problem, state, mesh)
+            # the GPipe schedule owns its own 1-D mesh; warmup/test data
+            # replicate over it (mirrors runner.train's stage branch)
+            problem.train_data = replicate_tree(mesh, problem.train_data)
+            problem.test_data = replicate_tree(mesh, problem.test_data)
             mesh = None
         elif mesh is not None:
+            # jit arguments must share a placement: params, geometry and
+            # the warmup/test data all replicate over the SAME mesh
+            # (a single-device commit_problem here would crash the first
+            # forward with mixed committed devices on TPU)
             state = TrainState(replicate_tree(mesh, state.params), None, 0)
+            if problem.geom is not None:
+                problem.geom = replicate_tree(mesh, problem.geom)
+            problem.train_data = replicate_tree(mesh, problem.train_data)
+            problem.test_data = replicate_tree(mesh, problem.test_data)
+        else:
+            problem = benchmarks.commit_problem(problem)
 
         self.cfg = cfg
         self.problem = problem
@@ -534,8 +567,12 @@ class Predictor:
             self._rollout = jax.jit(task.rollout, static_argnums=3)
 
     def _batch_size(self, n: int, batch_size: Optional[int]) -> int:
+        # NOT min(bs, n): small requests pad UP to the serving batch size
+        # (padded_batches repeats the tail index) so every request reuses
+        # the one warmed executable — a fresh XLA compile per distinct
+        # request size would stall seconds-to-minutes through a degraded
+        # TPU relay (serve.py warms exactly this shape at startup)
         bs = batch_size or self.cfg.eval_batch_size or self.cfg.batch_size
-        bs = min(bs, n)
         if self.mesh is not None:
             from position_induced_transformer_tpu.parallel.sharding import (
                 data_axis_size,
@@ -644,7 +681,9 @@ def infer(
         input_path, input_key, rollout_steps=steps, batch_size=batch_size
     )
 
-    if output_path:
+    from position_induced_transformer_tpu.parallel.multihost import is_main
+
+    if output_path and is_main():
         if output_path.endswith(".npy"):
             np.save(output_path, pred)
         elif output_path.endswith(".mat"):

@@ -341,3 +341,92 @@ def test_predictor_host_setup_parity(tmp_path, monkeypatch):
     assert isinstance(
         benchmarks.host_setup_context(), contextlib.nullcontext
     )
+
+
+def test_predictor_mesh_fixed_geometry_placement(tmp_path, monkeypatch):
+    """Predictor with a data mesh on a FIXED-geometry benchmark: params,
+    geometry and warmup data must share the mesh placement (review
+    finding: a single-device commit_problem geometry meeting
+    mesh-replicated params crashed the first jit with 'incompatible
+    devices' on non-cpu backends). Forcing the non-cpu commit branch
+    reproduces the clash on CPU if placement ever regresses."""
+    import jax
+
+    cfg = dataclasses.replace(
+        configs.BURGERS,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(configs.BURGERS.model, hid_dim=16, n_blocks=2),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    data = {"x": np.asarray(problem.test_data["x"])[:3]}
+    base = evaluate.Predictor(cfg, path).predict_array(data)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = evaluate.Predictor(cfg, path, mesh="data=2").predict_array(data)
+    monkeypatch.undo()
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_darcy_without_stored_normalizers_refits_full_split(
+    tmp_path,
+):
+    """A darcy checkpoint carrying ONLY params (what `convert
+    --from-torch` writes) must refit normalizer statistics on the FULL
+    training split, matching evaluate()'s convention — refitting on the
+    Predictor's minimal split would silently denormalize with garbage
+    statistics (review finding)."""
+    cfg = dataclasses.replace(
+        configs.DARCY,
+        ntrain=16,  # the "full split" the stats must come from
+        model=dataclasses.replace(configs.DARCY.model, hid_dim=16, n_blocks=2),
+        latent_grid=(8, 8), batch_size=4,
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=4, verbose=False, checkpoint_path=path,
+        setup_kwargs={"downsampling": 30},
+    )
+    # params-only checkpoint (no x/y_normalizer entries)
+    from position_induced_transformer_tpu.train import checkpoint as ckpt
+
+    stripped = os.path.join(tmp_path, "params_only")
+    ckpt.save(stripped, {"params": state.params})
+
+    pred = evaluate.Predictor(
+        cfg, stripped, setup_kwargs={"downsampling": 30}
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred.problem.x_normalizer.mean),
+        np.asarray(problem.x_normalizer.mean),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred.problem.y_normalizer.std),
+        np.asarray(problem.y_normalizer.std),
+        rtol=1e-6,
+    )
+
+
+def test_predictor_single_sample_request_pads_to_serving_batch(tmp_path):
+    """predict_array pads a 1-sample request up to the serving batch size
+    (one warmed executable for every request size) and still returns
+    exactly the one prediction."""
+    cfg = dataclasses.replace(
+        configs.BURGERS,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(configs.BURGERS.model, hid_dim=16, n_blocks=2),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    p = evaluate.Predictor(cfg, path)
+    x8 = np.asarray(problem.test_data["x"])[:8]
+    full = p.predict_array({"x": x8})
+    one = p.predict_array({"x": x8[:1]})
+    assert one.shape[0] == 1
+    np.testing.assert_allclose(one[0], full[0], rtol=1e-6)
+    assert p._batch_size(1, None) == 8  # padded up, not shrunk
