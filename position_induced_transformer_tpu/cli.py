@@ -51,6 +51,13 @@ def _add_common(p):
         "--zssr the 421^2 decoder query rows are sequence-sharded instead",
     )
     p.add_argument(
+        "--set", action="append", default=None, metavar="KEY=VALUE",
+        dest="overrides",
+        help="override any config field, repeatable (the reference "
+        "hard-codes hyperparameters as module constants): e.g. "
+        "--set model.hid_dim=128 --set lr=3e-4 --set latent_grid=16,16",
+    )
+    p.add_argument(
         "--multihost", default=None,
         help="join a multi-process JAX cluster before anything else: "
         "'auto' (TPU pod metadata autodetect — the standard one-process-"
@@ -319,6 +326,18 @@ def main(argv=None):
     _apply_platform(args)
     from position_induced_transformer_tpu.train import runner
 
+    # --set overrides resolve the name to a config object once; every
+    # entry point below accepts either form
+    if getattr(args, "overrides", None):
+        from position_induced_transformer_tpu.configs import (
+            apply_overrides,
+            get as _get_cfg,
+        )
+
+        args.benchmark = apply_overrides(
+            _get_cfg(args.benchmark), args.overrides
+        )
+
     if args.command == "describe":
         import jax
 
@@ -327,7 +346,11 @@ def main(argv=None):
         from position_induced_transformer_tpu.configs import get as get_cfg
         from position_induced_transformer_tpu.utils import count_params
 
-        cfg = get_cfg(args.benchmark)
+        cfg = (
+            args.benchmark
+            if not isinstance(args.benchmark, str)
+            else get_cfg(args.benchmark)
+        )
         if args.model_variant:
             import dataclasses
 

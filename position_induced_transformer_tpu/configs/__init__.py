@@ -213,3 +213,64 @@ def get(name: str) -> BenchmarkConfig:
         raise ValueError(
             f"unknown benchmark {name!r}; available: {sorted(REGISTRY)}"
         ) from None
+
+
+def apply_overrides(cfg: BenchmarkConfig, overrides) -> BenchmarkConfig:
+    """Apply ``key=value`` hyperparameter overrides to a config.
+
+    The reference hard-codes every hyperparameter as a module constant
+    (train_burgers.py:51-57); this is the framework's no-code-edit knob:
+    dotted paths reach the nested model config (``model.hid_dim=128``),
+    values are parsed by the FIELD's declared type (ints, floats, bools
+    as true/false/1/0, and comma-separated ints for tuple fields like
+    ``grid=64`` or ``latent_grid=16,16``). Unknown keys list the valid
+    names. Exposed as ``--set`` on the train/evaluate/describe CLIs.
+    """
+
+    def parse(value: str, ftype) -> object:
+        s = str(ftype)
+        if ftype is bool or "bool" in s:
+            low = value.strip().lower()
+            if low in ("true", "1", "yes"):
+                return True
+            if low in ("false", "0", "no"):
+                return False
+            raise ValueError(f"expected a boolean, got {value!r}")
+        if ftype is int or s in ("int", "<class 'int'>"):
+            return int(value)
+        if ftype is float or "float" in s:
+            return float(value)
+        if "Tuple" in s or "tuple" in s:
+            parts = [p for p in value.split(",") if p.strip() != ""]
+            elem = float if "float" in s else int
+            return tuple(elem(p) for p in parts)
+        if "int" in s:  # Optional[int]
+            return int(value)
+        return value  # str fields (metric, name, model_variant)
+
+    for item in overrides or ():
+        key, sep, value = str(item).partition("=")
+        if not sep:
+            raise ValueError(
+                f"bad override {item!r}; expected key=value "
+                "(e.g. model.hid_dim=128, lr=3e-4, latent_grid=16,16)"
+            )
+        key = key.strip()
+        target, attr = cfg, key
+        if key.startswith("model."):
+            target, attr = cfg.model, key[len("model."):]
+        fields = {f.name: f for f in dataclasses.fields(target)}
+        if attr not in fields:
+            scope = "model." if target is not cfg else ""
+            raise ValueError(
+                f"unknown config field {key!r}; valid: "
+                f"{sorted(scope + n for n in fields)}"
+            )
+        parsed = parse(value, fields[attr].type)
+        if target is cfg:
+            cfg = dataclasses.replace(cfg, **{attr: parsed})
+        else:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **{attr: parsed})
+            )
+    return cfg

@@ -204,3 +204,62 @@ def test_convert_structure_mismatch_is_clean_error(tmp_path):
                 "--from-torch", pth, "--to", os.path.join(tmp_path, "out"),
             ]
         )
+
+
+def test_config_overrides_unit():
+    """configs.apply_overrides: typed parsing per field (ints, floats,
+    bools, tuple grids, dotted model.* paths) + clean errors."""
+    import pytest
+
+    from position_induced_transformer_tpu import configs
+
+    cfg = configs.apply_overrides(
+        configs.get("burgers"),
+        [
+            "model.hid_dim=128", "lr=3e-4", "latent_grid=16,16",
+            "epochs=10", "model.fused_kernel=false", "seed=3",
+        ],
+    )
+    assert cfg.model.hid_dim == 128
+    assert cfg.lr == 3e-4
+    assert cfg.latent_grid == (16, 16)
+    assert cfg.epochs == 10
+    assert cfg.model.fused_kernel is False
+    assert cfg.seed == 3
+    with pytest.raises(ValueError, match="unknown config field"):
+        configs.apply_overrides(cfg, ["hid_dim=1"])  # needs model. prefix
+    with pytest.raises(ValueError, match="key=value"):
+        configs.apply_overrides(cfg, ["model.hid_dim"])
+    with pytest.raises(ValueError, match="boolean"):
+        configs.apply_overrides(cfg, ["model.fused_kernel=maybe"])
+
+
+def test_train_cli_set_overrides(capsys, tmp_path):
+    """`train --set model.hid_dim=8 --set grid=32 ...` trains the
+    overridden architecture end to end (the reference requires editing
+    module constants, train_burgers.py:51-57); describe reflects the
+    overridden parameter count."""
+    import json
+    import os
+
+    rc = main(
+        [
+            "train", "--benchmark", "burgers", "--epochs", "1",
+            "--ntrain", "8", "--ntest", "4", "--platform", "cpu",
+            "--set", "grid=32", "--set", "latent_grid=8",
+            "--set", "model.hid_dim=8", "--set", "model.n_blocks=1",
+            "--set", "batch_size=4",
+            "--checkpoint", os.path.join(tmp_path, "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(out[-1])["final"]
+    assert final["epoch"] == 0
+
+    # the checkpoint matches the overridden architecture (hid 8)
+    from position_induced_transformer_tpu.train import checkpoint as ckpt
+
+    restored = ckpt.restore(os.path.join(tmp_path, "ckpt"))
+    lmda = restored["params"]["down"]["lmda"]
+    assert lmda.shape[0] == 2  # n_head unchanged
