@@ -23,3 +23,21 @@ Public surface (capability parity with the reference — see SURVEY.md §2):
 __version__ = "0.1.0"
 
 from position_induced_transformer_tpu import ops  # noqa: F401
+
+
+def register_benchmark(cfg, setup_fn, overwrite: bool = False):
+    """Register a user-defined benchmark: config + setup in one call.
+
+    After registration the benchmark is a first-class citizen of every
+    entry point — ``runner.train(name)``, the train/evaluate/infer/serve
+    CLIs (load the defining module with ``--problem-module``), ``--set``
+    hyperparameter overrides, and ``--mesh`` parallelism. The reference
+    has no extension mechanism (each PDE is a hand-written driver
+    script); see examples/custom_problem.py for a complete example.
+    """
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import benchmarks
+
+    configs.register(cfg, overwrite=overwrite)
+    benchmarks.register_setup(cfg.name, setup_fn, overwrite=overwrite)
+    return cfg

@@ -66,6 +66,7 @@ def _add_common(p):
         "spans the global device list and stdout/artifacts are written "
         "by process 0 (parallel/multihost.py)",
     )
+    _add_problem_module(p)
     p.add_argument(
         "--fused-mode", default=None, choices=["auto", "always", "never"],
         help="Pallas kernel dispatch (sets PIT_FUSED_MODE): 'auto' = "
@@ -73,6 +74,42 @@ def _add_common(p):
         "fixed meshes), 'always' forces the fixed-mesh streaming kernel, "
         "'never' disables all fused kernels",
     )
+
+
+def _add_problem_module(p):
+    p.add_argument(
+        "--problem-module", action="append", default=None, metavar="MODULE",
+        dest="problem_modules",
+        help="import this python module (or .py file path) before resolving "
+        "the benchmark name; the module registers user-defined benchmarks "
+        "via position_induced_transformer_tpu.register_benchmark (see "
+        "examples/custom_problem.py). Repeatable",
+    )
+
+
+def _load_problem_modules(args):
+    """Import user modules that register custom benchmarks.
+
+    Accepts dotted module names (``examples.custom_problem``) or direct
+    ``.py`` file paths; either way the import side effect is the
+    registration. Runs before any benchmark-name lookup so user problems
+    work with every subcommand."""
+    import importlib
+    import importlib.util
+    import os
+
+    for mod in getattr(args, "problem_modules", None) or ():
+        if mod.endswith(".py") or os.path.sep in mod:
+            path = os.path.abspath(mod)
+            name = os.path.splitext(os.path.basename(path))[0]
+            spec = importlib.util.spec_from_file_location(name, path)
+            if spec is None or spec.loader is None:
+                raise ValueError(f"cannot import problem module {mod!r}")
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[name] = module
+            spec.loader.exec_module(module)
+        else:
+            importlib.import_module(mod)
 
 
 def _apply_platform(args):
@@ -298,8 +335,10 @@ def main(argv=None):
         "--to", dest="dst", default=None,
         help="write the imported checkpoint here",
     )
+    _add_problem_module(p_conv)
 
-    sub.add_parser("benchmarks", help="list available benchmarks")
+    p_bench = sub.add_parser("benchmarks", help="list available benchmarks")
+    _add_problem_module(p_bench)
 
     p_desc = sub.add_parser(
         "describe", help="print a model/problem summary for a benchmark"
@@ -309,9 +348,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.command == "convert":
+        _load_problem_modules(args)
         return _convert(args)
 
     if args.command == "benchmarks":
+        _load_problem_modules(args)
         from position_induced_transformer_tpu.configs import REGISTRY
 
         for name, cfg in sorted(REGISTRY.items()):
@@ -323,7 +364,8 @@ def main(argv=None):
             )
         return 0
 
-    _apply_platform(args)
+    _apply_platform(args)  # platform is pinned before user modules import jax
+    _load_problem_modules(args)
     from position_induced_transformer_tpu.train import runner
 
     # --set overrides resolve the name to a config object once; every

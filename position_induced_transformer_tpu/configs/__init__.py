@@ -215,6 +215,29 @@ def get(name: str) -> BenchmarkConfig:
         ) from None
 
 
+def register(cfg: BenchmarkConfig, overwrite: bool = False) -> BenchmarkConfig:
+    """Register a user-defined benchmark configuration.
+
+    The reference has no extension point — adding a PDE means writing a new
+    driver script. Here a registered config participates in every entry
+    point (train/evaluate/infer/serve/describe, ``--set`` overrides,
+    ``--mesh`` parallelism) exactly like the built-in thirteen. Pair with
+    :func:`train.benchmarks.register_setup` (or use the one-call
+    ``position_induced_transformer_tpu.register_benchmark``).
+    """
+    if not isinstance(cfg, BenchmarkConfig):
+        raise TypeError(f"expected a BenchmarkConfig, got {type(cfg).__name__}")
+    if not cfg.name:
+        raise ValueError("benchmark config needs a non-empty name")
+    if cfg.name in REGISTRY and not overwrite:
+        raise ValueError(
+            f"benchmark {cfg.name!r} is already registered; pass "
+            "overwrite=True to replace it"
+        )
+    REGISTRY[cfg.name] = cfg
+    return cfg
+
+
 def apply_overrides(cfg: BenchmarkConfig, overrides) -> BenchmarkConfig:
     """Apply ``key=value`` hyperparameter overrides to a config.
 

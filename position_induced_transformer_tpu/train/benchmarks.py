@@ -783,7 +783,39 @@ SETUPS: Dict[str, Callable[..., Problem]] = {
 
 
 def setup(cfg: BenchmarkConfig, data_path=None, **kw) -> Problem:
-    return SETUPS[cfg.name](cfg, data_path, **kw)
+    try:
+        setup_fn = SETUPS[cfg.name]
+    except KeyError:
+        raise ValueError(
+            f"no setup registered for benchmark {cfg.name!r}; register one "
+            "with train.benchmarks.register_setup (or "
+            "position_induced_transformer_tpu.register_benchmark). "
+            f"Available: {sorted(SETUPS)}"
+        ) from None
+    return setup_fn(cfg, data_path, **kw)
+
+
+def register_setup(
+    name: str,
+    setup_fn: Callable[..., Problem],
+    overwrite: bool = False,
+) -> Callable[..., Problem]:
+    """Register a user-defined problem setup under ``name``.
+
+    ``setup_fn(cfg, data_path=None, ntrain=None, ntest=None) -> Problem``
+    is called by every entry point (runner.train, evaluate, infer, serve).
+    The reference has no such hook — a new PDE means a new driver script
+    (e.g. /root/reference/train_burgers.py); here it is one registered
+    function reusing the framework's models/geometry/loop. See
+    examples/custom_problem.py for a complete user-defined benchmark.
+    """
+    if name in SETUPS and not overwrite:
+        raise ValueError(
+            f"setup {name!r} is already registered; pass overwrite=True "
+            "to replace it"
+        )
+    SETUPS[name] = setup_fn
+    return setup_fn
 
 
 def host_setup_context():

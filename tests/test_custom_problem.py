@@ -1,0 +1,180 @@
+"""User-defined benchmark registration (the framework's extension point).
+
+The reference has no such mechanism — each PDE is a copied driver script
+(/root/reference/train_burgers.py etc.); here a registered
+(BenchmarkConfig, setup_fn) pair becomes a first-class benchmark in every
+entry point. examples/custom_problem.py is the documented user path; these
+tests cover the API contract and the CLI --problem-module hook.
+"""
+
+import dataclasses
+import json
+
+import pytest
+
+from position_induced_transformer_tpu import register_benchmark
+from position_induced_transformer_tpu.cli import main
+from position_induced_transformer_tpu.configs import (
+    BenchmarkConfig,
+    ModelConfig,
+    REGISTRY,
+    register,
+)
+from position_induced_transformer_tpu.train import benchmarks, runner
+
+import os as _os
+
+EXAMPLE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "examples", "custom_problem.py",
+)
+
+
+def _tiny_cfg(name: str) -> BenchmarkConfig:
+    return BenchmarkConfig(
+        name=name,
+        model=ModelConfig(1, 1, 1, 8, 1, 1, 0.05, 0.05),
+        metric="periodic1d",
+        ntrain=8, ntest=4, batch_size=4, epochs=2,
+        grid=(16,), latent_grid=(8,), periodic_grid=True,
+    )
+
+
+def _tiny_setup(cfg, data_path=None, ntrain=None, ntest=None):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from position_induced_transformer_tpu.data import meshes
+    from position_induced_transformer_tpu.models import build_geometry_host
+    from position_induced_transformer_tpu.train.benchmarks import (
+        Problem,
+        _make_model,
+    )
+    from position_induced_transformer_tpu.train.loop import Task
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    L = cfg.grid[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((ntrain + ntest, L, 1)).astype(np.float32)
+    y = np.roll(x, 3, axis=1)
+    mesh = jnp.asarray(meshes.grid_1d(L))
+    ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0]))
+    geom = build_geometry_host(
+        mesh, ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(model=model, loss_p=cfg.loss_p, out_dim=1)
+    return Problem(
+        cfg, model, task, geom,
+        {"x": jnp.asarray(x[:ntrain]), "y": jnp.asarray(y[:ntrain])},
+        {"x": jnp.asarray(x[ntrain:]), "y": jnp.asarray(y[ntrain:])},
+        ntrain, ntest,
+    )
+
+
+@pytest.fixture
+def _clean_registry():
+    """Remove test registrations afterwards (REGISTRY/SETUPS are module
+    state shared across the suite)."""
+    added = []
+    yield added
+    for name in added:
+        REGISTRY.pop(name, None)
+        benchmarks.SETUPS.pop(name, None)
+
+
+def test_registered_benchmark_trains(_clean_registry):
+    cfg = _tiny_cfg("custom_shift")
+    register_benchmark(cfg, _tiny_setup)
+    _clean_registry.append(cfg.name)
+
+    problem, state, history = runner.train(
+        "custom_shift", epochs=2, verbose=False
+    )
+    assert len(history) == 2
+    # shift operator is learnable: the loss must move
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    pred = runner.predict(problem, state)
+    assert pred.shape == (cfg.ntest, cfg.grid[0], 1)
+
+
+def test_duplicate_registration_rejected(_clean_registry):
+    cfg = _tiny_cfg("custom_dup")
+    register_benchmark(cfg, _tiny_setup)
+    _clean_registry.append(cfg.name)
+    with pytest.raises(ValueError, match="already registered"):
+        register(cfg)
+    with pytest.raises(ValueError, match="already registered"):
+        benchmarks.register_setup(cfg.name, _tiny_setup)
+    # explicit overwrite is allowed
+    register_benchmark(cfg, _tiny_setup, overwrite=True)
+
+
+def test_config_without_setup_is_clean_error(_clean_registry):
+    cfg = _tiny_cfg("custom_nosetup")
+    register(cfg)
+    _clean_registry.append(cfg.name)
+    with pytest.raises(ValueError, match="no setup registered"):
+        benchmarks.setup(cfg)
+
+
+def test_cli_problem_module_file(capsys, _clean_registry):
+    """--problem-module accepts a .py path; the example registers
+    'advection' and describe/benchmarks see it."""
+    _clean_registry.append("advection")
+    assert main([
+        "describe", "--benchmark", "advection",
+        "--problem-module", EXAMPLE, "--platform", "cpu",
+    ]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["benchmark"] == "advection"
+    assert info["model"] == "PiT"
+
+    assert main(["benchmarks", "--problem-module", EXAMPLE]) == 0
+    assert "advection" in capsys.readouterr().out
+
+
+def test_cli_problem_module_with_overrides_and_mesh(capsys, _clean_registry):
+    """Custom benchmark composes with --set and --mesh (fake 8-device CPU
+    mesh from conftest)."""
+    _clean_registry.append("advection")
+    assert main([
+        "train", "--benchmark", "advection",
+        "--problem-module", EXAMPLE, "--platform", "cpu",
+        "--epochs", "2", "--ntrain", "16", "--ntest", "8",
+        "--set", "model.hid_dim=8", "--set", "grid=32",
+        "--set", "latent_grid=8", "--mesh", "data=2",
+    ]) == 0
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])["final"]
+    assert final["epoch"] == 1
+    assert final["train_loss"] > 0
+
+
+def test_example_exact_operator():
+    """The example's training targets are the exact spectral solution:
+    check the advection-diffusion operator against a closed-form single
+    mode (sin advects by c*t and decays by exp(-nu k^2 t))."""
+    import numpy as np
+
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.abspath(EXAMPLE)
+    spec = importlib.util.spec_from_file_location("custom_problem_ex", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["custom_problem_ex"] = mod
+    spec.loader.exec_module(mod)
+    try:
+        L, c, nu, t = 128, 0.3, 1e-2, 0.7
+        x = np.linspace(0, 1, L, endpoint=False)
+        k = 2 * np.pi * 2  # mode 2
+        u0 = np.sin(k * x)[None, :]
+        got = mod.advection_diffusion_exact(u0, c, nu, t)
+        want = np.exp(-nu * k**2 * t) * np.sin(k * (x - c * t))[None, :]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        REGISTRY.pop("advection", None)
+        benchmarks.SETUPS.pop("advection", None)
