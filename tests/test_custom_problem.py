@@ -152,6 +152,47 @@ def test_cli_problem_module_with_overrides_and_mesh(capsys, _clean_registry):
     assert final["train_loss"] > 0
 
 
+def test_custom_benchmark_served(_clean_registry, tmp_path):
+    """A registered custom benchmark works through the serving stack
+    (train -> checkpoint -> make_server -> POST /predict == predict)."""
+    import io
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from position_induced_transformer_tpu.train.serve import make_server
+
+    cfg = _tiny_cfg("custom_served")
+    register_benchmark(cfg, _tiny_setup)
+    _clean_registry.append(cfg.name)
+
+    ckpt = str(tmp_path / "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, verbose=False, checkpoint_path=ckpt
+    )
+    server = make_server(cfg, ckpt, host="127.0.0.1", port=0, verbose=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        x = np.asarray(problem.test_data["x"])
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            served = np.load(io.BytesIO(resp.read()))
+        direct = runner.predict(problem, state)
+        np.testing.assert_allclose(served, direct, atol=1e-5)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_example_exact_operator():
     """The example's training targets are the exact spectral solution:
     check the advection-diffusion operator against a closed-form single
