@@ -129,6 +129,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--platform", default=None, help="e.g. 'cpu'")
+    ap.add_argument(
+        "--zssr-factor", type=int, default=2,
+        help="also evaluate zero-shot at this multiple of the training "
+        "resolution (0 disables)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -141,12 +146,40 @@ def main(argv=None):
 
     problem, state, history = runner.train("advection", epochs=args.epochs)
     final = history[-1]
-    print(json.dumps({
+    result = {
         "benchmark": "advection",
         "epochs": args.epochs,
         "final_train_loss": final["train_loss"],
         "final_rel_l2": final["rel_l2"],
-    }))
+    }
+
+    if args.zssr_factor:
+        # zero-shot super-resolution: params carry no mesh dimension, so
+        # the trained model evaluates on a finer discretization by
+        # re-binding the Geometry — and because the targets here are the
+        # EXACT solution operator, the fine-mesh error is a true
+        # generalization measurement, not surrogate noise.
+        import jax.numpy as jnp
+
+        from position_induced_transformer_tpu.ops.metrics import rel_lp_norm
+
+        cfg = ADVECTION
+        L2 = cfg.grid[0] * args.zssr_factor
+        x2, y2 = make_data(cfg.ntest, L2, seed=cfg.seed + 1)
+        mesh2 = jnp.asarray(meshes.grid_1d(L2))
+        ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0]))
+        geom2 = build_geometry_host(
+            mesh2, ltt, mesh2, metric=cfg.metric,
+            en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+        )
+        pred2 = jax.jit(problem.model.apply)(
+            {"params": state.params}, geom2, jnp.asarray(x2)
+        )
+        err = float(rel_lp_norm(jnp.asarray(y2), pred2, out_dim=1, p=2)) / len(x2)
+        result["zssr_resolution"] = L2
+        result["zssr_rel_l2"] = err
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
