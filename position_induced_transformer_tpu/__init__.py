@@ -38,6 +38,12 @@ def register_benchmark(cfg, setup_fn, overwrite: bool = False):
     from position_induced_transformer_tpu import configs
     from position_induced_transformer_tpu.train import benchmarks
 
+    had_config = getattr(cfg, "name", None) in configs.REGISTRY
     configs.register(cfg, overwrite=overwrite)
-    benchmarks.register_setup(cfg.name, setup_fn, overwrite=overwrite)
+    try:
+        benchmarks.register_setup(cfg.name, setup_fn, overwrite=overwrite)
+    except BaseException:
+        if not had_config:  # atomic: don't leave a config without a setup
+            configs.REGISTRY.pop(cfg.name, None)
+        raise
     return cfg

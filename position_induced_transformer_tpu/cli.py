@@ -101,13 +101,24 @@ def _load_problem_modules(args):
     for mod in getattr(args, "problem_modules", None) or ():
         if mod.endswith(".py") or os.path.sep in mod:
             path = os.path.abspath(mod)
-            name = os.path.splitext(os.path.basename(path))[0]
+            # collision-safe module name: the bare basename could shadow a
+            # stdlib/third-party module for the rest of the process
+            name = "_pit_problem_" + os.path.splitext(os.path.basename(path))[0]
             spec = importlib.util.spec_from_file_location(name, path)
             if spec is None or spec.loader is None:
                 raise ValueError(f"cannot import problem module {mod!r}")
             module = importlib.util.module_from_spec(spec)
             sys.modules[name] = module
-            spec.loader.exec_module(module)
+            try:
+                spec.loader.exec_module(module)
+            except BaseException:
+                sys.modules.pop(name, None)  # don't cache a broken module
+                raise
+        elif mod in sys.modules:
+            # registration is an import side effect; re-execute so a second
+            # cli.main() call in the same process re-registers (parity with
+            # the .py-path form, which always executes)
+            importlib.reload(sys.modules[mod])
         else:
             importlib.import_module(mod)
 
@@ -336,9 +347,19 @@ def main(argv=None):
         help="write the imported checkpoint here",
     )
     _add_problem_module(p_conv)
+    p_conv.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (validation builds the benchmark model)",
+    )
 
     p_bench = sub.add_parser("benchmarks", help="list available benchmarks")
     _add_problem_module(p_bench)
+    p_bench.add_argument(
+        "--platform", default=None,
+        help="force a jax platform before importing problem modules "
+        "(a user module touching jax at import time would otherwise "
+        "initialize the default backend)",
+    )
 
     p_desc = sub.add_parser(
         "describe", help="print a model/problem summary for a benchmark"
@@ -348,10 +369,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.command == "convert":
+        _apply_platform(args)
         _load_problem_modules(args)
         return _convert(args)
 
     if args.command == "benchmarks":
+        _apply_platform(args)
         _load_problem_modules(args)
         from position_induced_transformer_tpu.configs import REGISTRY
 

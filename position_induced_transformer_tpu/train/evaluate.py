@@ -27,12 +27,32 @@ from position_induced_transformer_tpu.train.loop import TrainState
 from position_induced_transformer_tpu.train.runner import predict
 
 
+def _setup_accepts_normalizers(cfg) -> bool:
+    """Whether the benchmark's setup function declares a ``normalizers``
+    kwarg (the darcy pattern: an ``(x_norm, y_norm)`` pair fitted on the
+    training split, passed back in at eval/infer time). Capability
+    detection rather than a hardcoded name list, so user benchmarks
+    registered via ``register_benchmark`` participate in
+    checkpoint-normalizer restore by simply declaring the parameter."""
+    import inspect
+
+    setup_fn = benchmarks.SETUPS.get(cfg.name)
+    if setup_fn is None:
+        return False
+    try:
+        params = inspect.signature(setup_fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return "normalizers" in params
+
+
 def _checkpoint_normalizers(cfg, restored, setup_kwargs):
     """Inject training-time normalizer statistics from a restored
-    checkpoint into benchmark setup kwargs (darcy family: the eval/infer
+    checkpoint into benchmark setup kwargs (darcy family and any custom
+    benchmark whose setup declares ``normalizers``: the eval/infer
     resolution must reuse the training-resolution statistics, bilinearly
     resized on apply — reference train_darcy.py:151-157)."""
-    if cfg.name in ("darcy", "darcy_tf") and "y_normalizer" in restored:
+    if _setup_accepts_normalizers(cfg) and "y_normalizer" in restored:
         if "x_normalizer" not in restored:
             raise ValueError(
                 "checkpoint carries y_normalizer but no x_normalizer "
@@ -488,7 +508,7 @@ class Predictor:
             cfg, restored, dict(setup_kwargs or {})
         )
         # geometry + task only — keep the (synthetic) data split minimal.
-        # Exception: a darcy-family checkpoint WITHOUT stored normalizer
+        # Exception: a normalizing benchmark's checkpoint WITHOUT stored
         # statistics (e.g. one imported from a reference torch .pth via
         # the convert CLI) must refit them on the FULL training split —
         # fitting on the minimal split would silently denormalize with
@@ -501,7 +521,7 @@ class Predictor:
         nmin = max(2, min(cfg.batch_size, 8))
         ntrain = nmin
         if (
-            cfg.name in ("darcy", "darcy_tf")
+            _setup_accepts_normalizers(cfg)
             and "normalizers" not in setup_kwargs
         ):
             ntrain = None  # full split — stats must match training

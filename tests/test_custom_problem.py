@@ -152,6 +152,139 @@ def test_cli_problem_module_with_overrides_and_mesh(capsys, _clean_registry):
     assert final["train_loss"] > 0
 
 
+def _normalizing_setup(cfg, data_path=None, ntrain=None, ntest=None,
+                       normalizers=None):
+    """A custom setup following the darcy pattern: fits x/y normalizers on
+    the training split unless checkpoint-restored stats are passed back in
+    via the ``normalizers`` kwarg (capability detected by evaluate/infer)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from position_induced_transformer_tpu.data import meshes
+    from position_induced_transformer_tpu.models import build_geometry_host
+    from position_induced_transformer_tpu.ops.normalization import (
+        PixelWiseNormalizer,
+    )
+    from position_induced_transformer_tpu.train.benchmarks import (
+        Problem,
+        _make_model,
+    )
+    from position_induced_transformer_tpu.train.loop import Task
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    L = cfg.grid[0]
+    rng = np.random.default_rng(0)
+    x = (3.0 + 2.0 * rng.standard_normal((ntrain + ntest, L, 1))).astype(
+        np.float32
+    )
+    y = np.roll(x, 2, axis=1) * 0.5
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    if normalizers is not None:
+        x_norm, y_norm = normalizers
+    else:
+        x_norm = PixelWiseNormalizer.fit(x[:ntrain])
+        y_norm = PixelWiseNormalizer.fit(y[:ntrain])
+    xn = x_norm.normalize(x)
+    mesh = jnp.asarray(meshes.grid_1d(L))
+    ltt = jnp.asarray(meshes.grid_1d(cfg.latent_grid[0]))
+    geom = build_geometry_host(
+        mesh, ltt, mesh, metric=cfg.metric,
+        en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
+    )
+    model = _make_model(cfg)
+    task = Task(
+        model=model, loss_p=cfg.loss_p, out_dim=1,
+        postprocess=lambda out: y_norm.denormalize(out),
+    )
+    return Problem(
+        cfg, model, task, geom,
+        {"x": xn[:ntrain], "y": y[:ntrain]},
+        {"x": xn[ntrain:], "y": y[ntrain:]},
+        ntrain, ntest,
+        x_normalizer=x_norm, y_normalizer=y_norm,
+    )
+
+
+def test_custom_benchmark_normalizer_restore(_clean_registry, tmp_path):
+    """evaluate.Predictor restores checkpoint normalizer statistics for a
+    CUSTOM benchmark whose setup declares the ``normalizers`` kwarg —
+    capability detection, not the old hardcoded darcy-name gate (which
+    silently refit user stats on the minimal serving split)."""
+    import numpy as np
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = dataclasses.replace(
+        _tiny_cfg("custom_norm"), normalize_x=True, normalize_y=True,
+        ntrain=16, ntest=8, batch_size=4,
+    )
+    register_benchmark(cfg, _normalizing_setup)
+    _clean_registry.append(cfg.name)
+
+    ckpt = str(tmp_path / "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, verbose=False, checkpoint_path=ckpt
+    )
+    predictor = evaluate.Predictor(cfg.name, ckpt)
+    # the Predictor's problem is built on a MINIMAL split, so equality of
+    # the stats proves they came from the checkpoint, not a refit
+    np.testing.assert_allclose(
+        np.asarray(predictor.problem.x_normalizer.mean),
+        np.asarray(problem.x_normalizer.mean), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(predictor.problem.y_normalizer.std),
+        np.asarray(problem.y_normalizer.std), atol=1e-6,
+    )
+    # deployment inference (RAW inputs through the file path) matches the
+    # training-process predict path
+    x_raw = np.asarray(
+        problem.x_normalizer.denormalize(problem.test_data["x"])
+    )
+    npy = tmp_path / "inputs.npy"
+    np.save(npy, x_raw)
+    got = predictor.predict_file(str(npy))
+    want = runner.predict(problem, state)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_register_benchmark_atomic_rollback(_clean_registry):
+    """If the setup half fails, the config half is rolled back."""
+    cfg = _tiny_cfg("custom_atomic")
+    benchmarks.register_setup(cfg.name, _tiny_setup)  # setup exists,
+    _clean_registry.append(cfg.name)                  # config does not
+    with pytest.raises(ValueError, match="already registered"):
+        register_benchmark(cfg, _tiny_setup)
+    assert cfg.name not in REGISTRY  # not left half-registered
+
+
+def test_problem_module_does_not_shadow_stdlib(tmp_path, capsys):
+    """A user file named like a stdlib module must not clobber it in
+    sys.modules for the rest of the process."""
+    import sys
+
+    mod = tmp_path / "json.py"
+    mod.write_text("REGISTERED = True\n")
+    assert main(["benchmarks", "--problem-module", str(mod)]) == 0
+    capsys.readouterr()
+    import json as stdlib_json
+
+    assert sys.modules["json"] is stdlib_json
+    assert hasattr(stdlib_json, "dumps")
+
+
+def test_problem_module_exec_failure_not_cached(tmp_path):
+    """A module that raises at import time is removed from sys.modules so
+    a fixed retry re-executes it."""
+    import sys
+
+    mod = tmp_path / "broken_problem.py"
+    mod.write_text("raise RuntimeError('boom')\n")
+    with pytest.raises(RuntimeError, match="boom"):
+        main(["benchmarks", "--problem-module", str(mod)])
+    assert "_pit_problem_broken_problem" not in sys.modules
+
+
 def test_custom_benchmark_served(_clean_registry, tmp_path):
     """A registered custom benchmark works through the serving stack
     (train -> checkpoint -> make_server -> POST /predict == predict)."""
