@@ -27,13 +27,15 @@ from position_induced_transformer_tpu.train.loop import TrainState
 from position_induced_transformer_tpu.train.runner import predict
 
 
-def _setup_accepts_normalizers(cfg) -> bool:
-    """Whether the benchmark's setup function declares a ``normalizers``
-    kwarg (the darcy pattern: an ``(x_norm, y_norm)`` pair fitted on the
-    training split, passed back in at eval/infer time). Capability
-    detection rather than a hardcoded name list, so user benchmarks
-    registered via ``register_benchmark`` participate in
-    checkpoint-normalizer restore by simply declaring the parameter."""
+def _setup_accepts(cfg, kwarg: str) -> bool:
+    """Whether the benchmark's setup function declares ``kwarg``.
+
+    Capability detection rather than a hardcoded benchmark-name list, so
+    user benchmarks registered via ``register_benchmark`` opt into
+    framework behaviors by declaring the parameter: ``normalizers`` (an
+    ``(x_norm, y_norm)`` pair fitted on the training split, passed back
+    in at eval/infer time — the darcy pattern) and ``downsampling``
+    (ZSSR evaluation mesh factor, ``evaluate --zssr``)."""
     import inspect
 
     setup_fn = benchmarks.SETUPS.get(cfg.name)
@@ -43,7 +45,11 @@ def _setup_accepts_normalizers(cfg) -> bool:
         params = inspect.signature(setup_fn).parameters
     except (TypeError, ValueError):
         return False
-    return "normalizers" in params
+    return kwarg in params
+
+
+def _setup_accepts_normalizers(cfg) -> bool:
+    return _setup_accepts(cfg, "normalizers")
 
 
 def _checkpoint_normalizers(cfg, restored, setup_kwargs):
@@ -104,8 +110,12 @@ def evaluate(
 
     setup_kwargs = dict(setup_kwargs or {})
     if zssr:
-        if cfg.name not in ("darcy", "darcy_tf"):
-            raise ValueError("--zssr is a Darcy-benchmark capability")
+        if not _setup_accepts(cfg, "downsampling"):
+            raise ValueError(
+                "--zssr needs a benchmark whose setup declares a "
+                "'downsampling' kwarg (darcy family, or a registered "
+                f"benchmark following that pattern); {cfg.name!r} does not"
+            )
         setup_kwargs["downsampling"] = zssr_downsampling  # 1 = full 421^2
     setup_kwargs = _checkpoint_normalizers(cfg, restored, setup_kwargs)
     ntrain = None

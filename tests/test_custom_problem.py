@@ -248,6 +248,20 @@ def test_custom_benchmark_normalizer_restore(_clean_registry, tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_zssr_gate_is_capability_based(_clean_registry, tmp_path):
+    """--zssr rejects benchmarks whose setup lacks a 'downsampling' kwarg
+    with a clear message (capability gate, not a hardcoded name list)."""
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = _tiny_cfg("custom_nozssr")
+    register_benchmark(cfg, _tiny_setup)
+    _clean_registry.append(cfg.name)
+    ckpt = str(tmp_path / "ckpt")
+    runner.train(cfg, epochs=1, verbose=False, checkpoint_path=ckpt)
+    with pytest.raises(ValueError, match="downsampling"):
+        evaluate.evaluate(cfg.name, checkpoint_path=ckpt, zssr=True)
+
+
 def test_register_benchmark_atomic_rollback(_clean_registry):
     """If the setup half fails, the config half is rolled back."""
     cfg = _tiny_cfg("custom_atomic")
