@@ -287,6 +287,35 @@ def test_problem_module_does_not_shadow_stdlib(tmp_path, capsys):
     assert hasattr(stdlib_json, "dumps")
 
 
+def test_problem_module_dotted_form_reregisters(tmp_path, capsys,
+                                                _clean_registry):
+    """The dotted-module form registers on first use and RE-registers on a
+    second cli.main() in the same process (importlib.reload — parity with
+    the .py-path form, which always executes)."""
+    import sys
+
+    mod = tmp_path / "my_problems.py"
+    mod.write_text(
+        "import tests.test_custom_problem as t\n"
+        "import position_induced_transformer_tpu as pit\n"
+        "pit.register_benchmark(t._tiny_cfg('custom_dotted'), t._tiny_setup,"
+        " overwrite=True)\n"
+    )
+    _clean_registry.append("custom_dotted")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        assert main(["benchmarks", "--problem-module", "my_problems"]) == 0
+        assert "custom_dotted" in capsys.readouterr().out
+        # simulate cleanup between CLI calls in one process
+        REGISTRY.pop("custom_dotted", None)
+        benchmarks.SETUPS.pop("custom_dotted", None)
+        assert main(["benchmarks", "--problem-module", "my_problems"]) == 0
+        assert "custom_dotted" in capsys.readouterr().out
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("my_problems", None)
+
+
 def test_problem_module_exec_failure_not_cached(tmp_path):
     """A module that raises at import time is removed from sys.modules so
     a fixed retry re-executes it."""
