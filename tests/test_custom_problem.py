@@ -248,6 +248,94 @@ def test_custom_benchmark_normalizer_restore(_clean_registry, tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def _point_cloud_setup(cfg, data_path=None, ntrain=None, ntest=None):
+    """Custom problem on PER-SAMPLE point clouds (the elasticity pattern):
+    geom=None + Task.geom_fn rebuilding a lazy Geometry from each batch's
+    coordinates — the hardest extension shape (batched Pallas kernels on
+    TPU, XLA fallback elsewhere)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from position_induced_transformer_tpu.models import build_geometry
+    from position_induced_transformer_tpu.train.benchmarks import (
+        Problem,
+        _make_model,
+    )
+    from position_induced_transformer_tpu.train.loop import Task
+
+    ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    L = 24
+    rng = np.random.default_rng(0)
+    mesh = rng.uniform(0, 1, (ntrain + ntest, L, 2)).astype(np.float32)
+    x = rng.standard_normal((ntrain + ntest, L, 1)).astype(np.float32)
+    # target couples the feature to the cloud coordinates
+    y = (x * np.sin(np.pi * mesh.sum(-1, keepdims=True))).astype(np.float32)
+
+    model = _make_model(cfg)
+
+    def geom_fn(batch):
+        m = batch["mesh"]
+        return build_geometry(
+            m, m, m, metric=cfg.metric,
+            en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc, lazy=True,
+        )
+
+    task = Task(
+        model=model, loss_p=cfg.loss_p, out_dim=1,
+        geom_fn=geom_fn, geometry_required_keys=("mesh",),
+    )
+    split = lambda a: (jnp.asarray(a[:ntrain]), jnp.asarray(a[ntrain:]))
+    x_tr, x_te = split(x)
+    m_tr, m_te = split(mesh)
+    y_tr, y_te = split(y)
+    return Problem(
+        cfg, model, task, None,
+        {"x": x_tr, "mesh": m_tr, "y": y_tr},
+        {"x": x_te, "mesh": m_te, "y": y_te},
+        ntrain, ntest,
+    )
+
+
+def test_custom_per_sample_geometry_trains_and_infers(_clean_registry,
+                                                      tmp_path):
+    """The extension contract holds for per-sample-geometry problems:
+    train end-to-end, then deployment inference from a .mat carrying both
+    the features and the per-sample coordinates."""
+    import numpy as np
+    from scipy.io import savemat
+
+    from position_induced_transformer_tpu.train import evaluate
+
+    cfg = BenchmarkConfig(
+        name="custom_cloud",
+        model=ModelConfig(
+            2, 1, 1, 8, 1, 1, 0.3, 0.3, concat_mesh=False,
+        ),
+        metric="euclidean",
+        ntrain=8, ntest=4, batch_size=4, epochs=2,
+    )
+    register_benchmark(cfg, _point_cloud_setup)
+    _clean_registry.append(cfg.name)
+
+    ckpt = str(tmp_path / "ckpt")
+    problem, state, history = runner.train(
+        cfg.name, epochs=2, verbose=False, checkpoint_path=ckpt
+    )
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+
+    mat = tmp_path / "batch.mat"
+    savemat(str(mat), {
+        "x": np.asarray(problem.test_data["x"]),
+        "mesh": np.asarray(problem.test_data["mesh"]),
+    })
+    predictor = evaluate.Predictor(cfg.name, ckpt)
+    got = predictor.predict_file(str(mat))
+    want = runner.predict(problem, state)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_zssr_gate_is_capability_based(_clean_registry, tmp_path):
     """--zssr rejects benchmarks whose setup lacks a 'downsampling' kwarg
     with a clear message (capability gate, not a hardcoded name list)."""
