@@ -147,10 +147,18 @@ def _apply_platform(args):
     # existing JAX_COMPILATION_CACHE_DIR / prior jax.config setting;
     # override the default location with PIT_JAX_CACHE.
     if not jax.config.jax_compilation_cache_dir:
-        cache = os.environ.get(
-            "PIT_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "pit-jax"),
+        # a source checkout's warm cache (scripts/bench.py use it) beats
+        # starting a second cache under ~/.cache
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
         )
+        default = (
+            repo_cache
+            if os.path.isdir(repo_cache)
+            else os.path.join(os.path.expanduser("~"), ".cache", "pit-jax")
+        )
+        cache = os.environ.get("PIT_JAX_CACHE", default)
         jax.config.update("jax_compilation_cache_dir", cache)
 
 

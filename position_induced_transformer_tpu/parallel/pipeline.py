@@ -158,7 +158,8 @@ def pipeline_task(task, mesh: Mesh, n_micro: int):
 
     apply = make_pipelined_apply(task.model, mesh, n_micro)
     return dataclasses.replace(
-        task, apply_fn=lambda p, g, b: apply(p, g, b["x"])
+        task, apply_fn=lambda p, g, b: apply(p, g, b["x"]),
+        pp_micro=n_micro,
     )
 
 

@@ -539,6 +539,11 @@ class Predictor:
             problem = benchmarks.setup(
                 cfg, data_path, ntrain=ntrain, ntest=nmin, **setup_kwargs
             )
+            # probe the per-sample geometry builder NOW, while the test
+            # split is host-resident — after commit_problem the probe's
+            # eager ops would dispatch op-by-op on the accelerator
+            # (seconds to minutes on a degraded relay)
+            required_keys = frozenset(_required_geometry_keys(problem))
         state = TrainState(params, None, 0)
 
         from position_induced_transformer_tpu.parallel.sharding import (
@@ -575,8 +580,9 @@ class Predictor:
         self.problem = problem
         self.state = state
         self.mesh = mesh
-        # constant per benchmark — probed once, reused on every request
-        self.required_keys = frozenset(_required_geometry_keys(problem))
+        # constant per benchmark — probed once (host-side, above), reused
+        # on every request
+        self.required_keys = required_keys
         task = problem.task
         if mesh is not None:
             from position_induced_transformer_tpu.parallel.sharding import (
@@ -596,8 +602,9 @@ class Predictor:
             self._fwd = jax.jit(task.forward)
             self._rollout = jax.jit(task.rollout, static_argnums=3)
 
-    def _batch_size(self, n: int, batch_size: Optional[int]) -> int:
-        # NOT min(bs, n): small requests pad UP to the serving batch size
+    def _batch_size(self, batch_size: Optional[int]) -> int:
+        # independent of the request size — small requests pad UP to the
+        # serving batch size
         # (padded_batches repeats the tail index) so every request reuses
         # the one warmed executable — a fresh XLA compile per distinct
         # request size would stall seconds-to-minutes through a degraded
@@ -627,7 +634,7 @@ class Predictor:
         )
 
         n = data["x"].shape[0]
-        bs = self._batch_size(n, batch_size)
+        bs = self._batch_size(batch_size)
         params, geom = self.state.params, self.problem.geom
         outs = []
         for idx in padded_batches(n, bs):

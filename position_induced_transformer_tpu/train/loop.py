@@ -89,6 +89,9 @@ class Task:
     param_constraint: Optional[Callable] = None  # params -> params, applied
     # after every optimizer update (keras constraint semantics, reference:
     # tensorflow/6_NACA/utils.py:115 NonNeg on the bandwidth)
+    pp_micro: int = 0  # microbatch count of a pipeline-parallel task
+    # (parallel/pipeline.pipeline_task); batch sizes fed to the forward
+    # must be divisible by it — predict/eval round their batch size up
 
     def _geometry(self, geom, batch):
         return self.geom_fn(batch) if self.geom_fn is not None else geom
@@ -265,17 +268,21 @@ def make_eval_epoch(
     evaluates every test sample (torch DataLoader without drop_last,
     train_burgers.py:96-106); :func:`eval_permutation` pads the final
     partial batch by repeating the last index, and ``n_valid`` masks the
-    padded duplicates out of the metric sums."""
+    padded duplicates out of the metric sums. Default: the dataset size —
+    correct for the canonical full-coverage :func:`eval_permutation`
+    matrix (padding positions are exactly those >= n), and an all-ones
+    no-op for a perm covering a subset (perm.size <= n)."""
 
     def eval_epoch(state: TrainState, geom, data, perm, n_valid=None):
         if n_valid is None:
-            wts = jnp.ones(perm.shape, jnp.float32)
-        else:
-            wts = (
-                (jnp.arange(perm.size) < n_valid)
-                .astype(jnp.float32)
-                .reshape(perm.shape)
-            )
+            n_valid = jax.tree_util.tree_leaves(data)[0].shape[0]
+        # n_valid >= perm.size degrades to all-ones (subset perms); the
+        # formula stays arithmetic because n_valid may be a traced arg
+        wts = (
+            (jnp.arange(perm.size) < n_valid)
+            .astype(jnp.float32)
+            .reshape(perm.shape)
+        )
 
         def step(_, idx_w):
             idx, w = idx_w

@@ -350,6 +350,11 @@ def predict(
     n = data["x"].shape[0]
     bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
     bs = min(bs, n)
+    n_micro = getattr(problem.task, "pp_micro", 0)
+    if n_micro:
+        # pipeline-parallel forward: every batch (incl. the padded tail)
+        # must split into the schedule's microbatches
+        bs = max(n_micro, bs - bs % n_micro)
     if mesh is not None:
         from position_induced_transformer_tpu.parallel.sharding import (
             data_axis_size,

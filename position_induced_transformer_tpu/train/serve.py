@@ -114,8 +114,6 @@ class _Batcher:
         return req.result
 
     def _worker(self):
-        import jax
-
         while True:
             with self._cv:
                 while not self._queue:
@@ -323,7 +321,7 @@ def make_server(
         # tile the benchmark sample up to the SERVING batch size, so the
         # compiled shape matches what full-size requests will use
         cfg = predictor.cfg
-        bs = predictor._batch_size(cfg.eval_batch_size or cfg.batch_size, None)
+        bs = predictor._batch_size(None)
         idx = np.minimum(np.arange(bs), n - 1)
         batch = jax.tree_util.tree_map(lambda a: a[idx], data)
         predictor.predict_array(batch, cfg.rollout_steps)

@@ -429,4 +429,4 @@ def test_predictor_single_sample_request_pads_to_serving_batch(tmp_path):
     one = p.predict_array({"x": x8[:1]})
     assert one.shape[0] == 1
     np.testing.assert_allclose(one[0], full[0], rtol=1e-6)
-    assert p._batch_size(1, None) == 8  # padded up, not shrunk
+    assert p._batch_size(None) == 8  # padded up, not shrunk

@@ -537,6 +537,30 @@ def test_runner_train_pipeline_mesh_matches_single_device():
         np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-4)
 
 
+def test_predict_after_pipeline_train_rounds_microbatches():
+    """runner.predict on a pipeline-trained problem must round its batch
+    size to the schedule's microbatch count: with ntest=7 the naive
+    bs=min(8,7)=7 is not divisible by n_micro=2 and the pipelined forward
+    raises — the post-train `--save-pred/--plots` path would crash after
+    the whole training run. Also checks parity vs a single-device run."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    kw = dict(epochs=1, ntrain=16, ntest=7, verbose=False)
+    p1, s1, _ = runner.train(cfg, **kw)
+    p2, s2, _ = runner.train(cfg, mesh="stage=2", **kw)
+    assert p2.task.pp_micro == 2
+    pred1 = runner.predict(p1, s1)
+    pred2 = runner.predict(p2, s2)
+    assert pred2.shape == pred1.shape == (7, 64, 1)
+    np.testing.assert_allclose(
+        np.asarray(pred2), np.asarray(pred1), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_runner_train_pipeline_rejects_tf_family():
     cfg = configs.get("burgers_tf")
     cfg = dataclasses.replace(

@@ -294,6 +294,30 @@ def test_eval_permutation_pads_remainder():
     np.testing.assert_array_equal(perm.ravel(), np.arange(16))
 
 
+def test_eval_epoch_default_masks_padding():
+    """make_eval_epoch called WITHOUT n_valid (the pre-padding 4-arg
+    contract, still used by scripts) must not double-count the padded tail
+    duplicates: the default derives the valid count from the dataset
+    size, so metric sums equal the explicit n_valid=n call."""
+    from position_induced_transformer_tpu.train.loop import (
+        eval_permutation,
+        make_eval_epoch,
+    )
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=16, ntest=13, verbose=False
+    )
+    eval_epoch = make_eval_epoch(problem.task)
+    perm = eval_permutation(13, 8)
+    default = eval_epoch(state, problem.geom, problem.test_data, perm)
+    explicit = eval_epoch(state, problem.geom, problem.test_data, perm, 13)
+    for k in explicit:
+        np.testing.assert_allclose(
+            float(default[k]), float(explicit[k]), rtol=1e-6
+        )
+
+
 def test_rollout_eval_covers_nondivisible_ntest():
     """Rollout-family eval metrics also cover the full test set when the
     batch size does not divide ntest."""
