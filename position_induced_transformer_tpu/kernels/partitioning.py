@@ -37,28 +37,52 @@ def _batch_sharded(mesh, axis, ndim):
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
-def _batch_axis(arg_infos):
+def _batch_axis(arg_infos, batch_ops):
     """The mesh axis (or None) the caller sharded the batch dimension over,
-    read from the first batch-carrying (rank >= 3) operand that has one."""
-    for a in arg_infos:
-        spec = a.sharding.spec if a.sharding is not None else ()
-        if a.ndim >= 3 and len(spec) and spec[0] is not None:
+    read from the first batch-carrying operand that has one. Shardings
+    without a decodable ``spec`` (e.g. GSPMDSharding supplied when no
+    named mesh is available) degrade to 'unsharded' instead of crashing —
+    an AttributeError here aborts the whole process under the legacy
+    GSPMD partitioner."""
+    for i, a in enumerate(arg_infos):
+        spec = getattr(a.sharding, "spec", None) or ()
+        if i in batch_ops and len(spec) and spec[0] is not None:
             return spec[0]
     return None
 
 
+def _batch_operands(rule: str) -> frozenset:
+    """Operand indices whose FIRST factor in the Shardy rule is the batch
+    factor 'b' — the single source of truth for which operands carry the
+    batch dimension (rather than a rank heuristic, which would misclassify
+    a future rank-2 batch-leading operand as a batch-free scale)."""
+    lhs = rule.split("->")[0]
+    return frozenset(
+        i
+        for i, factors in enumerate(
+            part.split() for part in lhs.split(",")
+        )
+        if factors and factors[0] == "b"
+    )
+
+
 def batch_partitioned(fn, rule: str, static_argnums):
-    """Wrap ``fn(*arrays, *statics)`` — a batch-parallel kernel caller whose
-    rank-3+ operands and ALL outputs are batch-leading and whose rank-2
-    operands (the bandwidth scales) are batch-free — in a
-    custom_partitioning with batch-dimension propagation.
+    """Wrap ``fn(*arrays, *statics)`` — a batch-parallel kernel caller
+    whose batch-carrying operands (those whose rule entry leads with the
+    'b' factor) and ALL outputs are batch-leading; the remaining operands
+    (the bandwidth scales) are batch-free — in a custom_partitioning with
+    batch-dimension propagation.
 
     ``rule`` is the Shardy einsum-like sharding rule for the exact operand
-    arity (factor 'b' = the batch dimension; all other factors unique so
-    nothing else co-propagates — the partition callback replicates them
-    regardless).
+    arity. Factor 'b' marks the batch dimension; non-batch factors MAY
+    repeat across operands (they describe the shapes, e.g. 'li'/'lo'/'d'),
+    so under Shardy a user sharding of a non-batch dimension can propagate
+    between operands — the partition callback then force-replicates every
+    non-batch dimension at lowering (inserting the reshard), keeping the
+    kernel call per-shard identical to the single-device one.
     """
     cp = custom_partitioning(fn, static_argnums=tuple(static_argnums))
+    batch_ops = _batch_operands(rule)
 
     def _result_shardings(mesh, axis, result_infos):
         if isinstance(result_infos, (tuple, list)):
@@ -70,17 +94,19 @@ def batch_partitioned(fn, rule: str, static_argnums):
     def infer(*cb_args):
         # static args are PREPENDED to every callback's signature
         mesh, arg_infos, result_infos = cb_args[-3], cb_args[-2], cb_args[-1]
-        return _result_shardings(mesh, _batch_axis(arg_infos), result_infos)
+        return _result_shardings(
+            mesh, _batch_axis(arg_infos, batch_ops), result_infos
+        )
 
     def partition(*cb_args):
         statics = cb_args[:-3]
         mesh, arg_infos, result_infos = cb_args[-3], cb_args[-2], cb_args[-1]
-        axis = _batch_axis(arg_infos)
+        axis = _batch_axis(arg_infos, batch_ops)
         arg_shardings = tuple(
-            _replicated(mesh, a.ndim)
-            if a.ndim <= 2  # bandwidth scales: no batch dimension
-            else _batch_sharded(mesh, axis, a.ndim)
-            for a in arg_infos
+            _batch_sharded(mesh, axis, a.ndim)
+            if i in batch_ops
+            else _replicated(mesh, a.ndim)  # bandwidth scales: batch-free
+            for i, a in enumerate(arg_infos)
         )
 
         def lower(*arrays):

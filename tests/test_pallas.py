@@ -345,6 +345,86 @@ def test_batched_kernel_data_sharded_matches_unsharded():
         )
 
 
+def test_partitioning_tolerates_undecodable_shardings():
+    """custom_partitioning callbacks can receive GSPMDSharding objects
+    (no .spec attribute) instead of NamedSharding — e.g. when no named
+    mesh is recoverable. _batch_axis must degrade to 'unsharded' instead
+    of raising (an AttributeError in the legacy-GSPMD infer callback
+    aborts the whole process inside XLA's ShardingPropagation)."""
+    from position_induced_transformer_tpu.kernels.partitioning import (
+        _batch_axis,
+        _batch_operands,
+    )
+
+    class _OpaqueSharding:  # no .spec, like GSPMDSharding
+        pass
+
+    class _Info:
+        sharding = _OpaqueSharding()
+        ndim = 3
+
+    assert _batch_axis([_Info(), _Info()], frozenset({0, 1})) is None
+
+    # rule parsing: batch operands are those whose first factor is 'b'
+    ops = _batch_operands(
+        "b lo d, b li d, h one, b li f, b lo uno -> b lo g"
+    )
+    assert ops == frozenset({0, 1, 3, 4})
+
+
+def test_batched_kernel_thr_data_sharded_matches_unsharded():
+    """The *_thr partitioned variants — the production NACA path with
+    setup-time per-sample thresholds under mesh='data=N' — also reproduce
+    the unsharded forward and gradients (the thr operand is batch-leading
+    (B, L_out, 1) and must shard with the batch)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_topk_thresholds,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (fake) devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(11)
+    B, Lq, Lk, H, D, loc = 8, 40, 56, 2, 16, 0.1
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+    thr = batched_topk_thresholds(mq, mk, loc)
+
+    def loss(lm, uu, mq_, mk_, ct_, thr_):
+        return jnp.sum(
+            position_attention_batched(
+                mq_, mk_, lm, uu, loc, thr_, interpret=INTERPRET
+            )
+            * ct_
+        )
+
+    want = jax.jit(loss)(lmda, u, mq, mk, ct, thr)
+    gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(lmda, u, mq, mk, ct, thr)
+
+    mq_s, mk_s, u_s, ct_s, thr_s = (
+        jax.device_put(a, shard) for a in (mq, mk, u, ct, thr)
+    )
+    got = jax.jit(loss)(lmda, u_s, mq_s, mk_s, ct_s, thr_s)
+    gg = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        lmda, u_s, mq_s, mk_s, ct_s, thr_s
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
 def test_tf_batched_kernel_data_sharded_matches_unsharded():
     """Same partitioning contract for the TF-semantics kernel over
     pre-built per-sample distances."""
