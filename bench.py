@@ -66,12 +66,53 @@ def _watchdog(timeout_s: float):
     return t
 
 
+def _default_backend_usable(timeout_s: float) -> bool:
+    """Execute one tiny op on the default backend in a SUBPROCESS with a
+    hard timeout. TPU-relay device discovery has been observed to hang
+    indefinitely (2026-08-17 outage); probing in a child means a hung
+    relay cannot take the bench process with it, and the bench can fall
+    back to an honestly-labeled CPU measurement instead of recording
+    nothing. The timeout accommodates the degraded-relay regime (trivial
+    remote compile observed at ~190 s)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((4, 4));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "")
     wd = _watchdog(float(os.environ.get("PIT_BENCH_TIMEOUT", "1500")))
+    _STAGE["stage"] = "backend_probe"
+    fallback_note = None
+    if not _default_backend_usable(
+        float(os.environ.get("PIT_BENCH_PROBE_TIMEOUT", "300"))
+    ):
+        fallback_note = (
+            "default (TPU) backend unusable — relay unreachable/hung; "
+            "measured on the host CPU backend instead"
+        )
     import jax
     import jax.numpy as jnp
 
+    if fallback_note:
+        jax.config.update("jax_platforms", "cpu")
     _STAGE["stage"] = "backend_init"
     jax.devices()  # force device discovery under the watchdog
 
@@ -124,18 +165,17 @@ def main():
     wd.cancel()
     baseline = _load_local_baseline()
     vs = steps_per_sec / baseline if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "burgers_train_steps_per_sec",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(vs, 3) if vs else None,
-                "backend": jax.devices()[0].platform,
-                "final_loss": float(loss) / ntrain,
-            }
-        )
-    )
+    record = {
+        "metric": "burgers_train_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "backend": jax.devices()[0].platform,
+        "final_loss": float(loss) / ntrain,
+    }
+    if fallback_note:
+        record["note"] = fallback_note
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
