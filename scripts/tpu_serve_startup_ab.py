@@ -58,6 +58,11 @@ def run_arm(ckpt: str, host_setup: bool) -> float:
 def main():
     import jax
 
+    if os.environ.get("AB_PLATFORM"):
+        # smoke mode: pin the PARENT too — its checkpoint-training run
+        # would otherwise hit the default (axon) backend and hang when
+        # the relay is down (the condition smoke mode exists for)
+        jax.config.update("jax_platforms", os.environ["AB_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     sys.path.insert(0, REPO)
     from position_induced_transformer_tpu import configs
@@ -83,6 +88,10 @@ def main():
 
     out = {
         "ts": time.time(),
+        # which backend the arms actually ran on: the real measurement is
+        # the default (TPU relay); 'cpu' marks a harness smoke test where
+        # both arms are expected ~equal (no relay round-trips to avoid)
+        "platform": os.environ.get("AB_PLATFORM") or "default(tpu)",
         "reps": reps,
         "host_setup_s": host,
         "device_setup_s": dev,
