@@ -557,7 +557,14 @@ class Predictor:
                 enable_pipeline,
             )
 
-            state, _ = enable_pipeline(problem, state, mesh)
+            # pass the serving batch size so the schedule gets K
+            # microbatches (n_micro=1 would run the stages strictly
+            # sequentially, idling K-1 devices per request);
+            # _batch_size rounds every request batch to a multiple
+            state, _ = enable_pipeline(
+                problem, state, mesh,
+                batch_size=cfg.eval_batch_size or cfg.batch_size,
+            )
             # the GPipe schedule owns its own 1-D mesh; warmup/test data
             # replicate over it (mirrors runner.train's stage branch)
             problem.train_data = replicate_tree(mesh, problem.train_data)
@@ -609,7 +616,14 @@ class Predictor:
         # the one warmed executable — a fresh XLA compile per distinct
         # request size would stall seconds-to-minutes through a degraded
         # TPU relay (serve.py warms exactly this shape at startup)
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         bs = batch_size or self.cfg.eval_batch_size or self.cfg.batch_size
+        n_micro = getattr(self.problem.task, "pp_micro", 0)
+        if n_micro:
+            # pipeline-parallel forward: every padded batch must split
+            # into the GPipe schedule's microbatches
+            bs = max(n_micro, bs - bs % n_micro)
         if self.mesh is not None:
             from position_induced_transformer_tpu.parallel.sharding import (
                 data_axis_size,
@@ -656,6 +670,8 @@ class Predictor:
                 f"input must carry a leading batch axis; got shape "
                 f"{tuple(x_raw.shape)}"
             )
+        if x_raw.shape[0] < 1:
+            raise ValueError("input batch is empty (0 samples)")
         return _prepare_infer_data(
             self.problem, x_raw, table, input_path, input_key,
             required=self.required_keys,

@@ -119,36 +119,52 @@ class _Batcher:
                 while not self._queue:
                     self._cv.wait()
                 batch, self._queue = self._queue, []
-            groups: dict = {}
-            for r in batch:
-                groups.setdefault(r.key(), []).append(r)
-            for reqs in groups.values():
-                try:
-                    if len(reqs) == 1:
-                        data, offsets = reqs[0].data, [0]
-                    else:
-                        keys = reqs[0].data.keys()
-                        data = {
-                            k: np.concatenate(
-                                [np.asarray(r.data[k]) for r in reqs]
-                            )
-                            for k in keys
-                        }
-                        offsets = np.cumsum(
-                            [0] + [r.data["x"].shape[0] for r in reqs]
-                        )[:-1]
-                    out = self.predictor.predict_array(
-                        data, reqs[0].steps, reqs[0].batch_size
-                    )
-                    self.n_calls += 1
-                    for r, start in zip(reqs, offsets):
-                        r.result = out[start : start + r.data["x"].shape[0]]
-                except Exception as e:  # delivered to every waiter
-                    for r in reqs:
-                        r.error = e
-                finally:
-                    for r in reqs:
+            try:
+                self._run_batch(batch)
+            except BaseException as e:  # noqa: BLE001 — the singleton
+                # worker must never die: a failure outside the per-group
+                # try (e.g. MemoryError while grouping) would otherwise
+                # leave every current AND future request blocked forever
+                # on done.wait() while /health still reports ok
+                for r in batch:
+                    if not r.done.is_set():
+                        r.error = r.error or e
                         r.done.set()
+
+    def _run_batch(self, batch):
+        groups: dict = {}
+        for r in batch:
+            groups.setdefault(r.key(), []).append(r)
+        for reqs in groups.values():
+            try:
+                if len(reqs) == 1:
+                    data, offsets = reqs[0].data, [0]
+                else:
+                    keys = reqs[0].data.keys()
+                    data = {
+                        k: np.concatenate(
+                            [np.asarray(r.data[k]) for r in reqs]
+                        )
+                        for k in keys
+                    }
+                    offsets = np.cumsum(
+                        [0] + [r.data["x"].shape[0] for r in reqs]
+                    )[:-1]
+                out = self.predictor.predict_array(
+                    data, reqs[0].steps, reqs[0].batch_size
+                )
+                # actual device dispatches: the coalesced group runs in
+                # ceil(n / serving-batch) padded batches
+                bs = self.predictor._batch_size(reqs[0].batch_size)
+                self.n_calls += -(-int(data["x"].shape[0]) // bs)
+                for r, start in zip(reqs, offsets):
+                    r.result = out[start : start + r.data["x"].shape[0]]
+            except Exception as e:  # delivered to every waiter
+                for r in reqs:
+                    r.error = e
+            finally:
+                for r in reqs:
+                    r.done.set()
 
 
 class PredictHandler(BaseHTTPRequestHandler):
@@ -217,14 +233,36 @@ class PredictHandler(BaseHTTPRequestHandler):
             return
         srv = self.server
         try:
+            # ---- request parsing/validation: failures here are 400s ----
             length = int(self.headers.get("Content-Length", 0))
+            max_body = srv.max_body_bytes
+            if length > max_body:
+                self._reply_json(
+                    413,
+                    {"error": f"payload {length} bytes exceeds the "
+                     f"{max_body}-byte limit (PIT_SERVE_MAX_BODY)"},
+                )
+                return
             body = self.rfile.read(length)
             q = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
             key = q.get("key", "x")
             steps = (
                 int(q["rollout_steps"]) if "rollout_steps" in q else None
             )
+            cfg = srv.predictor.cfg
+            if steps is not None:
+                # each distinct horizon is a static jit argument => a
+                # fresh XLA compile serialized behind the worker thread;
+                # bound it so a client can't compile-storm the server
+                max_steps = srv.max_rollout_steps
+                if steps < 0 or steps > max_steps:
+                    raise ValueError(
+                        f"rollout_steps must be in [0, {max_steps}] "
+                        f"(PIT_SERVE_MAX_ROLLOUT), got {steps}"
+                    )
             bs = int(q["batch_size"]) if "batch_size" in q else None
+            if bs is not None and bs < 1:
+                raise ValueError(f"batch_size must be >= 1, got {bs}")
             out_fmt = q.get("format", "npy")
             if out_fmt not in ("npy", "mat"):
                 raise ValueError(f"unknown output format {out_fmt!r}")
@@ -233,28 +271,35 @@ class PredictHandler(BaseHTTPRequestHandler):
                 f.write(body)
                 f.flush()
                 data = srv.predictor.prepare_file(f.name, key)
+            if int(np.shape(data["x"])[0]) < 1:
+                raise ValueError("input batch is empty (0 samples)")
             if steps is None:
-                steps = srv.predictor.cfg.rollout_steps
+                steps = cfg.rollout_steps
+        except Exception as e:
+            # bad payloads surface as ValueError/KeyError but also
+            # OSError (h5py on truncated files), TypeError, scipy
+            # NotImplementedError, ... — all client errors here
+            import traceback
+
+            if srv.verbose:
+                traceback.print_exc()
+            self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        try:
+            # ---- device execution: failures here are server errors ----
             # the batcher's worker thread serializes device calls and
             # coalesces shape-compatible concurrent requests into one
             pred = srv.batcher.predict(data, steps, bs)
             with srv.lock:
                 srv.n_requests += 1
-        except (ValueError, KeyError) as e:
-            self._reply_json(400, {"error": str(e)})
-            return
         except Exception as e:
-            # anything else (truncated/odd payloads raise OSError from
-            # h5py, TypeError from group-valued keys, scipy
-            # NotImplementedError, ...) must still produce an HTTP error
-            # instead of a dropped connection
+            # device/relay failures are retryable 500s, NOT 400s — a
+            # load balancer must not blame the client for an outage
             import traceback
 
             if srv.verbose:
                 traceback.print_exc()
-            self._reply_json(
-                400, {"error": f"{type(e).__name__}: {e}"}
-            )
+            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         buf = io.BytesIO()
         if out_fmt == "mat":
@@ -273,6 +318,8 @@ class PredictServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, predictor, verbose: bool = True):
+        import os
+
         super().__init__(addr, PredictHandler)
         self.predictor = predictor
         self.lock = threading.Lock()  # counters only; the batcher's
@@ -280,6 +327,15 @@ class PredictServer(ThreadingHTTPServer):
         self.batcher = _Batcher(predictor)
         self.n_requests = 0
         self.verbose = verbose
+        self.max_body_bytes = int(
+            os.environ.get("PIT_SERVE_MAX_BODY", str(512 * 1024 * 1024))
+        )
+        self.max_rollout_steps = int(
+            os.environ.get(
+                "PIT_SERVE_MAX_ROLLOUT",
+                str(max(100, 4 * predictor.cfg.rollout_steps)),
+            )
+        )
 
 
 def make_server(
@@ -323,7 +379,13 @@ def make_server(
         cfg = predictor.cfg
         bs = predictor._batch_size(None)
         idx = np.minimum(np.arange(bs), n - 1)
-        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        # HOST-side batch: requests arrive as host numpy from
+        # prepare_file, and an executable compiled against
+        # device-committed (or mesh-replicated) inputs is a DIFFERENT
+        # jit specialization — warming with committed test_data both
+        # dispatched eager on-device gathers at startup and compiled an
+        # executable the first real request couldn't reuse
+        batch = jax.tree_util.tree_map(lambda a: np.asarray(a)[idx], data)
         predictor.predict_array(batch, cfg.rollout_steps)
     return PredictServer((host, port), predictor, verbose=verbose)
 

@@ -44,11 +44,16 @@ def burgers_server():
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
         port = server.server_address[1]
+        _SERVERS["burgers"] = server  # for failure-injection tests
         try:
             yield f"http://127.0.0.1:{port}", problem, state
         finally:
+            _SERVERS.pop("burgers", None)
             server.shutdown()
             server.server_close()
+
+
+_SERVERS: dict = {}
 
 
 def _post(url, body, **params):
@@ -119,6 +124,66 @@ def test_predict_bad_payloads_are_400(burgers_server):
     status, body = _post(base + "/predict", b"\x89HDF\r\n\x1a\ngarbage")
     assert status == 400
     assert "error" in json.loads(body)
+
+
+def test_request_validation_limits(burgers_server):
+    """Empty batches, bad rollout horizons and bad batch sizes are clean
+    400s (an empty batch previously died as np.concatenate([]); an
+    unbounded rollout_steps is a per-value XLA compile a client could
+    storm the worker with)."""
+    base, problem, _ = burgers_server
+    x = np.asarray(problem.test_data["x"])[:2]
+    buf = io.BytesIO()
+    np.save(buf, x)
+    good = buf.getvalue()
+
+    empty = io.BytesIO()
+    np.save(empty, x[:0])
+    status, body = _post(base + "/predict", empty.getvalue())
+    assert status == 400
+    assert "empty" in json.loads(body)["error"]
+
+    status, body = _post(base + "/predict", good, rollout_steps=-1)
+    assert status == 400
+    assert "rollout_steps" in json.loads(body)["error"]
+    status, body = _post(base + "/predict", good, rollout_steps=10**6)
+    assert status == 400
+    assert "rollout_steps" in json.loads(body)["error"]
+
+    status, body = _post(base + "/predict", good, batch_size=0)
+    assert status == 400
+    assert "batch_size" in json.loads(body)["error"]
+
+
+def test_device_failures_are_500_and_worker_survives(burgers_server):
+    """Errors raised from the execution phase (device/relay failures) are
+    retryable 500s, not client-blaming 400s — and the singleton batcher
+    worker survives to serve the next request."""
+    base, problem, _ = burgers_server
+    server = _SERVERS["burgers"]
+    x = np.asarray(problem.test_data["x"])[:1]
+    buf = io.BytesIO()
+    np.save(buf, x)
+
+    orig = server.predictor.predict_array
+    calls = {"n": 0}
+
+    def failing(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("relay dropped mid-predict")
+
+    server.predictor.predict_array = failing
+    try:
+        status, body = _post(base + "/predict", buf.getvalue())
+    finally:
+        server.predictor.predict_array = orig
+    assert status == 500
+    assert "relay dropped" in json.loads(body)["error"]
+    assert calls["n"] == 1
+    # worker alive: the same request now succeeds
+    status, body = _post(base + "/predict", buf.getvalue())
+    assert status == 200
+    assert np.load(io.BytesIO(body)).shape[0] == 1
 
 
 def test_concurrent_requests_are_batched(burgers_server):
