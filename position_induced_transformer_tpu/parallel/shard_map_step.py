@@ -86,11 +86,15 @@ def make_shard_map_train_step(
 
 def shard_batch_arrays(mesh: Mesh, batch):
     """Place a batch dict with its leading axis sharded over 'data' (and
-    the outer 'dcn' axis on a multi-slice mesh)."""
-    axes = ("dcn", "data") if "dcn" in mesh.shape else "data"
+    the outer 'dcn' axis on a multi-slice mesh). Same spec as
+    :func:`..sharding.batch_spec` — device placement here, in-jit
+    constraint there."""
+    from position_induced_transformer_tpu.parallel.sharding import batch_spec
+
+    dcn = "dcn" in mesh.shape
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(
-            a, NamedSharding(mesh, P(axes, *([None] * (a.ndim - 1))))
+            a, NamedSharding(mesh, batch_spec(a, dcn))
         ),
         batch,
     )

@@ -53,15 +53,43 @@ def make_mesh(
     n = len(devices)
     if n_data is None:
         n_data = max(1, n // (n_model * n_dcn))
+    want = n_dcn * n_data * n_model
+    if n < want:
+        raise ValueError(
+            f"mesh dcn={n_dcn},data={n_data},model={n_model} needs "
+            f"{want} devices but only {n} are available"
+        )
     if n_dcn > 1:
-        want = n_dcn * n_data * n_model
-        if len({getattr(d, "slice_index", 0) for d in devices[:want]}) > 1:
+        by_slice: dict = {}
+        for d in devices:
+            by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+        if len(by_slice) > 1:
+            # real multi-slice hardware: take n_data*n_model devices from
+            # EACH of n_dcn slices — selecting devices[:want] instead
+            # could land the whole 'dcn' axis inside one slice (or split
+            # slices unevenly), silently losing cross-slice parallelism
+            per = n_data * n_model
+            slices = sorted(by_slice)
+            if len(slices) < n_dcn:
+                raise ValueError(
+                    f"mesh dcn={n_dcn} needs {n_dcn} slices but the "
+                    f"devices span only {len(slices)}"
+                )
+            chosen = []
+            for s in slices[:n_dcn]:
+                if len(by_slice[s]) < per:
+                    raise ValueError(
+                        f"mesh dcn={n_dcn},data={n_data},model={n_model} "
+                        f"needs {per} devices per slice but slice {s} "
+                        f"has {len(by_slice[s])}"
+                    )
+                chosen.extend(by_slice[s][:per])
             from jax.experimental import mesh_utils
 
             arr = mesh_utils.create_hybrid_device_mesh(
                 mesh_shape=(1, n_data, n_model),
                 dcn_mesh_shape=(n_dcn, 1, 1),
-                devices=devices[:want],
+                devices=chosen,
             )
         else:
             arr = np.array(devices[:want]).reshape(n_dcn, n_data, n_model)
@@ -90,9 +118,21 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
     if s in ("", "none", "1"):
         return None
     if s == "auto":
-        n = len(jax.devices())
-        return make_mesh(n_data=n, n_model=1) if n > 1 else None
+        devices = jax.devices()
+        n = len(devices)
+        if n <= 1:
+            return None
+        slices = {getattr(d, "slice_index", 0) for d in devices}
+        if len(slices) > 1 and n % len(slices) == 0:
+            # multi-slice hardware: stage the all-reduce (ICI within each
+            # slice, one DCN hop across) instead of a flat 'data' axis
+            # whose every all-reduce naively crosses DCN
+            return make_mesh(
+                n_data=n // len(slices), n_model=1, n_dcn=len(slices)
+            )
+        return make_mesh(n_data=n, n_model=1)
     n_data, n_model, n_stage, n_dcn = 1, 1, 0, 1
+    seen = set()
     for part in s.split(","):
         key, sep, val = part.partition("=")
         key, val = key.strip(), val.strip()
@@ -102,6 +142,11 @@ def parse_mesh_spec(spec: "Mesh | str | None") -> Optional[Mesh]:
                 "'data=N[,model=M]', 'dcn=K,data=N[,model=M]' or "
                 "'stage=K' with positive integers"
             )
+        if key in seen:
+            raise ValueError(
+                f"duplicate mesh axis {key!r} in {spec!r}"
+            )
+        seen.add(key)
         if key == "data":
             n_data = int(val)
         elif key == "model":
@@ -164,29 +209,53 @@ def shard_batch(mesh: Mesh, batch):
     )
 
 
-def _param_pspec(path, leaf, n_head: int, model_axis_size: int) -> P:
-    """Tensor-parallel PartitionSpec for a PiT parameter leaf."""
+def _param_pspec(path, leaf, model_axis_size: int) -> P:
+    """Tensor-parallel PartitionSpec for a PiT parameter leaf.
+
+    Bandwidths (``lmda``, shaped (n_head, 1, 1)) shard over 'model' only
+    when the head count divides the axis — replicating them costs
+    nothing. MLP kernels/biases MUST divide evenly: a silent fallback
+    would quietly lose tensor parallelism, and an unguarded device_put
+    dies with an opaque uneven-shard error — so mismatches raise with
+    the leaf path."""
     keys = [getattr(k, "key", str(k)) for k in path]
     if model_axis_size <= 1:
         return P()
     name = keys[-1]
     if name == "lmda" and leaf.shape[0] % model_axis_size == 0:
         return P("model", None, None)
+
+    def check(dim: int, what: str):
+        if dim % model_axis_size:
+            raise ValueError(
+                f"tensor parallelism: {what} ({dim}) at "
+                f"{'/'.join(keys)} is not divisible by the 'model' axis "
+                f"size {model_axis_size} — choose a model axis that "
+                "divides hid_dim"
+            )
+
     if "mlp1" in keys and name == "kernel":
+        check(leaf.shape[1], "mlp1 output features")
         return P(None, "model")  # column parallel
     if "mlp1" in keys and name == "bias":
+        check(leaf.shape[0], "mlp1 bias features")
         return P("model")
     if "mlp2" in keys and name == "kernel":
+        check(leaf.shape[0], "mlp2 input features")
         return P("model", None)  # row parallel (psum after)
     return P()
 
 
-def param_shardings(mesh: Mesh, params, n_head: int = 1):
-    """NamedSharding pytree for a PiT parameter tree (TP over 'model')."""
+def param_shardings(mesh: Mesh, params, n_head: int = None):
+    """NamedSharding pytree for a PiT parameter tree (TP over 'model').
+
+    ``n_head`` is accepted for backward compatibility and unused: the
+    head-sharding gate reads the bandwidth leaf's own shape."""
+    del n_head
     model_size = mesh.shape.get("model", 1)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, _param_pspec(path, leaf, n_head, model_size)
+            mesh, _param_pspec(path, leaf, model_size)
         ),
         params,
     )
@@ -196,17 +265,19 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_state(mesh: Mesh, state, n_head: int = 1):
+def shard_state(mesh: Mesh, state, n_head: int = None):
     """Place a TrainState: params and Adam moments TP-sharded over 'model',
     scalars replicated. Works because optimizer-moment leaf paths embed the
     corresponding parameter path (optax mirrors the param treedef), so the
-    same spec rule applies."""
+    same spec rule applies. ``n_head`` is accepted for backward
+    compatibility and unused (see :func:`param_shardings`)."""
+    del n_head
     model_size = mesh.shape.get("model", 1)
 
     def place(path, leaf):
         leaf = jax.numpy.asarray(leaf)
         spec = (
-            _param_pspec(path, leaf, n_head, model_size)
+            _param_pspec(path, leaf, model_size)
             if leaf.ndim > 0
             else P()
         )
@@ -237,7 +308,12 @@ def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data", pad: bool = Fa
     repeating the last row (needed e.g. for the 421^2 = 177,241-row Darcy
     decode, which no power-of-two axis divides); model outputs then carry
     the same padded rows — slice them off with the original row count
-    (e.g. ``geom.dist_up.shape[0]`` before the call)."""
+    (e.g. ``geom.dist_up.shape[0]`` before the call).
+
+    Places the WHOLE geometry: the non-row fields are replicated here, so
+    pass the host-built geometry directly — replicating it beforehand
+    would upload the ~173 MB ``dist_up`` to every device only to
+    immediately re-place it at 1/N rows."""
     import jax.numpy as jnp
 
     size = mesh.shape[axis]
@@ -266,13 +342,25 @@ def sequence_shard_geometry(mesh: Mesh, geom, axis: str = "data", pad: bool = Fa
             "encoder, so rows cannot be padded, and device_put rejects "
             "uneven shards)"
         )
+    if geom.dist_up is None:
+        raise ValueError(
+            "sequence_shard_geometry needs a materialized decoder "
+            "distance matrix (geom.dist_up); this geometry is lazy "
+            "(raw per-sample coordinates) — returning it unchanged "
+            "would silently decode ALL rows on every device"
+        )
 
     import dataclasses
 
+    rows_dist, rows_thr = geom.dist_up, geom.thr_up
+    rest = dataclasses.replace(geom, dist_up=None, thr_up=None)
+    rest = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, replicated(mesh)), rest
+    )
     return dataclasses.replace(
-        geom,
-        dist_up=row_shard(row_pad(geom.dist_up)),
-        thr_up=row_shard(row_pad(geom.thr_up)),
+        rest,
+        dist_up=row_shard(row_pad(rows_dist)),
+        thr_up=row_shard(row_pad(rows_thr)),
     )
 
 

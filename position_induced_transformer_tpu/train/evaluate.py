@@ -167,7 +167,7 @@ def evaluate(
             )
         else:
             problem.geom = sequence_shard_geometry(
-                mesh, replicate_tree(mesh, problem.geom), pad=True
+                mesh, problem.geom, pad=True
             )
         pred_mesh = None
 

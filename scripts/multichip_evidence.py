@@ -138,9 +138,7 @@ def sp_zssr_decode():
     )
     params = model.init(jax.random.PRNGKey(0), geom, x)
     n_rows = geom.dist_up.shape[0]  # 177,241: no power-of-two divisor
-    geom_sharded = sequence_shard_geometry(
-        mesh, replicate_tree(mesh, geom), pad=True
-    )
+    geom_sharded = sequence_shard_geometry(mesh, geom, pad=True)
     params = replicate_tree(mesh, params)
     x = replicate_tree(mesh, x)
 

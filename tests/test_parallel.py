@@ -80,7 +80,7 @@ def test_sequence_sharded_decoder_matches():
     ref = fwd({"params": state.params}, problem.geom, x)
 
     mesh = make_mesh(n_data=8, n_model=1)
-    geom_sp = sequence_shard_geometry(mesh, replicate_tree(mesh, problem.geom))
+    geom_sp = sequence_shard_geometry(mesh, problem.geom)
     out = fwd({"params": state.params}, geom_sp, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
@@ -108,9 +108,7 @@ def test_sequence_sharded_decoder_padded_rows():
     assert n_rows % 8 != 0
 
     mesh = make_mesh(n_data=8, n_model=1)
-    geom_sp = sequence_shard_geometry(
-        mesh, replicate_tree(mesh, geom_odd), pad=True
-    )
+    geom_sp = sequence_shard_geometry(mesh, geom_odd, pad=True)
     out = fwd({"params": state.params}, geom_sp, x)[:, :n_rows]
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref[:, :n_rows]), rtol=1e-5, atol=1e-6
@@ -415,6 +413,40 @@ def test_parse_mesh_spec_dcn():
         parse_mesh_spec("dcn=2,stage=2")
     with pytest.raises(ValueError):
         parse_mesh_spec(f"dcn={len(jax.devices())},data=2")
+
+
+def test_mesh_validation_errors():
+    """Clear errors instead of opaque jax/numpy failures: duplicate axes,
+    too few devices at make_mesh level, indivisible tensor-parallel
+    widths, and sequence-sharding a lazy geometry."""
+    from position_induced_transformer_tpu.parallel.sharding import (
+        parse_mesh_spec,
+        sequence_shard_geometry,
+    )
+
+    with pytest.raises(ValueError, match="duplicate mesh axis"):
+        parse_mesh_spec("data=2,data=8")
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=len(jax.devices()) * 2, n_model=1)
+
+    # hid_dim=16 not divisible by model=3: clear message, not an opaque
+    # uneven-shard device_put error
+    cfg, problem = _tiny_problem()
+    state = runner.init_state(problem, make_optimizer(cfg.lr, 4), seed=0)
+    mesh = make_mesh(n_data=2, n_model=3)
+    with pytest.raises(ValueError, match="not divisible by the 'model'"):
+        shard_state(mesh, state)
+
+    # lazy geometry (per-sample coordinates, no dist_up) cannot be
+    # row-sharded — silent no-op would decode every row on every device
+    from position_induced_transformer_tpu.models import build_geometry
+
+    m = jnp.linspace(0, 1, 17)[:-1].reshape(-1, 1)
+    lazy = build_geometry(m, m, m, metric="euclidean",
+                          en_loc=0.5, de_loc=0.5, lazy=True)
+    sp_mesh = make_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError, match="lazy"):
+        sequence_shard_geometry(sp_mesh, lazy)
 
 
 def test_runner_train_dcn_mesh_matches_single_device():
