@@ -191,12 +191,11 @@ def train(
     eval_epoch = make_eval_epoch(problem.task, metrics, mesh=mesh)
     eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
     if mesh is not None:
-        n_data = data_axis_size(mesh)
         # the eval batch axis must also divide over 'data' (x 'dcn')
-        eval_bs = max(n_data, eval_bs - eval_bs % n_data)
+        eval_bs = round_batch(eval_bs, data_axis_size(mesh))
     if pp_micro:
         # the GPipe schedule needs eval batches divisible into microbatches
-        eval_bs = max(pp_micro, eval_bs - eval_bs % pp_micro)
+        eval_bs = round_batch(eval_bs, pp_micro)
     eval_perm = eval_permutation(problem.n_test, eval_bs)
     n_eval = problem.n_test  # padded tail batch is masked, so every
     # test sample counts exactly once for any batch size
@@ -260,17 +259,26 @@ def train(
         pending.clear()
         group_t0 = time.perf_counter()
 
+    # first epoch after the starting one pays no compile; on a fresh
+    # 1-epoch run fall back to epoch 0 (trace includes compilation)
+    profile_epoch = min(start_epoch + 1, epochs - 1) if profile_dir else -1
+    last_periodic_save = -1
     for ep in range(start_epoch, epochs):
         # fold the epoch index in so resumed runs replay the same shuffles
         sub = jax.random.fold_in(key, ep)
         perm = epoch_permutation(sub, problem.n_train, cfg.batch_size)
-        if profile_dir and ep == 1:  # epoch 0 pays compile; trace epoch 1
+        if ep == profile_epoch:
             from position_induced_transformer_tpu.utils.profiling import trace
 
             with trace(profile_dir):
-                state, train_loss = jax.block_until_ready(
-                    train_epoch(state, problem.geom, problem.train_data, perm)
+                state, train_loss = train_epoch(
+                    state, problem.geom, problem.train_data, perm
                 )
+                # scalar D2H read: the only reliable completion barrier
+                # through the TPU tunnel (block_until_ready can return
+                # early — CLAUDE.md); must happen INSIDE the trace or the
+                # profiler stops before the device executes the epoch
+                float(train_loss)
         else:
             state, train_loss = train_epoch(
                 state, problem.geom, problem.train_data, perm
@@ -288,12 +296,17 @@ def train(
         ):
             flush()
             ckpt.save(checkpoint_path, _payload(state))
+            last_periodic_save = ep
+            # don't attribute the synchronous save to the next epoch's
+            # per-epoch 'seconds' column
+            group_t0 = time.perf_counter()
     flush()
     if logf:
         logf.close()
     if (history_csv or history_plot) and main:
         save_history(history, history_csv, history_plot)
-    if checkpoint_path:
+    if checkpoint_path and last_periodic_save != epochs - 1:
+        # skip when the periodic save already wrote this exact state
         ckpt.save(checkpoint_path, _payload(state))
     return problem, state, history
 
@@ -340,28 +353,44 @@ def padded_batches(n: int, batch_size: int):
         yield np.minimum(np.arange(i, i + batch_size), n - 1)
 
 
+def round_batch(bs: int, k: int) -> int:
+    """Round ``bs`` down to a multiple of ``k`` (floor ``k``) — the one
+    divisibility convention shared by eval batching, GPipe microbatching
+    and data-parallel predict (the padded tail then keeps every batch at
+    exactly this size)."""
+    return max(k, bs - bs % k) if k > 1 else bs
+
+
 def predict(
     problem, state, data=None, batch_size: Optional[int] = None, mesh=None
 ):
     """Full-dataset predictions (reference final predict loops, e.g.
     train_burgers.py:118-126). ``mesh``: optional device mesh — batches are
-    sharded over its 'data' axis (data-parallel inference)."""
+    sharded over its 'data' axis (data-parallel inference); params,
+    geometry and data are replicated over the mesh here, so the caller
+    can pass single-device state directly (device_put is a no-op for
+    already-placed trees)."""
     data = data if data is not None else problem.test_data
     n = data["x"].shape[0]
     bs = batch_size or problem.config.eval_batch_size or problem.config.batch_size
     bs = min(bs, n)
-    n_micro = getattr(problem.task, "pp_micro", 0)
-    if n_micro:
-        # pipeline-parallel forward: every batch (incl. the padded tail)
-        # must split into the schedule's microbatches
-        bs = max(n_micro, bs - bs % n_micro)
+    # pipeline-parallel forward: every batch (incl. the padded tail)
+    # must split into the schedule's microbatches
+    bs = round_batch(bs, getattr(problem.task, "pp_micro", 0) or 1)
+    params, geom = state.params, problem.geom
     if mesh is not None:
         from position_induced_transformer_tpu.parallel.sharding import (
             data_axis_size,
+            replicate_tree,
         )
 
-        n_data = data_axis_size(mesh)
-        bs = max(n_data, bs - bs % n_data)
+        bs = round_batch(bs, data_axis_size(mesh))
+        # jit arguments must share a placement: a single-device state
+        # (post-train or checkpoint-restored) meets the mesh-wide batch
+        # constraint below only if replicated over the SAME mesh
+        params = replicate_tree(mesh, params)
+        geom = None if geom is None else replicate_tree(mesh, geom)
+        data = replicate_tree(mesh, data)
 
         def fwd_fn(params, geom, batch):
             from position_induced_transformer_tpu.parallel.sharding import (
@@ -376,5 +405,5 @@ def predict(
     outs = []
     for idx in padded_batches(n, bs):
         batch = jax.tree_util.tree_map(lambda a: a[idx], data)
-        outs.append(np.asarray(fwd(state.params, problem.geom, batch)))
+        outs.append(np.asarray(fwd(params, geom, batch)))
     return np.concatenate(outs, axis=0)[:n]

@@ -415,6 +415,18 @@ def test_parse_mesh_spec_dcn():
         parse_mesh_spec(f"dcn={len(jax.devices())},data=2")
 
 
+def test_predict_mesh_standalone():
+    """runner.predict(mesh=...) works on single-device state directly —
+    it replicates params/geom/data itself (previously it crashed with
+    'Received incompatible devices' unless the caller pre-replicated)."""
+    cfg, problem = _tiny_problem()
+    state = runner.init_state(problem, make_optimizer(cfg.lr, 4), seed=0)
+    want = runner.predict(problem, state)
+    mesh = make_mesh(n_data=4, n_model=1)
+    got = runner.predict(problem, state, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_validation_errors():
     """Clear errors instead of opaque jax/numpy failures: duplicate axes,
     too few devices at make_mesh level, indivisible tensor-parallel
