@@ -91,7 +91,9 @@ class Task:
     # tensorflow/6_NACA/utils.py:115 NonNeg on the bandwidth)
     pp_micro: int = 0  # microbatch count of a pipeline-parallel task
     # (parallel/pipeline.pipeline_task); batch sizes fed to the forward
-    # must be divisible by it — predict/eval round their batch size up
+    # must be divisible by it — predict/eval round their batch size DOWN
+    # to a multiple (floor pp_micro, runner.round_batch); the padded tail
+    # keeps every batch at exactly that size
 
     def _geometry(self, geom, batch):
         return self.geom_fn(batch) if self.geom_fn is not None else geom
@@ -110,7 +112,15 @@ class Task:
     def _loss(self, true, pred, weights=None):
         """Batch-summed relative-Lp loss; ``weights`` masks padded eval
         duplicates (the single place the swap/batch-mean conventions live —
-        the eval epoch reuses it rather than re-deriving them)."""
+        the eval epoch's LOSS reuses it rather than re-deriving them).
+
+        Note: the eval epoch's named METRIC columns (rel_l1/rel_l2/
+        rel_max) always use the standard true-denominator convention,
+        even for swap benchmarks — the swap is a property of the
+        reference's training objective (train_cylinder.py:101 passes
+        (out, y)), and its diagnostic prints inherit it incidentally;
+        the recorded metrics keep one comparable convention across all
+        benchmarks."""
         if self.swap_loss_args:
             true, pred = pred, true
         loss = rel_lp_norm(true, pred, self.out_dim, self.loss_p, weights=weights)
@@ -135,17 +145,29 @@ class Task:
             apply = jax.checkpoint(
                 apply, policy=jax.checkpoint_policies.dots_saveable
             )
+        elif mode not in (False, "none", "0", "false"):
+            raise ValueError(
+                f"unrecognized PIT_ROLLOUT_REMAT/remat_rollout value "
+                f"{mode!r}; expected full|dots|none (a typo here would "
+                "silently store all BPTT activations)"
+            )
         # False/'none': store all activations across the unroll
 
         def step(window, _):
             out = apply(params, window)
+            if self.postprocess is not None:
+                # same per-step transform as the eval-time Task.rollout:
+                # the fed-back state and the scored outputs must be the
+                # postprocessed (e.g. denormalized) ones on BOTH paths,
+                # or train and final-eval trajectories silently diverge
+                out = self.postprocess(out)
             window = jnp.concatenate([window[..., 1:], out], axis=-1)
             return window, out
 
         # PIT_ROLLOUT_UNROLL: unroll factor for the rollout scan (amortizes
         # per-step sequencing like the epoch scan's unroll=2; default 1 —
         # measured no win for the BPTT rollout, see BASELINE.md)
-        _unroll = int(os.environ.get("PIT_ROLLOUT_UNROLL", "1"))
+        _unroll = int(os.environ.get("PIT_ROLLOUT_UNROLL") or 1)
         _, outs = jax.lax.scan(
             step, batch["x"], None, length=self.rollout_steps,
             unroll=_unroll,
@@ -157,7 +179,10 @@ class Task:
         """Per-sample per-step relative Lp error matrix (B, steps).
 
         ``swap`` honors the reference drivers that pass (pred, true)
-        (train_vorticity.py:124) — it swaps the normalizing denominator."""
+        (train_vorticity.py:124) — it swaps the normalizing denominator.
+        ``ops.metrics.rel_norm_step`` is the L2 batch-mean reduction of
+        this matrix (kept separate as the TF parity surface); a change to
+        the norm arithmetic here must be mirrored there."""
         b, s = y.shape[0], y.shape[-1]
         t = y.reshape(b, -1, s)
         q = pred.reshape(b, -1, s)
@@ -165,7 +190,12 @@ class Task:
             t, q = q, t
         if self.loss_p == 1:
             return jnp.sum(jnp.abs(t - q), axis=1) / jnp.sum(jnp.abs(t), axis=1)
-        return jnp.linalg.norm(t - q, axis=1) / jnp.linalg.norm(t, axis=1)
+        if self.loss_p == 2:
+            return jnp.linalg.norm(t - q, axis=1) / jnp.linalg.norm(t, axis=1)
+        p = float(self.loss_p)  # honor the configured norm for any p
+        num = jnp.sum(jnp.abs(t - q) ** p, axis=1) ** (1.0 / p)
+        den = jnp.sum(jnp.abs(t) ** p, axis=1) ** (1.0 / p)
+        return num / den
 
     def loss_fn(self, params, geom, batch):
         """Batch-summed training loss (divide by n_samples outside)."""
@@ -262,7 +292,10 @@ def make_eval_epoch(
 
     ``metrics`` maps name -> fn(true, pred, weights=...) with batch-summed
     outputs; defaults to the task loss. Returns name -> scalar sum (divide
-    by n_test outside, matching the reference's convention).
+    by n_test outside, matching the reference's convention). Rollout
+    tasks (``task.rollout_steps > 0``) IGNORE ``metrics`` and return the
+    fixed stepwise set {loss, rel_l2_step, rel_l2_final} — one unroll
+    serves the loss and the reference's per-step diagnostics.
 
     ``n_valid``: number of real samples covered by ``perm``. The reference
     evaluates every test sample (torch DataLoader without drop_last,
@@ -314,7 +347,13 @@ def make_eval_epoch(
                 }
             if metrics is None:
                 pred = task.forward(state.params, geom, batch)
-                return None, {"loss": task._loss(batch["y"], pred, weights=w)}
+                loss = task._loss(batch["y"], pred, weights=w)
+                if task.batch_mean_loss:
+                    # keep this path batch-summed like every other eval
+                    # branch ('divide by n_test outside'): _loss divides
+                    # by the valid count for TF-family tasks, so undo it
+                    loss = loss * jnp.sum(w)
+                return None, {"loss": loss}
             pred = task.forward(state.params, geom, batch)
             return None, {
                 name: fn(batch["y"], pred, weights=w)
