@@ -6,7 +6,9 @@ preprocessing (reference: train_burgers.py:7-17, train_sod.py:7-21,
 train_darcy.py:7-23, train_vorticity.py:7-21, train_elasticity.py:7-16,
 train_naca.py:7-15, train_cylinder.py:8-16). Every loader falls back to the
 synthetic generators when the real files are absent (the bundled data are
-git-LFS stubs — SURVEY.md §2.3), so end-to-end training always runs.
+git-LFS stubs — SURVEY.md §2.3), so end-to-end training always runs; a
+fallback from an EXPLICITLY supplied path warns, so a typo'd --data-path
+cannot silently report synthetic losses as real-benchmark results.
 
 Returned arrays are host numpy float32; device placement happens once in the
 training loop, not per batch.
@@ -15,11 +17,14 @@ training loop, not per batch.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Tuple
 
 import numpy as np
 
 from position_induced_transformer_tpu.data import synthetic
+
+_LFS_POINTER = b"version https://git-lfs"
 
 
 def load_mat(path: str) -> dict:
@@ -35,17 +40,70 @@ def load_mat(path: str) -> dict:
         import h5py
 
         out = {}
+        skipped = []
         with h5py.File(path, "r") as f:
             for k, v in f.items():
                 if isinstance(v, h5py.Dataset):
                     # MATLAB HDF5 stores column-major; transpose to match loadmat
                     out[k] = np.array(v).T
+                elif not k.startswith("#"):
+                    skipped.append(k)
+        if skipped:
+            warnings.warn(
+                f"{path}: skipped non-array HDF5 entries {skipped} "
+                "(MATLAB structs/cells are not supported by this loader)",
+                stacklevel=2,
+            )
         return out
 
 
 def _is_real_file(path) -> bool:
-    # git-LFS pointer stubs are ~133 bytes; treat them as absent.
-    return path is not None and os.path.exists(path) and os.path.getsize(path) > 1024
+    """A usable data file: exists and is not a git-LFS pointer stub.
+
+    Stub detection reads the LFS pointer signature rather than relying on
+    a size threshold alone, so legitimately small real files (e.g. a tiny
+    elements.csv) are not silently rejected."""
+    if path is None or not os.path.exists(path):
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(len(_LFS_POINTER))
+    except OSError:
+        return False
+    return not head.startswith(_LFS_POINTER)
+
+
+def _warn_fallback(requested, name: str):
+    """Explicitly supplied data path(s) unusable -> warn before the
+    synthetic fallback. ``requested`` is the user's path argument (a path
+    or dir; None means 'use synthetic', which stays silent)."""
+    if requested is not None:
+        warnings.warn(
+            f"{name}: supplied data path {requested!r} is missing or a "
+            "git-LFS stub; falling back to SYNTHETIC data — results are "
+            "not real-benchmark numbers",
+            stacklevel=3,
+        )
+
+
+def _split(arrays, n: int, ntrain: int, ntest: int, name: str):
+    """Head-``ntrain`` / tail-``ntest`` split with validation: the
+    reference slices x[:ntrain] / x[-ntest:] (train_burgers.py:13-16),
+    which on an undersized file silently truncates the train split and
+    OVERLAPS it with the test split (leakage) — and ``[-0:]`` would
+    return everything. Raise instead."""
+    if ntest < 1 or ntrain < 1:
+        raise ValueError(f"{name}: ntrain/ntest must be >= 1")
+    if n < ntrain + ntest:
+        raise ValueError(
+            f"{name}: dataset has {n} samples but ntrain+ntest = "
+            f"{ntrain + ntest}; pass smaller --ntrain/--ntest"
+        )
+    out = []
+    for a in arrays:
+        out.append(a[:ntrain])
+        out.append(a[-ntest:])
+    return tuple(out)
 
 
 def burgers(path=None, ntrain=1024, ntest=128, L=1024) -> Tuple[np.ndarray, ...]:
@@ -54,8 +112,10 @@ def burgers(path=None, ntrain=1024, ntest=128, L=1024) -> Tuple[np.ndarray, ...]
         x = data["x"].astype(np.float32)[..., None]
         y = data["y"].astype(np.float32)[..., None]
     else:
+        _warn_fallback(path, "burgers")
         x, y = synthetic.burgers(n=ntrain + ntest, L=L)
-    return x[:ntrain], y[:ntrain], x[-ntest:], y[-ntest:]
+    x_tr, x_te, y_tr, y_te = _split((x, y), x.shape[0], ntrain, ntest, "burgers")
+    return x_tr, y_tr, x_te, y_te
 
 
 def sod(path=None, ntrain=1024, ntest=128, L=1024) -> Tuple[np.ndarray, ...]:
@@ -72,8 +132,10 @@ def sod(path=None, ntrain=1024, ntest=128, L=1024) -> Tuple[np.ndarray, ...]:
             )
             arr[..., 1] = arr[..., 1] / arr[..., 0]
     else:
+        _warn_fallback(path, "sod")
         x, y = synthetic.sod(n=ntrain + ntest, L=L)
-    return x[:ntrain], y[:ntrain], x[-ntest:], y[-ntest:]
+    x_tr, x_te, y_tr, y_te = _split((x, y), x.shape[0], ntrain, ntest, "sod")
+    return x_tr, y_tr, x_te, y_te
 
 
 def darcy(
@@ -81,20 +143,27 @@ def darcy(
 ) -> Tuple[np.ndarray, ...]:
     s = int(((421 - 1) / downsampling) + 1)
     if _is_real_file(train_path) and _is_real_file(test_path):
-        def slice_file(path, n):
+        def slice_file(path, n, what):
             data = load_mat(path)
             a = data["coeff"].astype(np.float32)
+            if a.shape[0] < n:
+                raise ValueError(
+                    f"darcy {what} file has {a.shape[0]} samples, "
+                    f"requested {n}"
+                )
             u = data["sol"].astype(np.float32)
             return (
                 a[:n, ::downsampling, ::downsampling][:, :s, :s][..., None],
                 u[:n, ::downsampling, ::downsampling][:, :s, :s][..., None],
             )
 
-        xtr, ytr = slice_file(train_path, ntrain)
-        xte, yte = slice_file(test_path, ntest)
+        xtr, ytr = slice_file(train_path, ntrain, "train")
+        xte, yte = slice_file(test_path, ntest, "test")
         return xtr, ytr, xte, yte
+    _warn_fallback(train_path or test_path, "darcy")
     x, y = synthetic.darcy(n=ntrain + ntest, s=s)
-    return x[:ntrain], y[:ntrain], x[-ntest:], y[-ntest:]
+    x_tr, x_te, y_tr, y_te = _split((x, y), x.shape[0], ntrain, ntest, "darcy")
+    return x_tr, y_tr, x_te, y_te
 
 
 def vorticity(
@@ -102,13 +171,23 @@ def vorticity(
 ) -> Tuple[np.ndarray, ...]:
     if _is_real_file(path):
         flow = load_mat(path)["u"].astype(np.float32)
+        if flow.shape[-1] < memory + steps:
+            raise ValueError(
+                f"vorticity file has {flow.shape[-1]} frames; the "
+                f"configured memory+rollout needs {memory + steps} — "
+                "targets would be silently truncated"
+            )
     else:
+        _warn_fallback(path, "vorticity")
         flow = synthetic.vorticity(n=ntrain + ntest, frames=memory + steps)
+    (flow_tr, flow_te) = _split(
+        (flow,), flow.shape[0], ntrain, ntest, "vorticity"
+    )
     return (
-        flow[:ntrain, :, :, :memory],
-        flow[:ntrain, :, :, memory : memory + steps],
-        flow[-ntest:, :, :, :memory],
-        flow[-ntest:, :, :, memory : memory + steps],
+        flow_tr[:, :, :, :memory],
+        flow_tr[:, :, :, memory : memory + steps],
+        flow_te[:, :, :, :memory],
+        flow_te[:, :, :, memory : memory + steps],
     )
 
 
@@ -122,23 +201,24 @@ def elasticity(
             for k in ("rr", "XY", "sigma")
         }
     if paths and all(_is_real_file(p) for p in paths.values()):
-        r = np.transpose(np.load(paths["rr"]), (1, 0))[:, None, :]
+        # cast BEFORE the (N, 972, 42) repeat: float64 would double the
+        # transient host allocation (~650 MB at the real 2000 samples)
+        r = np.transpose(np.load(paths["rr"]), (1, 0))[:, None, :].astype(
+            np.float32
+        )
         ext = np.transpose(np.load(paths["XY"]), (2, 0, 1)).astype(np.float32)
-        rvec = np.repeat(5 * r - 1, ext.shape[1], 1).astype(np.float32)
+        rvec = np.repeat(5 * r - 1, ext.shape[1], 1)
         X = np.concatenate([ext, rvec], axis=-1)
         Y = np.transpose(np.load(paths["sigma"]), (1, 0))[..., None].astype(
             np.float32
         )
     else:
+        _warn_fallback(dirpath, "elasticity")
         X, ext, Y = synthetic.elasticity(n=ntrain + ntest, L=n_points)
-    return (
-        X[:ntrain],
-        ext[:ntrain],
-        Y[:ntrain],
-        X[-ntest:],
-        ext[-ntest:],
-        Y[-ntest:],
+    X_tr, X_te, ext_tr, ext_te, Y_tr, Y_te = _split(
+        (X, ext, Y), X.shape[0], ntrain, ntest, "elasticity"
     )
+    return X_tr, ext_tr, Y_tr, X_te, ext_te, Y_te
 
 
 def naca(
@@ -163,17 +243,14 @@ def naca(
             .astype(np.float32)
         )
     else:
+        _warn_fallback(dirpath, "naca")
         coords, X, Y = synthetic.naca(
             n=ntrain + ntest, n_shape=n_shape, nx=nx, ny=ny
         )
-    return (
-        coords[:ntrain],
-        X[:ntrain],
-        Y[:ntrain],
-        coords[-ntest:],
-        X[-ntest:],
-        Y[-ntest:],
+    c_tr, c_te, X_tr, X_te, Y_tr, Y_te = _split(
+        (coords, X, Y), X.shape[0], ntrain, ntest, "naca"
     )
+    return c_tr, X_tr, Y_tr, c_te, X_te, Y_te
 
 
 def cylinder(
@@ -198,14 +275,26 @@ def cylinder(
     file is available a Delaunay triangulation of the synthetic mesh stands
     in so the plotting path stays exercised in CI.
     """
-    if _is_real_file(train_path) and _is_real_file(test_path):
+    real = (
+        _is_real_file(train_path)
+        and _is_real_file(test_path)
+        and _is_real_file(vertices_path)
+        and _is_real_file(vertices_small_path)
+    )
+    if real:
         tr = load_mat(train_path)["trajectories"].astype(np.float32)[:ntrain]
         te = load_mat(test_path)["trajectories"].astype(np.float32)[:ntest]
+        if tr.shape[0] < ntrain or te.shape[0] < ntest:
+            raise ValueError(
+                f"cylinder files have {tr.shape[0]}/{te.shape[0]} "
+                f"trajectories, requested {ntrain}/{ntest}"
+            )
         mesh = np.genfromtxt(vertices_path, delimiter=",").astype(np.float32)
         mesh_ltt = np.genfromtxt(vertices_small_path, delimiter=",").astype(
             np.float32
         )
     else:
+        _warn_fallback(train_path or test_path, "cylinder")
         traj, mesh, mesh_ltt = synthetic.cylinder(
             n_traj=ntrain + ntest, L=n_points, n_small=n_latent
         )
