@@ -222,8 +222,14 @@ def elasticity(
 
 
 def naca(
-    dirpath=None, ntrain=1000, ntest=200, nx=221, ny=51, n_shape=120
+    dirpath=None, ntrain=1000, ntest=200, nx=221, ny=51, n_shape=120,
+    mach=False,
 ) -> Tuple[np.ndarray, ...]:
+    """``mach=False``: targets are Q channels 0-3, the torch-family
+    convention (reference: train_naca.py). ``mach=True``: the single Mach
+    field Q[:, 4] — the TF reference's target
+    (tensorflow/6_NACA/utils.py:48 ``Q.npy[:,4,...][...,newaxis]``);
+    the synthetic fallback stands in with its first channel."""
     if dirpath is not None and all(
         _is_real_file(os.path.join(dirpath, f))
         for f in (
@@ -237,16 +243,18 @@ def naca(
         vx = np.load(os.path.join(dirpath, "NACA_Cylinder_X.npy"))[..., None]
         vy = np.load(os.path.join(dirpath, "NACA_Cylinder_Y.npy"))[..., None]
         X = np.concatenate([vx, vy], -1).astype(np.float32)
-        Y = (
-            np.load(os.path.join(dirpath, "NACA_Cylinder_Q.npy"))[:, :4]
-            .transpose(0, 2, 3, 1)
-            .astype(np.float32)
-        )
+        Q = np.load(os.path.join(dirpath, "NACA_Cylinder_Q.npy"))
+        if mach:
+            Y = Q[:, 4][..., None].astype(np.float32)
+        else:
+            Y = Q[:, :4].transpose(0, 2, 3, 1).astype(np.float32)
     else:
         _warn_fallback(dirpath, "naca")
         coords, X, Y = synthetic.naca(
             n=ntrain + ntest, n_shape=n_shape, nx=nx, ny=ny
         )
+        if mach:
+            Y = Y[..., :1]
     c_tr, c_te, X_tr, X_te, Y_tr, Y_te = _split(
         (coords, X, Y), X.shape[0], ntrain, ntest, "naca"
     )

@@ -225,7 +225,7 @@ def setup_darcy(
         # slice to the grid size first: sequence-parallel ZSSR decode pads
         # the query rows to a multiple of the mesh axis (parallel/sharding
         # sequence_shard_geometry pad=True); harmless when unpadded
-        out = out[:, : s * s].reshape(out.shape[0], s, s, 1)
+        out = out[:, : s * s].reshape(out.shape[0], s, s, -1)
         return y_norm.denormalize(out)
 
     task = Task(model=model, postprocess=denorm, **_task_kwargs(cfg))
@@ -285,9 +285,7 @@ def setup_elasticity(
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
-        return dataclasses.replace(
-            g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
-        )
+        return g  # no precomputed thresholds here (see NOTE below)
 
     # NOTE: precomputed per-sample thresholds (as in setup_naca) were
     # measured NO faster here (0.96x — at L=972 the extra (B, L, 1)
@@ -326,7 +324,7 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         mesh_ltt = jnp.asarray(ltt)
         mesh_out = jnp.asarray(out)
         d = {
-            "x": jnp.asarray(coords),
+            "x": mesh_in,  # same array as mesh_in: one device buffer
             "mesh_in": mesh_in,
             "mesh_ltt": mesh_ltt,
             "mesh_out": mesh_out,
@@ -378,8 +376,14 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
 def setup_cylinder(
     cfg, data_path=None, ntrain=None, ntest=None, n_points=4390, n_latent=896
 ) -> Problem:
-    n_traj_train = max(1, (ntrain or cfg.ntrain) // 10)
-    n_traj_test = max(1, (ntest or cfg.ntest) // 10)
+    ntrain_req = ntrain or cfg.ntrain
+    ntest_req = ntest or cfg.ntest
+    # the reference trajectories carry 11 frames -> 10 one-step pairs each
+    # (train_cylinder.py:8-16); over-request by that heuristic, then trim
+    # to the EXACT requested sample counts below (a file with a different
+    # frame count yields a different pairs-per-trajectory)
+    n_traj_train = max(1, -(-ntrain_req // 10))
+    n_traj_test = max(1, -(-ntest_req // 10))
     paths = (None,) * 4
     elements_path = None
     if data_path:
@@ -394,6 +398,8 @@ def setup_cylinder(
         *paths, ntrain=n_traj_train, ntest=n_traj_test,
         n_points=n_points, n_latent=n_latent, elements_path=elements_path,
     )
+    x_tr, y_tr = x_tr[:ntrain_req], y_tr[:ntrain_req]
+    x_te, y_te = x_te[:ntest_req], y_te[:ntest_req]
     geom = build_geometry_host(
         mesh, mesh_ltt, mesh,
         metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
@@ -421,9 +427,14 @@ def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     )
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
-    L = (cfg.grid or (1024,))[0]
     Lt = (cfg.latent_grid or (1024,))[0]
-    x_tr, y_tr, x_te, y_te = loaders.burgers(data_path, ntrain, ntest, L=L)
+    x_tr, y_tr, x_te, y_te = loaders.burgers(
+        data_path, ntrain, ntest, L=(cfg.grid or (1024,))[0]
+    )
+    # mesh resolution follows the DATA (a real file at another length
+    # would otherwise crash deep inside the attention einsum); cfg.grid
+    # only sizes the synthetic fallback — same convention as setup_sod
+    L = x_tr.shape[1]
     geom = tf_precompute_thresholds(
         TFGeometry(
             m_qry=pairwise_dist_periodic_1d(L, L),
@@ -469,9 +480,13 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     from position_induced_transformer_tpu.ops import euclidean_sq
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
-    L = (cfg.grid or (2048,))[0]
     Lt = (cfg.latent_grid or (1024,))[0]
-    x_tr, y_tr, x_te, y_te = loaders.sod(data_path, ntrain, ntest, L=L)
+    x_tr, y_tr, x_te, y_te = loaders.sod(
+        data_path, ntrain, ntest, L=(cfg.grid or (2048,))[0]
+    )
+    # mesh resolution follows the DATA (cfg.grid sizes the synthetic
+    # fallback only — same convention as setup_sod/setup_burgers_tf)
+    L = x_tr.shape[1]
     # TF variant predicts a single variable (Y[..., newaxis] of one field)
     y_tr, y_te = y_tr[..., :1], y_te[..., :1]
     g = lambda n: jnp.asarray(meshes.grid_1d(n))
@@ -717,11 +732,12 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     )
 
     ntrain, ntest = ntrain or cfg.ntrain, ntest or cfg.ntest
+    # mach=True: the single Mach field Q[:, 4] — the TF reference's
+    # target (tensorflow/6_NACA/utils.py:48), NOT channel 0 of the
+    # torch-family 4-channel slice
     c_tr, X_tr, Y_tr, c_te, X_te, Y_te = loaders.naca(
-        data_path, ntrain, ntest, nx=cfg.grid[0], ny=cfg.grid[1]
+        data_path, ntrain, ntest, nx=cfg.grid[0], ny=cfg.grid[1], mach=True
     )
-    # single output variable (the Mach number channel)
-    Y_tr, Y_te = Y_tr[..., :1], Y_te[..., :1]
     nx, ny = X_tr.shape[1], X_tr.shape[2]
     lx, ly = cfg.latent_grid
     grid_q = jnp.asarray(meshes.grid_2d_rect(nx, ny))

@@ -140,6 +140,15 @@ def test_naca_real_npy_layout(tmp_path):
     np.testing.assert_allclose(
         Y_te, q[-2:, :4].transpose(0, 2, 3, 1).astype(np.float32)
     )
+    # mach=True: the single Q[:, 4] Mach field (the TF reference's
+    # target, tensorflow/6_NACA/utils.py:48) — NOT channel 0 of Q[:, :4]
+    _, _, Ym_tr, _, _, Ym_te = loaders.naca(
+        str(tmp_path), ntrain=3, ntest=2, mach=True
+    )
+    assert Ym_tr.shape == (3, nx, ny, 1)
+    np.testing.assert_allclose(
+        Ym_te[..., 0], q[-2:, 4].astype(np.float32)
+    )
 
 
 def test_undersized_real_file_raises(tmp_path):
