@@ -30,6 +30,8 @@ Layout notes (TPU-first):
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Any
 
 import jax
@@ -47,6 +49,11 @@ from position_induced_transformer_tpu.ops.posatt import position_attention
 def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
     """A 1-D ('stage',) mesh over the first ``n_stages`` devices."""
     devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_stages:
+        raise ValueError(
+            f"stage mesh needs {n_stages} devices but only "
+            f"{len(devices)} are available"
+        )
     return Mesh(np.array(devices[:n_stages]), ("stage",))
 
 
@@ -163,18 +170,56 @@ def pipeline_task(task, mesh: Mesh, n_micro: int):
     )
 
 
+def _pick_n_micro(batch_size: int, n_stages: int) -> int:
+    """Microbatch count for the GPipe schedule.
+
+    Default: ``n_stages`` microbatches when the batch divides evenly —
+    the configuration the recorded parity/evidence runs used. When it
+    does not divide, fall back to the LARGEST divisor of the batch in
+    [2, n_stages] rather than silently running the stages strictly
+    serially (n_micro=1 idles K-1 devices every tick and is slower than
+    no mesh at all). ``PIT_PP_MICRO`` overrides for tuning — the GPipe
+    bubble fraction is (S-1)/(m+S-1), so more microbatches amortize the
+    fill/drain at the cost of smaller per-tick matmuls (unmeasured on
+    this hardware; hence a knob, not a new default)."""
+    env = os.environ.get("PIT_PP_MICRO")
+    if env:
+        return int(env)
+    if batch_size <= 1:
+        return 1
+    if batch_size % n_stages == 0:
+        return n_stages
+    for m in range(min(batch_size, n_stages), 1, -1):
+        if batch_size % m == 0:
+            return m
+    warnings.warn(
+        f"pipeline batch {batch_size} has no divisor in [2, {n_stages}]; "
+        "the GPipe schedule runs with ONE microbatch (stages strictly "
+        "sequential — expect no speedup). Pick a batch size divisible "
+        "by the stage count.",
+        stacklevel=3,
+    )
+    return 1
+
+
 def enable_pipeline(problem, state, mesh: Mesh, batch_size: int = 0):
     """Switch a problem onto the GPipe pipeline ('stage=K' mesh spec) —
     the one place the runner, evaluator and infer entry points share.
 
-    Swaps ``problem.task`` for the pipelined one, replicates ``state``
-    and the fixed geometry over the pipeline mesh (the schedule is a
-    shard_map over its own 1-D mesh, so GSPMD data/param sharding is
-    bypassed), and picks the microbatch count: ``K`` microbatches when
-    ``batch_size`` divides evenly (training), else 1 (eval/infer batch
-    shapes vary with the tail). Returns ``(state, n_micro)``; callers
-    must then treat the problem as unsharded (``mesh = None``).
+    Swaps ``problem.task`` for the pipelined one; replicates ``state``,
+    the fixed geometry AND the problem's data splits over the pipeline
+    mesh (the schedule is a shard_map over its own 1-D mesh, so GSPMD
+    data/param sharding is bypassed, and jit arguments must share the
+    mesh-wide placement); picks the microbatch count from ``batch_size``
+    (:func:`_pick_n_micro`). Returns ``(state, n_micro)``; callers must
+    then treat the problem as unsharded (``mesh = None``).
     """
+    if getattr(problem.task, "pp_micro", 0):
+        raise ValueError(
+            "this problem is already pipeline-parallel (enable_pipeline "
+            "was called on it before); build a fresh Problem to change "
+            "the stage mesh"
+        )
     if problem.task.apply_fn is not None or problem.task.geom_fn is not None:
         raise ValueError(
             "pipeline parallelism ('stage=K') supports the torch-family "
@@ -187,11 +232,13 @@ def enable_pipeline(problem, state, mesh: Mesh, batch_size: int = 0):
     )
 
     n_stages = mesh.shape["stage"]
-    n_micro = n_stages if batch_size and batch_size % n_stages == 0 else 1
+    n_micro = _pick_n_micro(batch_size, n_stages)
     problem.task = pipeline_task(problem.task, mesh, n_micro)
     state = replicate_tree(mesh, state)
     if problem.geom is not None:
         problem.geom = replicate_tree(mesh, problem.geom)
+    problem.train_data = replicate_tree(mesh, problem.train_data)
+    problem.test_data = replicate_tree(mesh, problem.test_data)
     return state, n_micro
 
 
@@ -199,7 +246,11 @@ def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
     """(params, geom, x) -> out: the full PiT forward with the processor
     pipelined over the mesh's 'stage' axis (encoder/decoder replicated).
     Mirrors models/pit.py PiT.__call__ exactly (instance norm placement,
-    residual output)."""
+    residual output). MAINTENANCE CONTRACT: any new composition flag
+    added to PiT.__call__ must be mirrored here, or the pipelined
+    forward silently diverges from single-device — extend
+    tests/test_parallel.py test_pipeline_with_instance_norm_and_residual
+    alongside."""
     from position_induced_transformer_tpu.ops.normalization import (
         instance_norm,
     )

@@ -146,7 +146,13 @@ def evaluate(
             enable_pipeline,
         )
 
-        state, _ = enable_pipeline(problem, state, mesh)
+        # serving-convention batch size => K microbatches (predict
+        # pads every batch to a fixed size, so the schedule always sees
+        # divisible batches)
+        state, _ = enable_pipeline(
+            problem, state, mesh,
+            batch_size=cfg.eval_batch_size or cfg.batch_size,
+        )
         mesh = None
     pred_mesh = mesh
     if mesh is not None:
@@ -564,11 +570,7 @@ class Predictor:
             state, _ = enable_pipeline(
                 problem, state, mesh,
                 batch_size=cfg.eval_batch_size or cfg.batch_size,
-            )
-            # the GPipe schedule owns its own 1-D mesh; warmup/test data
-            # replicate over it (mirrors runner.train's stage branch)
-            problem.train_data = replicate_tree(mesh, problem.train_data)
-            problem.test_data = replicate_tree(mesh, problem.test_data)
+            )  # also replicates geom + data splits over the stage mesh
             mesh = None
         elif mesh is not None:
             # jit arguments must share a placement: params, geometry and

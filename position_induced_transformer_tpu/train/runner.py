@@ -169,9 +169,7 @@ def train(
 
         state, pp_micro = enable_pipeline(
             problem, state, mesh, batch_size=cfg.batch_size
-        )
-        problem.train_data = replicate_tree(mesh, problem.train_data)
-        problem.test_data = replicate_tree(mesh, problem.test_data)
+        )  # also replicates geom + data splits over the stage mesh
         mesh = None  # no 'data' axis: epoch functions run unsharded inputs
     elif mesh is not None:
         n_data = data_axis_size(mesh)
