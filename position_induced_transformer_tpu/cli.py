@@ -312,6 +312,13 @@ def main(argv=None):
         help="autoregressive rollout horizon (default: the benchmark's "
         "configured horizon; 0 disables rollout)",
     )
+    p_inf.add_argument(
+        "--zssr-downsampling", type=int, default=None,
+        help="run inference at another mesh resolution (benchmarks whose "
+        "setup declares 'downsampling', e.g. darcy: 1 = full 421^2); the "
+        "input batch must be grid-shaped at that resolution — training "
+        "normalizer statistics resize internally (ZSSR deployment)",
+    )
 
     p_srv = sub.add_parser(
         "serve",
@@ -509,6 +516,9 @@ def main(argv=None):
     if args.command == "infer":
         from position_induced_transformer_tpu.train import evaluate
 
+        setup_kwargs = None
+        if args.zssr_downsampling is not None:
+            setup_kwargs = {"downsampling": args.zssr_downsampling}
         result = evaluate.infer(
             args.benchmark,
             checkpoint_path=args.checkpoint,
@@ -520,6 +530,7 @@ def main(argv=None):
             data_path=args.data_path,
             mesh=args.mesh,
             model_variant=args.model_variant,
+            setup_kwargs=setup_kwargs,
         )
         print(json.dumps(result))
         return 0

@@ -203,7 +203,10 @@ def evaluate(
         true.reshape(n, -1, out_dim), pred.reshape(n, -1, out_dim)
     )
     result["rel_l1_quartiles"] = [float(q25), float(q50), float(q75)]
-    if cfg.name == "cylinder" and "test_trajectories" in problem.extras:
+    # capability gate, not a name gate: any benchmark (incl. registered
+    # user problems) providing raw test trajectories gets the closed-loop
+    # eval rollout
+    if "test_trajectories" in problem.extras:
         result.update(_cylinder_rollout(cfg, problem, state))
     from position_induced_transformer_tpu.parallel.multihost import (
         is_main,
@@ -227,16 +230,31 @@ def evaluate(
 
 def _cylinder_rollout(cfg, problem, state):
     """10-step closed-loop rollout from each test trajectory's initial state
-    (reference: train_cylinder.py:137-157)."""
+    (reference: train_cylinder.py:137-157). Runs in padded batches of the
+    eval batch size (rounded to any pipeline microbatch count) rather than
+    one giant jit call — trajectory counts need not divide the GPipe
+    schedule, and one (N, L, 3, steps) unroll at full N is HBM-hungry."""
     import jax
 
+    from position_induced_transformer_tpu.train.runner import (
+        padded_batches,
+        round_batch,
+    )
+
     traj = np.asarray(problem.extras["test_trajectories"])  # (N, L, 3, T)
+    n = traj.shape[0]
     steps = traj.shape[-1] - 1
+    bs = min(cfg.eval_batch_size or cfg.batch_size, n)
+    bs = round_batch(bs, getattr(problem.task, "pp_micro", 0) or 1)
     rollout = jax.jit(
         lambda p, g, x: problem.task.rollout(p, g, x, steps)
     )
     x0 = traj[..., 0]  # (N, L, 3)
-    pred = np.asarray(rollout(state.params, problem.geom, x0))  # (N, L, 3, steps)
+    preds = [
+        np.asarray(rollout(state.params, problem.geom, x0[idx]))
+        for idx in padded_batches(n, bs)
+    ]
+    pred = np.concatenate(preds, axis=0)[:n]  # (N, L, 3, steps)
     true = traj[..., 1:]
     from position_induced_transformer_tpu.ops.metrics import rel_norm_step
 
@@ -261,8 +279,12 @@ def _evaluate_rollout(
         rel_norm_traj,
     )
 
+    from position_induced_transformer_tpu.train.runner import round_batch
+
     steps = cfg.rollout_steps
     bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)
+    # pipelined task: every padded batch must split into microbatches
+    bs = round_batch(bs, getattr(problem.task, "pp_micro", 0) or 1)
     data = problem.test_data
     n = data["x"].shape[0]
     if mesh is not None:
@@ -271,8 +293,7 @@ def _evaluate_rollout(
             shard_batch,
         )
 
-        n_data = data_axis_size(mesh)
-        bs = max(n_data, bs - bs % n_data)
+        bs = round_batch(bs, data_axis_size(mesh))
 
         rollout = jax.jit(
             lambda p, g, x: problem.task.rollout(
@@ -376,14 +397,22 @@ def _prepare_inputs(problem, x: np.ndarray):
 
     x = np.asarray(x, np.float32)
     if problem.x_normalizer is not None:
-        gs = tuple(problem.x_normalizer.mean.shape[1:])  # (h, w, C)
-        if x.shape[1:] != gs:
-            if int(np.prod(x.shape[1:])) != int(np.prod(gs)):
-                raise ValueError(
-                    f"input sample shape {tuple(x.shape[1:])} is "
-                    f"incompatible with the benchmark grid {gs}"
-                )
-            x = x.reshape((x.shape[0],) + gs)
+        gs = tuple(problem.x_normalizer.mean.shape[1:])  # stats grid (h, w, C)
+        if x.ndim - 1 == len(gs) and x.shape[-1] == gs[-1]:
+            # grid-shaped input at ITS OWN resolution: the normalizer's
+            # statistics bilinearly resize on apply (PixelWiseNormalizer
+            # _stats_for), so ZSSR-resolution inference works — the
+            # problem's grid may legitimately differ from the stats grid
+            pass
+        elif int(np.prod(x.shape[1:])) == int(np.prod(gs)):
+            x = x.reshape((x.shape[0],) + gs)  # flattened training-res input
+        else:
+            raise ValueError(
+                f"input sample shape {tuple(x.shape[1:])} is "
+                f"incompatible: expected a grid-shaped batch "
+                f"(..., h, w, {gs[-1]}) or a flattened batch of the "
+                f"training resolution {gs}"
+            )
         # normalize on the host backend: request prep must not make
         # eager accelerator round-trips (same rationale as Predictor's
         # host_setup_context startup)
@@ -551,6 +580,9 @@ class Predictor:
             # (seconds to minutes on a degraded relay)
             required_keys = frozenset(_required_geometry_keys(problem))
         state = TrainState(params, None, 0)
+        # the training split's job is done (normalizer refit inside
+        # setup); don't upload/pin it on device for the serving lifetime
+        problem.train_data = {}
 
         from position_induced_transformer_tpu.parallel.sharding import (
             parse_mesh_spec,
@@ -618,21 +650,20 @@ class Predictor:
         # the one warmed executable — a fresh XLA compile per distinct
         # request size would stall seconds-to-minutes through a degraded
         # TPU relay (serve.py warms exactly this shape at startup)
+        from position_induced_transformer_tpu.train.runner import round_batch
+
         if batch_size is not None and batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         bs = batch_size or self.cfg.eval_batch_size or self.cfg.batch_size
-        n_micro = getattr(self.problem.task, "pp_micro", 0)
-        if n_micro:
-            # pipeline-parallel forward: every padded batch must split
-            # into the GPipe schedule's microbatches
-            bs = max(n_micro, bs - bs % n_micro)
+        # pipeline-parallel forward: every padded batch must split into
+        # the GPipe schedule's microbatches
+        bs = round_batch(bs, getattr(self.problem.task, "pp_micro", 0) or 1)
         if self.mesh is not None:
             from position_induced_transformer_tpu.parallel.sharding import (
                 data_axis_size,
             )
 
-            nd = data_axis_size(self.mesh)
-            bs = max(nd, bs - bs % nd)
+            bs = round_batch(bs, data_axis_size(self.mesh))
         return bs
 
     def predict_array(
@@ -726,6 +757,13 @@ def infer(
     long-lived process serving many requests, hold a :class:`Predictor`
     (or run the ``serve`` CLI) instead of calling this per batch.
     """
+    if output_path and not output_path.endswith((".npy", ".mat")):
+        # pure string check: fail BEFORE the compile + full device run,
+        # not after (a typo'd extension used to discard the predictions)
+        raise ValueError(
+            f"unsupported output format {output_path!r} "
+            "(expected .npy or .mat)"
+        )
     predictor = Predictor(
         config, checkpoint_path, data_path=data_path,
         setup_kwargs=setup_kwargs, mesh=mesh, model_variant=model_variant,

@@ -6,7 +6,7 @@ import os
 import numpy as np
 
 from position_induced_transformer_tpu import configs
-from position_induced_transformer_tpu.train import evaluate, runner
+from position_induced_transformer_tpu.train import benchmarks, evaluate, runner
 
 
 def test_vorticity_rollout_evaluation(tmp_path):
@@ -104,6 +104,49 @@ def test_infer_darcy_normalizes_raw_inputs(tmp_path):
 
     pred = loadmat(os.path.join(tmp_path, "pred.mat"))["pred"]
     want = runner.predict(problem, state)
+    np.testing.assert_allclose(pred, want, rtol=1e-4, atol=1e-5)
+
+
+def test_infer_zssr_resolution(tmp_path):
+    """Deployment inference at a FINER resolution than training: the
+    checkpoint's training-resolution normalizer statistics bilinearly
+    resize on apply, so a grid-shaped raw batch at the ZSSR resolution
+    must work (previously _prepare_inputs rejected any resolution other
+    than the stats grid) and match predict() on the ZSSR problem."""
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(
+        configs.DARCY,
+        model=dataclasses.replace(configs.DARCY.model, hid_dim=16, n_blocks=2),
+        latent_grid=(8, 8), batch_size=4,
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=4, verbose=False, checkpoint_path=path,
+        setup_kwargs={"downsampling": 42},  # train at 11^2
+    )
+    # the ZSSR problem at 21^2 with the checkpoint's 11^2 statistics
+    zssr_problem = benchmarks.setup(
+        cfg, None, ntrain=4, ntest=4, downsampling=21,
+        normalizers=(problem.x_normalizer, problem.y_normalizer),
+    )
+    s2 = zssr_problem.extras["s"]
+    x_norm_flat = np.asarray(zssr_problem.test_data["x"])
+    raw = np.asarray(
+        problem.x_normalizer.denormalize(
+            jnp.asarray(x_norm_flat.reshape(-1, s2, s2, 1))
+        )
+    )
+    inp = os.path.join(tmp_path, "inp21.npy")
+    np.save(inp, raw)
+    res = evaluate.infer(
+        cfg, checkpoint_path=path, input_path=inp,
+        output_path=os.path.join(tmp_path, "pred21.npy"),
+        setup_kwargs={"downsampling": 21},
+    )
+    pred = np.load(os.path.join(tmp_path, "pred21.npy"))
+    want = runner.predict(zssr_problem, state)
+    assert pred.shape == (4, s2, s2, 1)
     np.testing.assert_allclose(pred, want, rtol=1e-4, atol=1e-5)
 
 
