@@ -203,7 +203,9 @@ class SelfMultiHeadPosAtt(nn.Module):
     locality: float  # percentile, >100 = global
 
     @nn.compact
-    def __call__(self, dist: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
+    ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
         shape = (self.n_head, inputs.shape[-1], v_dim)
         # band_width/query/key take the keras add_weight DEFAULT init
@@ -215,14 +217,24 @@ class SelfMultiHeadPosAtt(nn.Module):
         k = self.param("key", glorot, shape)
         w = self.param("weight", he_normal_tf, shape)
 
-        scaled = dist * jnp.tan(r)
+        sc = jnp.tan(r)  # sign-indefinite before the NonNeg projection
+        scaled = dist * sc
         if self.locality <= 100:
-            mask = jnp.quantile(
-                scaled, self.locality / 100.0, axis=-1, keepdims=True
-            )
-            scaled = jnp.where(
-                scaled <= mask, scaled, jnp.finfo(jnp.float32).max
-            )
+            if thr is not None:
+                # setup-time dual (p, 1-p) quantiles + per-head sign-aware
+                # rescale — identical mask, no in-step (H, L, L) sort
+                # (same machinery as MultiHeadPosAtt's 'tan' bandwidth)
+                t = jnp.where(sc >= 0, sc * thr[:, :1], sc * thr[:, 1:])
+                scaled = jnp.where(
+                    scaled <= t, scaled, jnp.finfo(jnp.float32).max
+                )
+            else:
+                mask = jnp.quantile(
+                    scaled, self.locality / 100.0, axis=-1, keepdims=True
+                )
+                scaled = jnp.where(
+                    scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+                )
         Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
         K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
         V = jnp.einsum("bnj,hjk->bhnk", inputs, w)
@@ -291,7 +303,7 @@ class PiTTF(nn.Module):
         if kind == "hybrid":
             return SelfMultiHeadPosAtt(
                 self.n_head, self.hid_dim, locality, name=name
-            )(dist, x)
+            )(dist, x, thr)
         raise ValueError(f"unknown attention kind {kind!r}")
 
     @nn.compact

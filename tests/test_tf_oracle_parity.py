@@ -122,6 +122,37 @@ def test_pittf_precomputed_thresholds_match_oracle_and_incall():
     )
 
 
+def test_selfpit_precomputed_thresholds_match_incall():
+    """The hybrid (selfpit) attention's hoisted thresholds reproduce the
+    in-call-quantile path exactly — including a NEGATIVE tan-bandwidth
+    head (pre-NonNeg-projection: quantile(s*d, p) = s*quantile(d, 1-p))."""
+    rng = np.random.default_rng(9)
+    mesh, geom = _geom(rng, lq=20, ll=20)  # selfpit: latent == query
+    en_loc, de_loc = 30.0, 45.0
+    model = PiTTF(
+        out_dim=1, hid_dim=16, n_head=2,
+        locality_encoder=en_loc, locality_decoder=de_loc,
+        n_blocks=1, use_decoder_selfatt=True,
+        processor_attention="hybrid", coder_attention="hybrid",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 20, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), geom, mesh, x)["params"]
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, a: (
+            jnp.asarray([[[-0.4]], [[0.3]]], jnp.float32)
+            if any(getattr(k, "key", None) == "band_width" for k in p)
+            else a
+        ),
+        params,
+    )
+    plain = jax.jit(model.apply)({"params": params}, geom, mesh, x)
+    geom_thr = tf_precompute_thresholds(geom, en_loc, de_loc)
+    hoisted = jax.jit(model.apply)({"params": params}, geom_thr, mesh, x)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pittf_point_cloud_matches_numpy_oracle():
     """Elasticity-family point-cloud model (per-sample dist^2/2 built from
     the first two input channels) vs the oracle."""
