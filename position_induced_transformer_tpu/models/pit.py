@@ -99,9 +99,18 @@ def _dispatch_posatt(
     import jax
 
     mode = os.environ.get("PIT_FUSED_MODE", "auto")
+    if mode not in ("auto", "always", "never"):
+        raise ValueError(
+            f"unrecognized PIT_FUSED_MODE {mode!r}; expected "
+            "auto|always|never (a typo here would silently measure the "
+            "wrong dispatch path)"
+        )
     on_tpu = jax.default_backend() == "tpu"
     if dist is None:  # lazy batched geometry: raw per-sample coordinates
-        if fused and mode != "never" and on_tpu:
+        # 'always' is the operator override: it forces the kernel even
+        # when the module's fused flag is False (direct PiT construction
+        # defaults fused_kernel=False, unlike configs.ModelConfig)
+        if (mode == "always" or (fused and mode != "never")) and on_tpu:
             from position_induced_transformer_tpu.kernels import (
                 position_attention_batched,
             )
@@ -118,8 +127,11 @@ def _dispatch_posatt(
 
         dist = pairwise_sq_dist(mesh_q, mesh_k)
         if locality < 1.0 and thr is None:
+            # per-step top-k; precomputed Geometry.thr_* skip this (the
+            # per-sample meshes are constant — setups hoist where it
+            # pays, ops/locality.batched_topk_thresholds)
             thr = topk_threshold(dist, locality)
-    elif fused and mode == "always" and dist.ndim == 2 and on_tpu:
+    elif mode == "always" and dist.ndim == 2 and on_tpu:
         from position_induced_transformer_tpu.kernels import (
             position_attention_fixed,
         )
@@ -177,7 +189,9 @@ class PiT(nn.Module):
     - decoder: cross-posatt up -> MLP(H*hid -> hid -> out_dim)
     """
 
-    space_dim: int
+    space_dim: int  # informational: actual coordinate dims come from the
+    # Geometry/input arrays (kept for config symmetry with the reference
+    # constructors, pit.py:161)
     in_dim: int
     out_dim: int
     hid_dim: int
@@ -189,6 +203,11 @@ class PiT(nn.Module):
     use_instance_norm: bool = False
     residual_output: bool = False
     fused_kernel: bool = False  # fused Pallas posatt (fixed meshes, TPU)
+    # MAINTENANCE CONTRACT: the composition below (instance-norm
+    # placement, residual source, concat order) is mirrored by the
+    # stage-parallel forward in parallel/pipeline.make_pipelined_apply —
+    # any new composition flag must be applied there too, with a case in
+    # tests/test_parallel.py test_pipeline_with_instance_norm_and_residual
 
     def setup(self):
         self.down = PosAttCross(self.n_head, self.en_loc, self.fused_kernel)
