@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, Mapping
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -29,8 +28,9 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
       conv.<i>.lmda        -> conv_<i>/lmda
       mlp.<i>.mlpN.*       -> mlp_<i>/mlpN/*
       up.lmda, de.mlpN.*   -> up/lmda, de/mlpN/*
-      norm.*               -> dropped (InstanceNorm1d has no params with the
-                              reference's affine=False default)
+      norm.*               -> rejected with a clear error (the reference's
+                              InstanceNorm1d is affine=False and has no
+                              parameters; affine weights cannot be imported)
     """
     params: Dict = {}
 
@@ -38,7 +38,10 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
         node = params
         for key in path[:-1]:
             node = node.setdefault(key, {})
-        node[path[-1]] = jnp.asarray(value)
+        # host numpy: this is a pure format conversion — jnp.asarray would
+        # bounce every tensor through the default device (slow through the
+        # TPU relay) and silently downcast float64 to float32
+        node[path[-1]] = np.asarray(value)
 
     for raw_name, value in state.items():
         name = _strip_compile_prefix(raw_name)
@@ -47,8 +50,10 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
         if parts[-1] == "lmda":
             if parts[0] in ("down", "up"):
                 put((parts[0], "lmda"), arr)
-            else:  # conv.<i>.lmda
-                put((f"{parts[0]}_{parts[1]}", "lmda"), arr)
+            elif parts[0] == "conv" and len(parts) == 3:  # conv.<i>.lmda
+                put((f"conv_{parts[1]}", "lmda"), arr)
+            else:
+                raise KeyError(f"unrecognized reference parameter {name!r}")
         elif parts[-1] in ("weight", "bias"):
             leaf = "kernel" if parts[-1] == "weight" else "bias"
             if leaf == "kernel":
@@ -58,7 +63,15 @@ def torch_state_dict_to_flax(state: Mapping[str, np.ndarray]) -> Dict:
             elif parts[0] == "mlp":  # mlp.<i>.mlp1.weight
                 put((f"mlp_{parts[1]}", parts[2], leaf), arr)
             elif parts[0] == "norm":
-                continue
+                # the reference's InstanceNorm1d is affine=False
+                # (train_vorticity.py:43) and carries no parameters; an
+                # AFFINE norm's learned scale/shift cannot be imported —
+                # dropping them silently would diverge numerically
+                raise KeyError(
+                    f"cannot import {name!r}: the reference uses "
+                    "InstanceNorm1d(affine=False); an affine norm's "
+                    "parameters have no counterpart here"
+                )
             else:
                 raise KeyError(f"unrecognized reference parameter {name!r}")
         else:
