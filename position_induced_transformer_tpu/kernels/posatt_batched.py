@@ -274,7 +274,14 @@ def _posatt_batched_bwd_raw(
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # batch dim ARBITRARY, not parallel: the dScale output is one
+            # full un-indexed (B, H) SMEM window shared by every grid
+            # step; splitting b across TensorCores (v4/v5p megacore)
+            # would give each core its own copy with only its rows
+            # written — last copy-back clobbers the others. The
+            # fixed-mesh dScale kernel makes the same choice
+            # (posatt_pallas.py).
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
@@ -507,6 +514,12 @@ def _posatt_tf_raw(dist, thr, scale, values, *, interpret=False):
     H = scale.shape[0]
     B, L_out, L_in = dist.shape
     HV = values.shape[-1]
+    if HV % H:
+        raise ValueError(
+            f"values feature dim {HV} is not divisible by n_head {H}; "
+            "the per-head output slices would leave trailing columns "
+            "UNWRITTEN (uninitialized memory, not an error)"
+        )
     V = HV // H
     TLo = min(_round_up(L_out, 8), 256)
     dist_p, thr_p, v_p, Lo_p, Li_p = _tf_pad(dist, thr, values, TLo)
@@ -546,6 +559,11 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
     H = scale.shape[0]
     B, L_out, L_in = dist.shape
     HV = values.shape[-1]
+    if HV % H:
+        raise ValueError(
+            f"values feature dim {HV} is not divisible by n_head {H} "
+            "(trailing dValues columns would be uninitialized)"
+        )
     V = HV // H
     TLo = min(_round_up(L_out, 8), 256)
     dist_p, thr_p, v_p, Lo_p, Li_p = _tf_pad(dist, thr, values, TLo)
@@ -575,7 +593,10 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # ARBITRARY batch dim: see the coordinate bwd kernel above —
+            # the un-indexed (B, H) dScale window must not be revisited
+            # across a megacore-partitioned dimension
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
