@@ -95,7 +95,7 @@ def _posatt_kernel(
         out_ref[0, 0] = acc_ref[:] / l_ref[:]
 
 
-def _pick_tiles(L_out: int, L_in: int, D: int):
+def _pick_tiles(L_out: int, L_in: int):
     TLo = min(_round_up(L_out, 8), 256)
     TLi = min(_round_up(L_in, 128), 512)
     return TLo, TLi
@@ -117,7 +117,7 @@ def _posatt_fixed_raw(dist, thr, scale, u, *, interpret=False):
     H = scale.shape[0]
     B, L_in, D = u.shape
     L_out = dist.shape[0]
-    TLo, TLi = _pick_tiles(L_out, L_in, D)
+    TLo, TLi = _pick_tiles(L_out, L_in)
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
 
     # pad: distance pad rows/cols get +inf distance (masked everywhere);
@@ -153,8 +153,11 @@ def _posatt_fixed_raw(dist, thr, scale, u, *, interpret=False):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * B * Lo_p * Li_p * D + 5 * H * B * Lo_p * Li_p,
+            # dist's index map ignores (h, b) but the block changes every
+            # j step, so v1 genuinely re-fetches the tile H*B times —
+            # that re-streaming is exactly why v2/v3 fold the batch/heads
             bytes_accessed=4
-            * (H * B * Lo_p * Li_p // max(1, B) + B * Li_p * D + H * B * Lo_p * D),
+            * (H * B * Lo_p * Li_p + B * Li_p * D + H * B * Lo_p * D),
             transcendentals=H * B * Lo_p * Li_p,
         ),
         interpret=interpret,
@@ -213,7 +216,7 @@ def _posatt_fixed_raw_v2(dist, thr, scale, u, *, interpret=False):
     H = scale.shape[0]
     B, L_in, D = u.shape
     L_out = dist.shape[0]
-    TLo, TLi = _pick_tiles(L_out, L_in, D)
+    TLo, TLi = _pick_tiles(L_out, L_in)
     BD = B * D
     TN = min(_round_up(BD, 128), 512)
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
@@ -373,7 +376,7 @@ def _posatt_stats(dist, thr, scale, *, interpret=False):
     residuals by the fused backward so attention never needs storing."""
     H = scale.shape[0]
     L_out, L_in = dist.shape
-    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    TLo, TLi = _pick_tiles(L_out, L_in)
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
     dist_p = jnp.pad(
         dist, ((0, Lo_p - L_out), (0, Li_p - L_in)), constant_values=jnp.inf
@@ -381,8 +384,13 @@ def _posatt_stats(dist, thr, scale, *, interpret=False):
     thr_p = _pad_rows(thr, Lo_p, fill=jnp.inf)
 
     def kernel(scale_ref, thr_ref, dist_ref, m_out, l_out, m_ref, l_ref):
-        j = pl.program_id(2)
-        nj = pl.num_programs(2)
+        # head-folded like _make_posatt_kernel_v3: ONE distance-tile
+        # fetch feeds all H heads (grid (I, J), static head unroll) —
+        # the previous (H, I, J) grid re-streamed the full distance
+        # matrix once per head, multiplying the fused-backward residual
+        # pass's dominant HBM term by H
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
 
         @pl.when(j == 0)
         def _init():
@@ -390,44 +398,46 @@ def _posatt_stats(dist, thr, scale, *, interpret=False):
             l_ref[:] = jnp.zeros_like(l_ref)
 
         d = dist_ref[:]
-        s = scale_ref[pl.program_id(0), 0]
-        logits = jnp.where(
-            jnp.logical_and(d <= thr_ref[:], d < jnp.inf), -d * s, _NEG
-        )
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-            jnp.exp(logits - m_new), axis=-1, keepdims=True
-        )
-        m_ref[:] = m_new
+        keep = jnp.logical_and(d <= thr_ref[:], d < jnp.inf)
+        for h in range(H):
+            s = scale_ref[h, 0]
+            logits = jnp.where(keep, -d * s, _NEG)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=-1, keepdims=True)
+            )
+            l_ref[h] = l_ref[h] * jnp.exp(m_prev - m_new) + jnp.sum(
+                jnp.exp(logits - m_new), axis=-1, keepdims=True
+            )
+            m_ref[h] = m_new
 
         @pl.when(j == nj - 1)
         def _fin():
-            m_out[0] = m_ref[:]
-            l_out[0] = l_ref[:]
+            m_out[:] = m_ref[:]
+            l_out[:] = l_ref[:]
 
     M, L = pl.pallas_call(
         kernel,
-        grid=(H, Lo_p // TLo, Li_p // TLi),
+        grid=(Lo_p // TLo, Li_p // TLi),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TLo, 1), lambda h, i, j: (i, 0)),
-            pl.BlockSpec((TLo, TLi), lambda h, i, j: (i, j)),
+            pl.BlockSpec((TLo, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((TLo, TLi), lambda i, j: (i, j)),
         ],
         out_specs=(
-            pl.BlockSpec((1, TLo, 1), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, TLo, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((H, TLo, 1), lambda i, j: (0, i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((H, Lo_p, 1), jnp.float32),
             jax.ShapeDtypeStruct((H, Lo_p, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TLo, 1), jnp.float32),
-            pltpu.VMEM((TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
+            pltpu.VMEM((H, TLo, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(scale.reshape(H, 1), thr_p, dist_p)
@@ -448,7 +458,7 @@ def _posatt_bwd_dscale(dist, thr, scale, M, L, gf, uf, *, interpret=False):
     H = scale.shape[0]
     L_out, L_in = dist.shape
     BD = gf.shape[-1]
-    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    TLo, TLi = _pick_tiles(L_out, L_in)
     TN = min(_round_up(BD, 128), 512)
     # head-folded scratch is (H, TLo, TLi) + (H, TLo, TN): keep under ~6 MB
     while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLi > 128:
@@ -570,8 +580,15 @@ def _posatt_bwd_du(dist, thr, scale, M, L, gf, *, interpret=False):
     H = scale.shape[0]
     L_out, L_in = dist.shape
     BD = gf.shape[-1]
-    TLo, TLi = _pick_tiles(L_out, L_in, 1)
+    TLo, TLi = _pick_tiles(L_out, L_in)
     TN = min(_round_up(BD, 128), 512)
+    # the (H, TLo, TN) gradient block is unbounded in H: shrink tiles to
+    # the same ~6 MB budget the dscale kernel enforces (latent at the
+    # current H <= 2 configs, a Mosaic VMEM failure waiting at H = 8)
+    while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TN > 128:
+        TN = max(128, _round_up(TN // 2, 128))  # keep lane alignment
+    while H * TLo * (TLi + TN) * 4 > 6 * 1024 * 1024 and TLo > 8:
+        TLo = max(8, _round_up(TLo // 2, 8))  # keep sublane alignment
     Lo_p, Li_p = _round_up(L_out, TLo), _round_up(L_in, TLi)
     BD_p = _round_up(BD, TN)
     dist_p = jnp.pad(
@@ -641,12 +658,17 @@ def _run_raw(version, dist, thr, scale, u, interpret):
         return _posatt_fixed_raw_v3(dist, thr, scale, u, interpret=interpret)
     if version == 2:
         return _posatt_fixed_raw_v2(dist, thr, scale, u, interpret=interpret)
-    return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+    if version == 1:
+        return _posatt_fixed_raw(dist, thr, scale, u, interpret=interpret)
+    raise ValueError(
+        f"unknown kernel version {version!r}; expected 1, 2 or 3 "
+        "(a typo'd version would silently benchmark the wrong kernel)"
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _posatt_fixed(
-    dist, thr, scale, u, interpret=False, version=2, fused_bwd=True,
+    dist, thr, scale, u, interpret=False, version=3, fused_bwd=True,
 ):
     return _run_raw(version, dist, thr, scale, u, interpret)
 
