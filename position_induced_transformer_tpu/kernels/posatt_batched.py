@@ -179,8 +179,6 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
         else:
             mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc = refs
         i, ni = pl.program_id(1), pl.num_programs(1)
-        b = pl.program_id(0)  # hoisted: program_id is unavailable inside
-        # pl.when bodies under interpret mode
 
         @pl.when(i == 0)
         def _init():
@@ -222,7 +220,7 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
         @pl.when(i == ni - 1)
         def _fin():
             for h in range(H):
-                ds_ref[b, h] = ds_acc[h, 0]
+                ds_ref[0, h] = ds_acc[h, 0]
 
     return kernel
 
@@ -266,7 +264,12 @@ def _posatt_batched_bwd_raw(
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, H)
+            # dScale blocked (1, H) and indexed by b: each grid step owns
+            # its own batch row, so splitting b across TensorCores (v4/
+            # v5p megacore) is safe AND b stays 'parallel' — marking b
+            # 'arbitrary' instead measured a 1.79x NACA epoch regression
+            # on v5e (65.9 -> 36.9 steps/s, 2026-08-18 same-session A/B)
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Li_p, D), jnp.float32),
@@ -274,14 +277,7 @@ def _posatt_batched_bwd_raw(
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # batch dim ARBITRARY, not parallel: the dScale output is one
-            # full un-indexed (B, H) SMEM window shared by every grid
-            # step; splitting b across TensorCores (v4/v5p megacore)
-            # would give each core its own copy with only its rows
-            # written — last copy-back clobbers the others. The
-            # fixed-mesh dScale kernel makes the same choice
-            # (posatt_pallas.py).
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
@@ -439,7 +435,6 @@ def _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, with_thr):
         else:
             dist_ref, v_ref, g_ref, dv_ref, ds_ref, ds_acc = refs
         i, ni = pl.program_id(1), pl.num_programs(1)
-        b = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
@@ -479,7 +474,7 @@ def _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, with_thr):
         @pl.when(i == ni - 1)
         def _fin():
             for h in range(H):
-                ds_ref[b, h] = ds_acc[h, 0]
+                ds_ref[0, h] = ds_acc[h, 0]
 
     return kernel
 
@@ -585,7 +580,9 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # (1, H) dScale block indexed by b: megacore-safe with b
+            # 'parallel' — see the coordinate bwd kernel above
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Li_p, HV), jnp.float32),
@@ -593,10 +590,7 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # ARBITRARY batch dim: see the coordinate bwd kernel above —
-            # the un-indexed (B, H) dScale window must not be revisited
-            # across a megacore-partitioned dimension
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
