@@ -140,33 +140,11 @@ def _dispatch_posatt(
     return position_attention(dist, lmda, inputs, locality, thr=thr)
 
 
-def _weights_table(dist, lmda, locality, thr):
-    """Data-independent attention table (H, L_out, L_in) for a FIXED mesh.
-
-    Position-attention weights depend only on (bandwidth params, geometry)
-    — never on the function values — so for fixed meshes they can be
-    computed ONCE per optimizer step and reused across every rollout step
-    (forward and the remat'd backward): see Task.rollout_preds."""
-    if dist is None or dist.ndim != 2:
-        raise ValueError(
-            "attention tables require a materialized fixed-mesh geometry "
-            "(per-sample/batched distances are data-dependent)"
-        )
-    from position_induced_transformer_tpu.ops.posatt import attention_weights
-
-    return attention_weights(dist, lmda, locality, thr=thr)
-
-
 class PosAtt(nn.Module):
     """Self position-attention block with residual-by-concat.
 
     Holds only the (n_head, 1, 1) bandwidth parameter; distances and
     locality thresholds come from the Geometry (reference: pit.py:28-57).
-
-    ``att``: optional precomputed (H, L_out, L_in) attention table — the
-    op reduces to the value contraction (rollout hoisting; bypasses the
-    fused-kernel dispatch). ``weights_only=True`` returns the table
-    instead of applying the op (inputs unused).
     """
 
     n_head: int
@@ -174,22 +152,11 @@ class PosAtt(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(
-        self, dist, inputs, thr=None, mesh_q=None, mesh_k=None,
-        att=None, weights_only=False,
-    ):
+    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
-        if weights_only:
-            return _weights_table(dist, lmda, self.locality, thr)
-        if att is not None:
-            from position_induced_transformer_tpu.ops.posatt import convolve
-
-            conv = convolve(att, inputs)
-        else:
-            conv = _dispatch_posatt(
-                dist, lmda, inputs, self.locality, thr, self.fused,
-                mesh_q, mesh_k,
-            )
+        conv = _dispatch_posatt(
+            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
+        )
         return jnp.concatenate([inputs, conv], axis=-1)
 
 
@@ -202,17 +169,8 @@ class PosAttCross(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(
-        self, dist, inputs, thr=None, mesh_q=None, mesh_k=None,
-        att=None, weights_only=False,
-    ):
+    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
-        if weights_only:
-            return _weights_table(dist, lmda, self.locality, thr)
-        if att is not None:
-            from position_induced_transformer_tpu.ops.posatt import convolve
-
-            return convolve(att, inputs)
         return _dispatch_posatt(
             dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
         )
@@ -264,9 +222,7 @@ class PiT(nn.Module):
         self.up = PosAttCross(self.n_head, self.de_loc, self.fused_kernel)
         self.de = KaimingMLP(self.hid_dim, self.out_dim)
 
-    def encoder(
-        self, geom: Geometry, func_in: jnp.ndarray, att=None
-    ) -> jnp.ndarray:
+    def encoder(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:
         if self.concat_mesh:
             mesh = geom.mesh_in
             if mesh.ndim == 2:  # fixed mesh: broadcast over batch
@@ -276,61 +232,36 @@ class PiT(nn.Module):
             func_in = jnp.concatenate([mesh, func_in], axis=-1)
         f = self.down(
             geom.dist_down, func_in, geom.thr_down,
-            mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in, att=att,
+            mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in,
         )
         f = self.en_layer(f)
         return nn.gelu(f, approximate=False)
 
-    def processor(
-        self, geom: Geometry, f: jnp.ndarray, atts=None
-    ) -> jnp.ndarray:
-        for i, (a, w) in enumerate(zip(self.conv, self.mlp)):
+    def processor(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
+        for a, w in zip(self.conv, self.mlp):
             f = a(
                 geom.dist_proc, f,
                 mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_ltt,
-                att=None if atts is None else atts[i],
             )
             f = w(f)
             f = nn.gelu(f, approximate=False)
         return f
 
-    def decoder(self, geom: Geometry, f: jnp.ndarray, att=None) -> jnp.ndarray:
+    def decoder(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
         f = self.up(
             geom.dist_up, f, geom.thr_up,
-            mesh_q=geom.mesh_out, mesh_k=geom.mesh_ltt, att=att,
+            mesh_q=geom.mesh_out, mesh_k=geom.mesh_ltt,
         )
         return self.de(f)
 
-    def attention_tables(self, geom: Geometry):
-        """Every attention table of this model as a pytree — hoistable out
-        of autoregressive rollouts because position-attention weights are
-        data-INDEPENDENT for a fixed mesh (they are a function of the
-        bandwidth params and the geometry only; the reference recomputes
-        them per forward, pit.py:46-52, and per rollout step,
-        train_vorticity.py:118-126). Consumed by ``__call__(atts=...)``;
-        wiring in train/loop.Task.rollout_preds."""
-        return {
-            "down": self.down(geom.dist_down, None, geom.thr_down,
-                              weights_only=True),
-            "proc": tuple(
-                a(geom.dist_proc, None, weights_only=True) for a in self.conv
-            ),
-            "up": self.up(geom.dist_up, None, geom.thr_up, weights_only=True),
-        }
-
-    def __call__(
-        self, geom: Geometry, func_in: jnp.ndarray, atts=None
-    ) -> jnp.ndarray:
-        f = self.encoder(geom, func_in,
-                         att=None if atts is None else atts["down"])
+    def __call__(self, geom: Geometry, func_in: jnp.ndarray) -> jnp.ndarray:
+        f = self.encoder(geom, func_in)
         if self.use_instance_norm:
             f = instance_norm(f)
-        f = self.processor(geom, f,
-                           atts=None if atts is None else atts["proc"])
+        f = self.processor(geom, f)
         if self.use_instance_norm:
             f = instance_norm(f)
-        out = self.decoder(geom, f,
-                           att=None if atts is None else atts["up"])
+        out = self.decoder(geom, f)
         if self.residual_output:
             out = out + func_in
         return out

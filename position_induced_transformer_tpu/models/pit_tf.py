@@ -112,8 +112,7 @@ class MultiHeadPosAtt(nn.Module):
 
     @nn.compact
     def __call__(
-        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None,
-        att=None, weights_only=False,
+        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
     ) -> jnp.ndarray:
         v_dim = round(self.hid_dim / self.n_head)
         # keras add_weight default (no initializer given, reference
@@ -124,40 +123,31 @@ class MultiHeadPosAtt(nn.Module):
             nn.initializers.glorot_uniform(),
             (self.n_head, 1, 1),
         )
-        if att is None:
-            s = _bandwidth(r, self.bandwidth)  # (H, 1, 1)
-            scaled = dist * s  # (H, Lq, Lk)
-            if self.locality <= 100:
-                if thr is not None:
-                    if self.bandwidth in ("tan_sin", "square"):
-                        # s >= 0 always: the mask is head-independent
-                        keep = dist <= thr[:, :1]
-                    else:
-                        # sign-indefinite scale (NACA tan(r) before the
-                        # NonNeg projection): quantile(s*d) = s*q_p (s>=0)
-                        # / s*q_{1-p} (s<0) — per-head rescale of
-                        # precomputed quantiles
-                        t = jnp.where(s >= 0, s * thr[:, :1], s * thr[:, 1:])
-                        keep = scaled <= t
-                    scaled = jnp.where(
-                        keep, scaled, jnp.finfo(jnp.float32).max
-                    )
-                else:
-                    mask = jnp.quantile(
-                        scaled, self.locality / 100.0, axis=-1, keepdims=True
-                    )
-                    scaled = jnp.where(
-                        scaled <= mask, scaled, jnp.finfo(jnp.float32).max
-                    )
-            att = nn.softmax(-scaled, axis=-1)
-        if weights_only:
-            # (H, Lq, Lk) table: data-independent for fixed distance
-            # matrices — hoistable out of rollouts (see models/pit.py
-            # _weights_table and Task.rollout_preds)
-            return att
         w = self.param(
             "weight", he_normal_tf, (self.n_head, inputs.shape[-1], v_dim)
         )
+        s = _bandwidth(r, self.bandwidth)  # (H, 1, 1)
+        scaled = dist * s  # (H, Lq, Lk)
+        if self.locality <= 100:
+            if thr is not None:
+                if self.bandwidth in ("tan_sin", "square"):
+                    # s >= 0 always: the mask is head-independent
+                    keep = dist <= thr[:, :1]
+                else:
+                    # sign-indefinite scale (NACA tan(r) before the NonNeg
+                    # projection): quantile(s*d) = s*q_p (s>=0) / s*q_{1-p}
+                    # (s<0) — per-head rescale of precomputed quantiles
+                    t = jnp.where(s >= 0, s * thr[:, :1], s * thr[:, 1:])
+                    keep = scaled <= t
+                scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
+            else:
+                mask = jnp.quantile(
+                    scaled, self.locality / 100.0, axis=-1, keepdims=True
+                )
+                scaled = jnp.where(
+                    scaled <= mask, scaled, jnp.finfo(jnp.float32).max
+                )
+        att = nn.softmax(-scaled, axis=-1)
         value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
         out = jnp.einsum("hnj,bhjd->bhnd", att, value)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
@@ -303,16 +293,11 @@ class PiTTF(nn.Module):
     processor_attention: str = "position"  # position | self | hybrid
     coder_attention: str = "position"  # down/up/up2 attention kind
 
-    def _att(self, kind, locality, name, dist, x, thr=None,
-             att=None, weights_only=False):
+    def _att(self, kind, locality, name, dist, x, thr=None):
         if kind == "position":
             return MultiHeadPosAtt(
                 self.n_head, self.hid_dim, locality, self.bandwidth, name=name
-            )(dist, x, thr, att=att, weights_only=weights_only)
-        if weights_only:
-            # self/hybrid attention logits involve Q/K projections of the
-            # DATA — not hoistable; no table
-            return None
+            )(dist, x, thr)
         if kind == "self":
             return MultiHeadSelfAtt(self.n_head, self.hid_dim, name=name)(x)
         if kind == "hybrid":
@@ -322,44 +307,8 @@ class PiTTF(nn.Module):
         raise ValueError(f"unknown attention kind {kind!r}")
 
     @nn.compact
-    def __call__(
-        self, geom: TFGeometry, mesh: jnp.ndarray, inputs: jnp.ndarray,
-        atts=None, weights_only=False,
-    ):
+    def __call__(self, geom: TFGeometry, mesh: jnp.ndarray, inputs: jnp.ndarray):
         ca, pa_kind = self.coder_attention, self.processor_attention
-        get = (lambda k: None) if atts is None else atts.get
-        if weights_only:
-            # data-independent attention tables keyed by module name
-            # (position-attention modules only) — consumed by
-            # ``__call__(atts=...)``; see Task.rollout_preds
-            tables = {
-                "down": self._att(
-                    ca, self.locality_encoder, "down",
-                    None if ca == "self" else geom.m_cross.T, None,
-                    geom.thr_down if ca == "position" else None,
-                    weights_only=True,
-                ),
-                "up": self._att(
-                    ca, self.locality_decoder, "up",
-                    None if ca == "self" else geom.m_cross, None,
-                    geom.thr_up if ca == "position" else None,
-                    weights_only=True,
-                ),
-            }
-            for i in range(self.n_blocks):
-                tables[f"MHPA_{i}"] = self._att(
-                    pa_kind, 200.0, f"MHPA_{i}",
-                    None if pa_kind == "self" else geom.m_ltt, None,
-                    weights_only=True,
-                )
-            if self.use_decoder_selfatt:
-                tables["up2"] = self._att(
-                    ca, self.locality_decoder, "up2",
-                    None if ca == "self" else geom.m_qry, None,
-                    geom.thr_qry if ca == "position" else None,
-                    weights_only=True,
-                )
-            return {k: v for k, v in tables.items() if v is not None}
         # Encoder (mesh generated from resolution in TF — utils.py:212-215;
         # here passed in, broadcast over batch)
         if mesh.ndim == 2:
@@ -373,7 +322,6 @@ class PiTTF(nn.Module):
             ca, self.locality_encoder, "down",
             None if ca == "self" else geom.m_cross.T, en,
             geom.thr_down if ca == "position" else None,
-            att=get("down"),
         )
 
         # Processor: locality 200 => global (utils.py:181)
@@ -381,7 +329,6 @@ class PiTTF(nn.Module):
             pa = self._att(
                 pa_kind, 200.0, f"MHPA_{i}",
                 None if pa_kind == "self" else geom.m_ltt, x,
-                att=get(f"MHPA_{i}"),
             )
             x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + nn.Dense(
                 self.hid_dim, kernel_init=he_normal_tf, name=f"W_{i}"
@@ -393,14 +340,12 @@ class PiTTF(nn.Module):
             ca, self.locality_decoder, "up",
             None if ca == "self" else geom.m_cross, x,
             geom.thr_up if ca == "position" else None,
-            att=get("up"),
         )
         if self.use_decoder_selfatt:
             de2 = self._att(
                 ca, self.locality_decoder, "up2",
                 None if ca == "self" else geom.m_qry, de,
                 geom.thr_qry if ca == "position" else None,
-                att=get("up2"),
             )
             de = TFMlp(self.hid_dim, self.hid_dim, name="mlp")(de2) + nn.Dense(
                 self.hid_dim, kernel_init=he_normal_tf, name="w"

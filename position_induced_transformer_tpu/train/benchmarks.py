@@ -642,21 +642,8 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     def apply_fn(params, geom, batch):
         return model.apply({"params": params}, geom, grid_q, batch["x"])
 
-    # rollout hoisting (Task.rollout_preds): the PiTTF call signature
-    # differs from model.apply(geom, x), so supply the pair explicitly —
-    # position-attention tables are data-independent over these fixed
-    # periodic distance matrices and move out of the 20-step scan
-    def tables_fn(params, geom):
-        return model.apply(
-            {"params": params}, geom, grid_q, None, weights_only=True
-        )
-
-    def apply_with_atts(params, geom, x, atts):
-        return model.apply({"params": params}, geom, grid_q, x, atts=atts)
-
     task = Task(
         model=model, apply_fn=apply_fn, batch_mean_loss=True,
-        hoist_fns=(tables_fn, apply_with_atts),
         **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])

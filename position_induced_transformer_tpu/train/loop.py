@@ -89,15 +89,6 @@ class Task:
     param_constraint: Optional[Callable] = None  # params -> params, applied
     # after every optimizer update (keras constraint semantics, reference:
     # tensorflow/6_NACA/utils.py:115 NonNeg on the bandwidth)
-    hoist_fns: "Optional[tuple]" = None  # (tables_fn, apply_with_atts):
-    # tables_fn(params, geom) -> pytree of data-independent attention
-    # tables; apply_with_atts(params, geom, x, atts) -> out. Set by setups
-    # whose apply_fn signature differs from model.apply (TF family); the
-    # default model path derives both from model.attention_tables. Used
-    # by rollout_preds/rollout to compute position-attention softmaxes
-    # ONCE per optimizer step instead of once per rollout step (forward
-    # AND remat'd backward) — they depend only on (params, fixed
-    # geometry), never on the evolving window.
     pp_micro: int = 0  # microbatch count of a pipeline-parallel task
     # (parallel/pipeline.pipeline_task); batch sizes fed to the forward
     # must be divisible by it — predict/eval round their batch size DOWN
@@ -140,69 +131,13 @@ class Task:
             loss = loss / denom
         return loss
 
-    def _rollout_hoist(self, params, g):
-        """(atts, apply_with_atts) for hoisting position-attention tables
-        out of a rollout scan, or (None, None) when not applicable.
-
-        The tables are data-independent for fixed meshes, so they are
-        computed ONCE here (outside the scan AND outside jax.checkpoint:
-        the remat'd backward then recomputes only the per-step value
-        contractions, and the softmax/bandwidth backward runs once on the
-        accumulated cotangent). Env ``PIT_ROLLOUT_HOIST``: auto (on for
-        fixed materialized geometries) | never | always (error if the
-        task cannot hoist — measurement guard)."""
-        mode = os.environ.get("PIT_ROLLOUT_HOIST", "auto")
-        if mode not in ("auto", "never", "always"):
-            raise ValueError(
-                f"unrecognized PIT_ROLLOUT_HOIST {mode!r}; expected "
-                "auto|never|always (a typo here would silently measure "
-                "the wrong path)"
-            )
-        no = (None, None)
-        if mode == "never":
-            return no
-        if self.hoist_fns is not None:
-            tables_fn, apply_atts = self.hoist_fns
-        elif (
-            self.apply_fn is None
-            and self.geom_fn is None
-            and hasattr(self.model, "attention_tables")
-            and getattr(g, "dist_proc", None) is not None
-            and g.dist_proc.ndim == 2
-        ):
-            tables_fn = lambda p, gg: self.model.apply(
-                {"params": p}, gg, method="attention_tables"
-            )
-            apply_atts = lambda p, gg, xx, a: self.model.apply(
-                {"params": p}, gg, xx, atts=a
-            )
-        else:
-            if mode == "always":
-                raise ValueError(
-                    "PIT_ROLLOUT_HOIST=always but this task cannot hoist "
-                    "attention tables (needs a fixed materialized "
-                    "geometry and either a model with attention_tables "
-                    "or Task.hoist_fns)"
-                )
-            return no
-        atts = tables_fn(params, g)
-        if not jax.tree_util.tree_leaves(atts):
-            # e.g. an all-self-attention ablation variant: every table is
-            # data-dependent, nothing to hoist
-            return no
-        return atts, apply_atts
-
     def rollout_preds(self, params, geom, batch):
         """Unrolled autoregressive predictions, gradient-capable: (B, L, steps)
         matching ``batch['y']``'s layout (window fed back each step,
         reference: train_vorticity.py:118-126 /
         tensorflow/4_Vorticity/utils.py:115-121 reccurent_PiT)."""
         g = self._geometry(geom, batch)
-        atts, apply_atts = self._rollout_hoist(params, g)
-        if atts is not None:
-            apply = lambda p, a, xx: apply_atts(p, g, xx, a)
-        else:
-            apply = lambda p, a, xx: self._apply(p, g, xx)
+        apply = lambda p, xx: self._apply(p, g, xx)
         mode = os.environ.get("PIT_ROLLOUT_REMAT") or self.remat_rollout
         if mode in (True, "full", "1", "true"):
             apply = jax.checkpoint(apply)
@@ -219,7 +154,7 @@ class Task:
         # False/'none': store all activations across the unroll
 
         def step(window, _):
-            out = apply(params, atts, window)
+            out = apply(params, window)
             if self.postprocess is not None:
                 # same per-step transform as the eval-time Task.rollout:
                 # the fed-back state and the scored outputs must be the
@@ -287,14 +222,9 @@ class Task:
         (reference eval rollouts: train_vorticity.py:151-161,
         train_cylinder.py:144-153)."""
         g = self._geometry(geom, {"x": x})
-        atts, apply_atts = self._rollout_hoist(params, g)
-        if atts is not None:
-            fwd = lambda p, xx: apply_atts(p, g, xx, atts)
-        else:
-            fwd = lambda p, xx: self._apply(p, g, xx)
 
         def step(window, _):
-            out = fwd(params, window)
+            out = self._apply(params, g, window)
             if self.postprocess is not None:
                 out = self.postprocess(out)
             if self.rollout_steps or window.shape[-1] > out.shape[-1]:
