@@ -220,7 +220,7 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
         @pl.when(i == ni - 1)
         def _fin():
             for h in range(H):
-                ds_ref[0, h] = ds_acc[h, 0]
+                ds_ref[0, 0, h] = ds_acc[h, 0]
 
     return kernel
 
@@ -264,16 +264,22 @@ def _posatt_batched_bwd_raw(
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
-            # dScale blocked (1, H) and indexed by b: each grid step owns
-            # its own batch row, so splitting b across TensorCores (v4/
-            # v5p megacore) is safe AND b stays 'parallel' — marking b
-            # 'arbitrary' instead measured a 1.79x NACA epoch regression
-            # on v5e (65.9 -> 36.9 steps/s, 2026-08-18 same-session A/B)
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.SMEM),
+            # dScale blocked (1, 1, H) and indexed by b: each grid step
+            # owns its own batch row, so splitting b across TensorCores
+            # (v4/v5p megacore) is safe AND b stays 'parallel' — marking
+            # b 'arbitrary' instead measured a 1.79x NACA epoch
+            # regression on v5e (65.9 -> 36.9 steps/s, 2026-08-18
+            # same-session A/B). Shape (B, 1, H) not (B, H): Mosaic
+            # requires the last two block dims divisible by (8, 128) OR
+            # equal to the overall dims, and (1, H) satisfies neither
+            # for small H.
+            pl.BlockSpec(
+                (1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Li_p, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -281,7 +287,7 @@ def _posatt_batched_bwd_raw(
         ),
         interpret=interpret,
     )(*operands)
-    return du[:, :L_in, :], ds
+    return du[:, :L_in, :], ds[:, 0, :]
 
 
 # --- SPMD partitioning (multi-device meshes) ------------------------------
@@ -474,7 +480,7 @@ def _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, with_thr):
         @pl.when(i == ni - 1)
         def _fin():
             for h in range(H):
-                ds_ref[0, h] = ds_acc[h, 0]
+                ds_ref[0, 0, h] = ds_acc[h, 0]
 
     return kernel
 
@@ -580,13 +586,15 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
-            # (1, H) dScale block indexed by b: megacore-safe with b
+            # (1, 1, H) dScale block indexed by b: megacore-safe with b
             # 'parallel' — see the coordinate bwd kernel above
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Li_p, HV), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
         ),
         scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -594,7 +602,7 @@ def _posatt_tf_bwd_raw(dist, thr, scale, values, g, *, interpret=False):
         ),
         interpret=interpret,
     )(*operands)
-    return dv[:, :L_in, :], ds
+    return dv[:, :L_in, :], ds[:, 0, :]
 
 
 # same batch-dim partitioning story as the coordinate kernels above: the
