@@ -262,6 +262,13 @@ def main(argv=None):
         help="also write the checkpoint every N epochs (mid-run recovery)",
     )
     p_train.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="accumulate gradients over N sequential microbatches per "
+        "optimizer step (identical optimization trajectory at ~1/N the "
+        "peak activation memory; the benchmark batch size must divide "
+        "evenly)",
+    )
+    p_train.add_argument(
         "--sync-every", type=int, default=1,
         help="read metrics back from the device every N epochs (0 = only "
         "at the end); deferring the host sync keeps the device pipeline "
@@ -479,6 +486,7 @@ def main(argv=None):
             sync_every=args.sync_every,
             mesh=args.mesh,
             model_variant=args.model_variant,
+            grad_accum=args.grad_accum,
         )
         from position_induced_transformer_tpu.parallel.multihost import (
             is_main,

@@ -243,7 +243,7 @@ def _gather(tree, idx):
 
 def make_train_epoch(
     task: Task, optimizer: optax.GradientTransformation, mesh=None,
-    unroll: int = 2,
+    unroll: int = 2, grad_accum: int = 1,
 ):
     """Whole-epoch train function: jitted scan over a (n_batches, B) index
     matrix. Donates the TrainState so parameters update in place in HBM.
@@ -253,19 +253,58 @@ def make_train_epoch(
     all-reduce over ICI is inserted by XLA GSPMD).
     ``unroll``: scan unroll factor; 2 measured ~1.4x epoch throughput at
     the reference step sizes on TPU v5e (scripts/tpu_unroll_experiment.py)
-    by amortizing per-step sequencing overhead."""
+    by amortizing per-step sequencing overhead.
+    ``grad_accum``: split every batch into this many sequential
+    microbatches and accumulate gradients before the single optimizer
+    update — identical optimization trajectory at ~1/grad_accum the peak
+    activation memory (only one microbatch's forward/backward is live at
+    a time), for configs whose reference batch does not fit HBM (e.g.
+    cylinder's batch 200 at higher resolutions). Exact for both loss
+    conventions: batch-summed losses/gradients add across microbatches;
+    ``batch_mean_loss`` tasks average (equal microbatch sizes make the
+    mean of microbatch means the full-batch mean). The per-step ``loss``
+    reported matches the non-accumulated convention either way."""
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def _shard(batch):
+        if mesh is not None:
+            from position_induced_transformer_tpu.parallel.sharding import (
+                shard_batch,
+            )
+
+            batch = shard_batch(mesh, batch)
+        return batch
 
     def train_epoch(state: TrainState, geom, data, perm):
         def step(carry, idx):
             params, opt_state = carry
-            batch = _gather(data, idx)
-            if mesh is not None:
-                from position_induced_transformer_tpu.parallel.sharding import (
-                    shard_batch,
-                )
+            if grad_accum > 1:
+                def micro(acc, midx):
+                    loss_sum, gacc = acc
+                    loss, grads = jax.value_and_grad(task.loss_fn)(
+                        params, geom, _shard(_gather(data, midx))
+                    )
+                    return (
+                        loss_sum + loss,
+                        jax.tree_util.tree_map(jnp.add, gacc, grads),
+                    ), None
 
-                batch = shard_batch(mesh, batch)
-            loss, grads = jax.value_and_grad(task.loss_fn)(params, geom, batch)
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (loss, grads), _ = jax.lax.scan(
+                    micro, (jnp.zeros(()), zeros), idx.reshape(grad_accum, -1)
+                )
+                if task.batch_mean_loss:
+                    # microbatch losses/grads are means over their own
+                    # samples; the full-batch mean is their average
+                    loss = loss / grad_accum
+                    grads = jax.tree_util.tree_map(
+                        lambda g: g / grad_accum, grads
+                    )
+            else:
+                loss, grads = jax.value_and_grad(task.loss_fn)(
+                    params, geom, _shard(_gather(data, idx))
+                )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if task.param_constraint is not None:

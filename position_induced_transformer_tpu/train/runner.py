@@ -77,6 +77,7 @@ def train(
     sync_every: int = 1,
     mesh=None,
     model_variant: Optional[str] = None,
+    grad_accum: int = 1,
 ):
     """Train a benchmark end to end; returns (problem, state, history).
 
@@ -99,6 +100,11 @@ def train(
     ``schedule_epochs``: cosine-decay horizon when it differs from
     ``epochs`` (a partial run that will be resumed must decay over the
     full intended horizon).
+
+    ``grad_accum``: accumulate gradients over this many sequential
+    microbatches per optimizer step (same trajectory, ~1/K the peak
+    activation memory — see :func:`make_train_epoch`). The benchmark
+    batch size must divide evenly into microbatches.
 
     ``sync_every``: read the per-epoch metric scalars back from the device
     every N epochs (0 = only at the end). A device->host scalar read
@@ -184,7 +190,27 @@ def train(
         problem.train_data = replicate_tree(mesh, problem.train_data)
         problem.test_data = replicate_tree(mesh, problem.test_data)
 
-    train_epoch = make_train_epoch(problem.task, optimizer, mesh=mesh)
+    if grad_accum > 1:
+        micro = cfg.batch_size // grad_accum
+        if cfg.batch_size % grad_accum:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} is not divisible into "
+                f"--grad-accum {grad_accum} microbatches"
+            )
+        if mesh is not None and micro % data_axis_size(mesh):
+            raise ValueError(
+                f"microbatch size {micro} (batch {cfg.batch_size} / "
+                f"grad-accum {grad_accum}) is not divisible by the mesh "
+                f"data (x dcn) axis size ({data_axis_size(mesh)})"
+            )
+        if pp_micro and micro % pp_micro:
+            raise ValueError(
+                f"microbatch size {micro} is not divisible into the "
+                f"pipeline schedule's {pp_micro} GPipe microbatches"
+            )
+    train_epoch = make_train_epoch(
+        problem.task, optimizer, mesh=mesh, grad_accum=grad_accum
+    )
     metrics = None if cfg.rollout_steps else default_metrics(cfg.model.out_dim)
     eval_epoch = make_eval_epoch(problem.task, metrics, mesh=mesh)
     eval_bs = min(cfg.eval_batch_size or cfg.batch_size, problem.n_test)

@@ -428,3 +428,72 @@ def test_model_variant_errors():
     cfg = _tiny(configs.ELASTICITY_TF, model_variant="selfpit")
     with pytest.raises(ValueError, match="point-cloud"):
         benchmarks.setup(cfg, ntrain=8, ntest=8)
+
+
+def _trees_close(a, b, atol=2e-5, rtol=2e-4):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=atol, rtol=rtol
+        )
+
+
+def test_grad_accum_matches_full_batch():
+    """--grad-accum K is the same optimization trajectory as the full
+    batch: batch-summed losses/gradients add exactly across microbatches
+    (only fp reassociation differs)."""
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, grad_accum=4, **kw)
+    _trees_close(s1.params, s2.params)
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(r1["rel_l2"], r2["rel_l2"], rtol=1e-3)
+
+
+def test_grad_accum_matches_full_batch_batch_mean_loss():
+    """TF-family (batch-mean loss) convention: the accumulated loss and
+    gradients are averaged over microbatches, matching the full-batch
+    mean exactly (equal microbatch sizes)."""
+    cfg = _tiny(
+        configs.BURGERS_TF, grid=(64,), latent_grid=(32,), batch_size=8
+    )
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, grad_accum=2, **kw)
+    _trees_close(s1.params, s2.params)
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+
+
+def test_grad_accum_rollout_bptt():
+    """Accumulation composes with 20-step-style BPTT rollout training
+    (each microbatch runs its own rollout scan under remat)."""
+    cfg = _tiny(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+    )
+    kw = dict(epochs=1, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, grad_accum=2, **kw)
+    _trees_close(s1.params, s2.params)
+
+
+def test_grad_accum_indivisible_errors():
+    import pytest
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        runner.train(
+            cfg, epochs=1, ntrain=16, ntest=8, verbose=False, grad_accum=3
+        )
