@@ -876,3 +876,58 @@ def test_multihost_spec_errors():
         multihost.initialize("coordinator=localhost:1,nproc=2")
     with pytest.raises(ValueError, match="missing"):
         multihost.initialize("coordinator=localhost:1,num_processes=2")
+
+
+def test_grad_accum_composes_with_data_mesh():
+    """--grad-accum under --mesh data=N: each microbatch is sharding-
+    constrained over the data axis and the accumulated trajectory still
+    matches the plain single-device full-batch run."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="data=2", grad_accum=2, **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+    # microbatch indivisible by the data axis -> clean error
+    with pytest.raises(ValueError, match="data"):
+        runner.train(cfg, mesh="data=4", grad_accum=4, **kw)
+
+
+def test_grad_accum_composes_with_pipeline_mesh():
+    """--grad-accum under --mesh stage=K: microbatches run through the
+    GPipe schedule (micro size divisible by its pp_micro) and match the
+    single-device full-batch trajectory."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="stage=2", grad_accum=2, **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
