@@ -29,6 +29,10 @@ class ModelConfig:
     # fused Pallas position attention: engaged automatically on TPU for
     # shapes where it wins (models/pit.py _dispatch_posatt)
     fused_kernel: bool = True
+    # mixed precision: 'bfloat16' runs the network activations in bf16
+    # (params/softmax/masks/model output stay f32 — models/pit.py);
+    # opt-in via --set model.compute_dtype=bfloat16
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

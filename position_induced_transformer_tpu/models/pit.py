@@ -49,7 +49,12 @@ class TorchLinear(nn.Module):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", kaiming_normal, (fan_in, self.features))
         bias = self.param("bias", torch_linear_bias(fan_in), (self.features,))
-        return x @ kernel + bias
+        # mixed precision: params are stored f32 (master weights; Adam
+        # moments stay f32) and cast to the activations' dtype at use —
+        # with f32 activations (default + all parity tests) the casts are
+        # no-ops. bf16 operands ride the same single MXU pass f32-default
+        # matmuls already use; the win is the halved activation traffic.
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class KaimingMLP(nn.Module):
@@ -106,6 +111,10 @@ def _dispatch_posatt(
             "wrong dispatch path)"
         )
     on_tpu = jax.default_backend() == "tpu"
+    # the Pallas kernels are f32 programs; under mixed precision
+    # (models/pit.py compute_dtype) round-trip the values through f32 at
+    # the kernel boundary and hand back the activations' dtype
+    cdt = inputs.dtype
     if dist is None:  # lazy batched geometry: raw per-sample coordinates
         # 'always' is the operator override: it forces the kernel even
         # when the module's fused flag is False (direct PiT construction
@@ -116,8 +125,9 @@ def _dispatch_posatt(
             )
 
             return position_attention_batched(
-                mesh_q, mesh_k, lmda, inputs, locality, thr
-            )
+                mesh_q, mesh_k, lmda, inputs.astype(jnp.float32), locality,
+                thr,
+            ).astype(cdt)
         from position_induced_transformer_tpu.ops.distances import (
             pairwise_sq_dist,
         )
@@ -136,7 +146,9 @@ def _dispatch_posatt(
             position_attention_fixed,
         )
 
-        return position_attention_fixed(dist, lmda, inputs, locality, thr=thr)
+        return position_attention_fixed(
+            dist, lmda, inputs.astype(jnp.float32), locality, thr=thr
+        ).astype(cdt)
     return position_attention(dist, lmda, inputs, locality, thr=thr)
 
 
@@ -203,6 +215,15 @@ class PiT(nn.Module):
     use_instance_norm: bool = False
     residual_output: bool = False
     fused_kernel: bool = False  # fused Pallas posatt (fixed meshes, TPU)
+    compute_dtype: str = "float32"  # mixed precision: 'bfloat16' runs the
+    # network's ACTIVATIONS in bf16 (params stay f32 master weights; the
+    # softmax, locality masks, distance matrices, instance-norm statistics
+    # and the model's output stay f32) — halves the activation HBM traffic
+    # on the bandwidth-bound rollout benchmarks. The model's input/output
+    # contract is unchanged (f32 in, f32 out), so losses, normalizers and
+    # rollout feedback are untouched. Opt in via
+    # --set model.compute_dtype=bfloat16 after an accuracy A/B on your
+    # data (BASELINE.md records the measured reference-benchmark A/Bs).
     # MAINTENANCE CONTRACT: the composition below (instance-norm
     # placement, residual source, concat order) is mirrored by the
     # stage-parallel forward in parallel/pipeline.make_pipelined_apply —
@@ -230,6 +251,7 @@ class PiT(nn.Module):
                     mesh[None], (func_in.shape[0],) + mesh.shape
                 )
             func_in = jnp.concatenate([mesh, func_in], axis=-1)
+        func_in = func_in.astype(jnp.dtype(self.compute_dtype))
         f = self.down(
             geom.dist_down, func_in, geom.thr_down,
             mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in,
@@ -261,7 +283,10 @@ class PiT(nn.Module):
         f = self.processor(geom, f)
         if self.use_instance_norm:
             f = instance_norm(f)
-        out = self.decoder(geom, f)
+        # model boundary: always hand back f32 — the training loop's
+        # losses/metrics, normalizer postprocess and rollout window
+        # feedback are precision-invariant to the internal compute dtype
+        out = self.decoder(geom, f).astype(jnp.float32)
         if self.residual_output:
             out = out + func_in
         return out

@@ -17,7 +17,7 @@ distances; everything still jit/shard-compatible.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -148,8 +148,12 @@ class MultiHeadPosAtt(nn.Module):
                     scaled <= mask, scaled, jnp.finfo(jnp.float32).max
                 )
         att = nn.softmax(-scaled, axis=-1)
-        value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
-        out = jnp.einsum("hnj,bhjd->bhnd", att, value)
+        # mixed precision (PiTTF.compute_dtype): distances/scales/softmax
+        # stay f32 (mask + sentinel exactness); params and the attention
+        # weights are cast to the activations' dtype at use — no-ops for
+        # the f32 default and every parity test
+        value = jnp.einsum("bnj,hjk->bhnk", inputs, w.astype(inputs.dtype))
+        out = jnp.einsum("hnj,bhjd->bhnd", att.astype(inputs.dtype), value)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             inputs.shape[0], -1, self.hid_dim
         )
@@ -171,12 +175,19 @@ class MultiHeadSelfAtt(nn.Module):
         q = self.param("query", he_normal_tf, shape)
         k = self.param("key", he_normal_tf, shape)
         v = self.param("value", he_normal_tf, shape)
-        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
-        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
+        cdt = inputs.dtype  # mixed precision: params cast at use; the
+        # QK^T logits accumulate in f32 and the softmax runs in f32
+        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q.astype(cdt))
+        K = jnp.einsum("bnj,hjk->bhnk", inputs, k.astype(cdt))
         att = nn.softmax(
-            jnp.einsum("...ij,...kj->...ik", Q, K) / v_dim**0.5, axis=-1
-        )
-        V = jnp.einsum("bnj,hjk->bhnk", inputs, v)
+            jnp.einsum(
+                "...ij,...kj->...ik", Q, K,
+                preferred_element_type=jnp.float32,
+            )
+            / v_dim**0.5,
+            axis=-1,
+        ).astype(cdt)
+        V = jnp.einsum("bnj,hjk->bhnk", inputs, v.astype(cdt))
         out = jnp.einsum("...nj,...jd->...nd", att, V)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             inputs.shape[0], -1, self.hid_dim
@@ -235,14 +246,20 @@ class SelfMultiHeadPosAtt(nn.Module):
                 scaled = jnp.where(
                     scaled <= mask, scaled, jnp.finfo(jnp.float32).max
                 )
-        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q)
-        K = jnp.einsum("bnj,hjk->bhnk", inputs, k)
-        V = jnp.einsum("bnj,hjk->bhnk", inputs, w)
+        cdt = inputs.dtype  # mixed precision: f32 logits/softmax (the
+        # additive distance bias and its mask sentinel are f32)
+        Q = jnp.einsum("bnj,hjk->bhnk", inputs, q.astype(cdt))
+        K = jnp.einsum("bnj,hjk->bhnk", inputs, k.astype(cdt))
+        V = jnp.einsum("bnj,hjk->bhnk", inputs, w.astype(cdt))
         logits = (
-            jnp.einsum("...mi,...ni->...mn", Q, K) / v_dim**0.5
+            jnp.einsum(
+                "...mi,...ni->...mn", Q, K,
+                preferred_element_type=jnp.float32,
+            )
+            / v_dim**0.5
             - scaled[None]
         )
-        att = nn.softmax(logits, axis=-1)
+        att = nn.softmax(logits, axis=-1).astype(cdt)
         out = jnp.einsum("...nj,...jd->...nd", att, V)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             inputs.shape[0], -1, self.hid_dim
@@ -251,16 +268,28 @@ class SelfMultiHeadPosAtt(nn.Module):
 
 
 class TFMlp(nn.Module):
-    """Dense(gelu) -> Dense, he_normal (tensorflow/1_InviscidBurgers/utils.py:63-78)."""
+    """Dense(gelu) -> Dense, he_normal (tensorflow/1_InviscidBurgers/utils.py:63-78).
+
+    ``dtype``: flax computation dtype — under mixed precision the PiTTF
+    models pass their compute dtype so params are cast at use (f32 params
+    stay the master weights); None keeps flax's promote-to-f32 default.
+    """
 
     width1: int
     width2: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.width1, kernel_init=he_normal_tf, name="mlp1")(x)
+        x = nn.Dense(
+            self.width1, kernel_init=he_normal_tf, name="mlp1",
+            dtype=self.dtype,
+        )(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.width2, kernel_init=he_normal_tf, name="mlp2")(x)
+        return nn.Dense(
+            self.width2, kernel_init=he_normal_tf, name="mlp2",
+            dtype=self.dtype,
+        )(x)
 
 
 class PiTTF(nn.Module):
@@ -292,6 +321,9 @@ class PiTTF(nn.Module):
     use_decoder_selfatt: bool = True  # up2 path (1-D dirs)
     processor_attention: str = "position"  # position | self | hybrid
     coder_attention: str = "position"  # down/up/up2 attention kind
+    compute_dtype: str = "float32"  # mixed precision: 'bfloat16' runs
+    # activations in bf16 (params/distances/softmax/output stay f32 —
+    # same contract as models/pit.py PiT.compute_dtype)
 
     def _att(self, kind, locality, name, dist, x, thr=None):
         if kind == "position":
@@ -309,14 +341,18 @@ class PiTTF(nn.Module):
     @nn.compact
     def __call__(self, geom: TFGeometry, mesh: jnp.ndarray, inputs: jnp.ndarray):
         ca, pa_kind = self.coder_attention, self.processor_attention
+        cdt = jnp.dtype(self.compute_dtype)
         # Encoder (mesh generated from resolution in TF — utils.py:212-215;
         # here passed in, broadcast over batch)
         if mesh.ndim == 2:
             mesh = jnp.broadcast_to(
                 mesh[None], (inputs.shape[0],) + mesh.shape
             )
-        en = jnp.concatenate([mesh, inputs], axis=-1)
-        en = nn.Dense(self.hid_dim, kernel_init=he_normal_tf, name="en_layer")(en)
+        en = jnp.concatenate([mesh, inputs], axis=-1).astype(cdt)
+        en = nn.Dense(
+            self.hid_dim, kernel_init=he_normal_tf, name="en_layer",
+            dtype=cdt,
+        )(en)
         en = nn.gelu(en, approximate=False)
         x = self._att(
             ca, self.locality_encoder, "down",
@@ -330,8 +366,11 @@ class PiTTF(nn.Module):
                 pa_kind, 200.0, f"MHPA_{i}",
                 None if pa_kind == "self" else geom.m_ltt, x,
             )
-            x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + nn.Dense(
-                self.hid_dim, kernel_init=he_normal_tf, name=f"W_{i}"
+            x = TFMlp(
+                self.hid_dim, self.hid_dim, name=f"MLP_{i}", dtype=cdt
+            )(pa) + nn.Dense(
+                self.hid_dim, kernel_init=he_normal_tf, name=f"W_{i}",
+                dtype=cdt,
             )(x)
             x = nn.gelu(x, approximate=False)
 
@@ -347,11 +386,16 @@ class PiTTF(nn.Module):
                 None if ca == "self" else geom.m_qry, de,
                 geom.thr_qry if ca == "position" else None,
             )
-            de = TFMlp(self.hid_dim, self.hid_dim, name="mlp")(de2) + nn.Dense(
-                self.hid_dim, kernel_init=he_normal_tf, name="w"
+            de = TFMlp(
+                self.hid_dim, self.hid_dim, name="mlp", dtype=cdt
+            )(de2) + nn.Dense(
+                self.hid_dim, kernel_init=he_normal_tf, name="w", dtype=cdt
             )(de)
             de = nn.gelu(de, approximate=False)
-        return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)
+        # f32 model boundary (same contract as models/pit.py)
+        return TFMlp(
+            self.hid_dim, self.out_dim, name="de_layer", dtype=cdt
+        )(de).astype(jnp.float32)
 
 
 def pairwise_dist_periodic_1d(res1: int, res2: int) -> jnp.ndarray:
@@ -426,10 +470,14 @@ class MultiHeadPosAttBatched(nn.Module):
             elif self.locality > 100:
                 thr = None
             scales = (r * r).reshape(self.n_head, 1)
-            values = jnp.einsum("bnj,hjk->bnhk", inputs, w).reshape(
-                inputs.shape[0], inputs.shape[1], self.hid_dim
-            )
-            out = position_attention_batched_dist(dist, scales, values, thr)
+            # mixed precision: the Pallas kernel is an f32 program —
+            # round-trip the values through f32 at its boundary
+            values = jnp.einsum(
+                "bnj,hjk->bnhk", inputs, w.astype(inputs.dtype)
+            ).reshape(inputs.shape[0], inputs.shape[1], self.hid_dim)
+            out = position_attention_batched_dist(
+                dist, scales, values.astype(jnp.float32), thr
+            ).astype(inputs.dtype)
             return nn.gelu(out, approximate=False)
 
         scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)
@@ -444,8 +492,10 @@ class MultiHeadPosAttBatched(nn.Module):
                 keep = scaled <= mask
             scaled = jnp.where(keep, scaled, jnp.finfo(jnp.float32).max)
         att = nn.softmax(-scaled, axis=-1)
-        value = jnp.einsum("bnj,hjk->bhnk", inputs, w)
-        out = jnp.einsum("bhnj,bhjd->bhnd", att, value)
+        value = jnp.einsum("bnj,hjk->bhnk", inputs, w.astype(inputs.dtype))
+        out = jnp.einsum(
+            "bhnj,bhjd->bhnd", att.astype(inputs.dtype), value
+        )
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             inputs.shape[0], -1, self.hid_dim
         )
@@ -468,6 +518,9 @@ class PiTTFPointCloud(nn.Module):
     # reference: tensorflow/5_Elasticity/utils.py:244-382 LiteTransformer/
     # Transformer — the dir's PiT with attention modules swapped)
     coder_attention: str = "position"
+    compute_dtype: str = "float32"  # mixed precision (see PiTTF): the
+    # per-sample distance matrix and its thresholds are built from the
+    # raw f32 coordinates BEFORE the activations are cast
 
     def _att(self, kind, locality, name, dist, x, thr=None):
         if kind == "position":
@@ -520,12 +573,15 @@ class PiTTFPointCloud(nn.Module):
             for loc in {self.locality_encoder, self.locality_decoder}
         }
 
+        cdt = jnp.dtype(self.compute_dtype)
+        inputs = inputs.astype(cdt)  # distances/thresholds above are f32
         dense = lambda name: nn.Dense(
-            self.hid_dim, kernel_init=he_normal_tf, name=name
+            self.hid_dim, kernel_init=he_normal_tf, name=name, dtype=cdt
         )
+        mlp = lambda w2, name: TFMlp(self.hid_dim, w2, name=name, dtype=cdt)
         en = dense("en_layer")(inputs)
         en = nn.gelu(en, approximate=False)
-        x = TFMlp(self.hid_dim, self.hid_dim, name="mlp1")(
+        x = mlp(self.hid_dim, "mlp1")(
             self._att(
                 self.coder_attention, self.locality_encoder, "down",
                 m_dist, en, thr[self.locality_encoder],
@@ -537,19 +593,18 @@ class PiTTFPointCloud(nn.Module):
             pa = self._att(
                 self.processor_attention, 200.0, f"PA_{i}", m_dist, x
             )
-            x = TFMlp(self.hid_dim, self.hid_dim, name=f"MLP_{i}")(pa) + dense(
-                f"W_{i}"
-            )(x)
+            x = mlp(self.hid_dim, f"MLP_{i}")(pa) + dense(f"W_{i}")(x)
             x = nn.gelu(x, approximate=False)
 
-        de = TFMlp(self.hid_dim, self.hid_dim, name="mlp2")(
+        de = mlp(self.hid_dim, "mlp2")(
             self._att(
                 self.coder_attention, self.locality_decoder, "up",
                 m_dist, x, thr[self.locality_decoder],
             )
         ) + dense("w2")(x)
         de = nn.gelu(de, approximate=False)
-        return TFMlp(self.hid_dim, self.out_dim, name="de_layer")(de)
+        # f32 model boundary (same contract as models/pit.py)
+        return mlp(self.out_dim, "de_layer")(de).astype(jnp.float32)
 
 
 def pairwise_dist_periodic_2d(mesh1: jnp.ndarray, mesh2: jnp.ndarray) -> jnp.ndarray:

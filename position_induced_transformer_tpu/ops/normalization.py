@@ -82,6 +82,10 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     (reference: train_vorticity.py:56-59): per (sample, channel) statistics
     over L, biased variance, no learnable affine.
     """
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.var(x, axis=1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    # statistics in f32 even under mixed precision (bf16 activations):
+    # mean/variance accumulation across L=4096 mesh points loses ~2
+    # decimal digits in bf16, and the cast-up is free (fused elementwise)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.var(x32, axis=1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)

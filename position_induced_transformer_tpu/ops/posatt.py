@@ -99,6 +99,15 @@ def convolve(att: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
     (H, D) per point, matching the reference's ``reshape(B, -1, H*D)`` of a
     (B, L_out, H, D) array.
     """
+    if att.dtype != inputs.dtype:
+        # mixed precision (models/pit.py compute_dtype): the softmax runs
+        # in f32 for mask/sentinel exactness; casting the weights to the
+        # activations' dtype (bf16) halves the (H, L_out, L_in) stream —
+        # the largest tensor this op touches. Entries are in [0, 1], so
+        # bf16's 2^-8 relative step costs ~0.4% per weight. f32
+        # activations (the default, and every parity test) hit att.dtype
+        # == inputs.dtype and skip this.
+        att = att.astype(inputs.dtype)
     if att.ndim == 3:
         out = jnp.einsum("hnj,bjd->bnhd", att, inputs)
     else:

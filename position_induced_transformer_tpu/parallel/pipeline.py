@@ -90,9 +90,11 @@ def _stage_apply(slab, dist, f):
     def layer(h, p):
         conv = position_attention(dist, p["lmda"], h, 1.0)
         h = jnp.concatenate([h, conv], axis=-1)
-        h = h @ p["w1"] + p["b1"]
+        # params cast to the activations' dtype, mirroring TorchLinear
+        # under mixed precision (models/pit.py compute_dtype; f32 = no-op)
+        h = h @ p["w1"].astype(h.dtype) + p["b1"].astype(h.dtype)
         h = nn.gelu(h, approximate=False)
-        h = h @ p["w2"] + p["b2"]
+        h = h @ p["w2"].astype(h.dtype) + p["b2"].astype(h.dtype)
         return nn.gelu(h, approximate=False), None
 
     f, _ = jax.lax.scan(layer, f, slab)
@@ -271,7 +273,10 @@ def make_pipelined_apply(model, mesh: Mesh, n_micro: int):
         f = pipeline_processor(mesh, stacked, geom.dist_proc, f, n_micro)
         if model.use_instance_norm:
             f = instance_norm(f)
-        out = model.apply({"params": params}, geom, f, method=model.decoder)
+        # f32 model boundary, mirroring PiT.__call__ (compute_dtype)
+        out = model.apply(
+            {"params": params}, geom, f, method=model.decoder
+        ).astype(jnp.float32)
         if model.residual_output:
             out = out + x
         return out

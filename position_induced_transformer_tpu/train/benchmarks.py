@@ -80,7 +80,14 @@ def _variant_attention(cfg: BenchmarkConfig, point_cloud: bool = False) -> dict:
             "tensorflow/1_InviscidBurgers where ltt_res == qry_res)"
         )
     pa, ca = _VARIANT_ATTENTION[v]
-    return {"processor_attention": pa, "coder_attention": ca}
+    # compute_dtype rides along: every PiTTF/PiTTFPointCloud construction
+    # site passes **_variant_attention(cfg), so the mixed-precision knob
+    # reaches all six TF-family benchmarks through one place
+    return {
+        "processor_attention": pa,
+        "coder_attention": ca,
+        "compute_dtype": cfg.model.compute_dtype,
+    }
 
 
 def _make_model(cfg: BenchmarkConfig) -> PiT:
@@ -104,6 +111,7 @@ def _make_model(cfg: BenchmarkConfig) -> PiT:
         use_instance_norm=m.use_instance_norm,
         residual_output=m.residual_output,
         fused_kernel=m.fused_kernel,
+        compute_dtype=m.compute_dtype,
     )
 
 

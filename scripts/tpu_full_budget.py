@@ -45,6 +45,15 @@ OUT = os.path.join(
 def run_one(name: str) -> dict:
     bench, _, variant = name.partition(":")
     cfg = configs.get(bench)
+    if variant == "bf16":  # mixed-precision arm ('vorticity:bf16'), not a
+        # model ablation: compute_dtype override (models/pit.py)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        )
+        variant = ""
     t0 = time.time()
     problem, state, history = runner.train(
         cfg, verbose=False, sync_every=50, model_variant=variant or None

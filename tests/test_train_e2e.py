@@ -497,3 +497,93 @@ def test_grad_accum_indivisible_errors():
         runner.train(
             cfg, epochs=1, ntrain=16, ntest=8, verbose=False, grad_accum=3
         )
+
+
+def test_bf16_compute_dtype_trains_and_tracks_f32():
+    """model.compute_dtype=bfloat16 (mixed precision): bf16 activations,
+    f32 params/masks/softmax/output. Same config trains end-to-end and the
+    trajectory tracks the f32 run loosely (bf16 rounding compounds over
+    steps; the A/B acceptance for production use is measured on TPU —
+    BASELINE.md)."""
+    import dataclasses as dc
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    cfg16 = dc.replace(
+        cfg, model=dc.replace(cfg.model, compute_dtype="bfloat16")
+    )
+    kw = dict(epochs=3, ntrain=32, ntest=16, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg16, **kw)
+    # params stay f32 master weights
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(s2.params):
+        assert leaf.dtype == np.float32
+    assert h2[-1]["train_loss"] < h2[0]["train_loss"]
+    np.testing.assert_allclose(
+        h2[-1]["train_loss"], h1[-1]["train_loss"], rtol=0.1
+    )
+
+
+def test_bf16_forward_close_to_f32_and_f32_boundary():
+    """One forward under shared weights: bf16 activations stay within a
+    few % relative of the f32 forward (bf16's 2^-8 step compounds across
+    ~2 attention + MLP layers; measured 3.0% on this config), and the
+    model's OUTPUT is f32 (the loop's losses/normalizers/rollout feedback
+    see no dtype change). Training-accuracy acceptance is the TPU
+    full-budget A/B in BASELINE.md, not this unit bound."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from position_induced_transformer_tpu.train import benchmarks
+
+    cfg = _tiny(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=2, memory=4, batch_size=4,
+    )
+    problem = benchmarks.setup(cfg, ntrain=8, ntest=4)
+    params = problem.model.init(
+        jax.random.PRNGKey(0), problem.geom, problem.train_data["x"][:4]
+    )["params"]
+    model16 = dc.replace(problem.model, compute_dtype="bfloat16")
+    x = problem.train_data["x"][:4]
+    out32 = problem.model.apply({"params": params}, problem.geom, x)
+    out16 = model16.apply({"params": params}, problem.geom, x)
+    assert out16.dtype == jnp.float32
+    denom = np.linalg.norm(np.asarray(out32))
+    assert np.linalg.norm(np.asarray(out16 - out32)) / denom < 5e-2
+
+
+def test_bf16_tf_family_trains_and_tracks_f32():
+    """TF-semantics family under compute_dtype=bfloat16 (PiTTF + the
+    point-cloud model): trains end-to-end, params stay f32, trajectory
+    tracks the f32 run loosely."""
+    import dataclasses as dc
+
+    import jax
+
+    for base, kw in (
+        (
+            _tiny(configs.BURGERS_TF, grid=(64,), latent_grid=(32,),
+                  batch_size=8),
+            dict(epochs=3, ntrain=16, ntest=8, verbose=False),
+        ),
+        (
+            _tiny(configs.ELASTICITY_TF, batch_size=4),
+            dict(epochs=2, ntrain=8, ntest=8, verbose=False),
+        ),
+    ):
+        cfg16 = dc.replace(
+            base, model=dc.replace(base.model, compute_dtype="bfloat16")
+        )
+        _, s1, h1 = runner.train(base, **kw)
+        _, s2, h2 = runner.train(cfg16, **kw)
+        for leaf in jax.tree_util.tree_leaves(s2.params):
+            assert leaf.dtype == np.float32
+        assert np.isfinite(h2[-1]["train_loss"])
+        np.testing.assert_allclose(
+            h2[-1]["train_loss"], h1[-1]["train_loss"], rtol=0.15
+        )
