@@ -473,3 +473,37 @@ def test_predictor_single_sample_request_pads_to_serving_batch(tmp_path):
     assert one.shape[0] == 1
     np.testing.assert_allclose(one[0], full[0], rtol=1e-6)
     assert p._batch_size(None) == 8  # padded up, not shrunk
+
+
+def test_evaluate_f32_checkpoint_at_bf16():
+    """Deployment mixed precision: a checkpoint trained at the f32
+    default evaluates under model.compute_dtype=bfloat16 (params are
+    dtype-independent f32 master weights) with metrics close to the f32
+    evaluation — the CLI form is
+    `evaluate --set model.compute_dtype=bfloat16`."""
+    import dataclasses
+    import tempfile
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import evaluate, runner
+
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ckpt_path = d + "/ckpt"
+        runner.train(
+            cfg, epochs=2, ntrain=16, ntest=8, verbose=False,
+            checkpoint_path=ckpt_path,
+        )
+        r32 = evaluate.evaluate(cfg, checkpoint_path=ckpt_path, ntest=8)
+        cfg16 = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compute_dtype="bfloat16"
+            )
+        )
+        r16 = evaluate.evaluate(cfg16, checkpoint_path=ckpt_path, ntest=8)
+    np.testing.assert_allclose(r16["rel_l2"], r32["rel_l2"], rtol=2e-2)

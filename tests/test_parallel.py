@@ -931,3 +931,33 @@ def test_grad_accum_composes_with_pipeline_mesh():
         np.testing.assert_allclose(
             r1["train_loss"], r2["train_loss"], rtol=1e-4
         )
+
+
+def test_bf16_composes_with_data_model_mesh():
+    """Mixed precision under DP x TP: the GSPMD-sharded f32 params are
+    cast at use; the bf16 run on a 2x2 mesh matches the single-device
+    bf16 run (same arithmetic graph up to reduction order)."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(
+            cfg.model, hid_dim=16, n_blocks=2, compute_dtype="bfloat16"
+        ),
+    )
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="data=2,model=2", **kw)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        # bf16 activations make per-step grads ~1e-3-relative noisy vs
+        # the reduction-order change; params drift accordingly
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-2
+        )
