@@ -166,6 +166,17 @@ def train(
         shard_state,
     )
 
+    if grad_accum > 1 and cfg.batch_size % grad_accum:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} is not divisible into "
+            f"--grad-accum {grad_accum} microbatches"
+        )
+    # batch size each FORWARD sees: grad-accum splits the optimizer batch
+    # into sequential microbatches before the model runs, so downstream
+    # schedules (GPipe microbatching) must be sized from this, not from
+    # cfg.batch_size
+    fwd_bs = cfg.batch_size // grad_accum
+
     mesh = parse_mesh_spec(mesh)
     pp_micro = 0  # microbatch count when pipeline-parallel ('stage=K')
     if mesh is not None and "stage" in mesh.shape:
@@ -174,7 +185,7 @@ def train(
         )
 
         state, pp_micro = enable_pipeline(
-            problem, state, mesh, batch_size=cfg.batch_size
+            problem, state, mesh, batch_size=fwd_bs
         )  # also replicates geom + data splits over the stage mesh
         mesh = None  # no 'data' axis: epoch functions run unsharded inputs
     elif mesh is not None:
@@ -191,21 +202,17 @@ def train(
         problem.test_data = replicate_tree(mesh, problem.test_data)
 
     if grad_accum > 1:
-        micro = cfg.batch_size // grad_accum
-        if cfg.batch_size % grad_accum:
+        if mesh is not None and fwd_bs % data_axis_size(mesh):
             raise ValueError(
-                f"batch_size {cfg.batch_size} is not divisible into "
-                f"--grad-accum {grad_accum} microbatches"
-            )
-        if mesh is not None and micro % data_axis_size(mesh):
-            raise ValueError(
-                f"microbatch size {micro} (batch {cfg.batch_size} / "
+                f"microbatch size {fwd_bs} (batch {cfg.batch_size} / "
                 f"grad-accum {grad_accum}) is not divisible by the mesh "
                 f"data (x dcn) axis size ({data_axis_size(mesh)})"
             )
-        if pp_micro and micro % pp_micro:
+        if pp_micro and fwd_bs % pp_micro:
+            # unreachable unless PIT_PP_MICRO forces a non-divisor —
+            # enable_pipeline picks its schedule from fwd_bs above
             raise ValueError(
-                f"microbatch size {micro} is not divisible into the "
+                f"microbatch size {fwd_bs} is not divisible into the "
                 f"pipeline schedule's {pp_micro} GPipe microbatches"
             )
     train_epoch = make_train_epoch(

@@ -933,6 +933,35 @@ def test_grad_accum_composes_with_pipeline_mesh():
         )
 
 
+def test_grad_accum_deep_pipeline_schedules_from_microbatch():
+    """stage=4 with --grad-accum 4 on batch 8: the GPipe schedule must be
+    picked from the per-forward microbatch (8/4 = 2 samples -> 2 GPipe
+    microbatches), not the full optimizer batch (whose 4-microbatch
+    schedule cannot split a 2-sample forward — this combination used to
+    be spuriously rejected). Trajectory still matches single-device."""
+    cfg = configs.BURGERS
+    cfg = dataclasses.replace(
+        cfg,
+        grid=(64,), latent_grid=(16,), batch_size=8,
+        model=dataclasses.replace(cfg.model, hid_dim=16, n_blocks=4),
+    )
+    kw = dict(epochs=2, ntrain=16, ntest=8, verbose=False)
+    _, s1, h1 = runner.train(cfg, **kw)
+    _, s2, h2 = runner.train(cfg, mesh="stage=4", grad_accum=4, **kw)
+    assert s2  # reached training (no spurious divisibility ValueError)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for r1, r2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            r1["train_loss"], r2["train_loss"], rtol=1e-4
+        )
+
+
 def test_bf16_composes_with_data_model_mesh():
     """Mixed precision under DP x TP: the GSPMD-sharded f32 params are
     cast at use; the bf16 run on a 2x2 mesh matches the single-device
