@@ -166,6 +166,8 @@ def train(
         shard_state,
     )
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if grad_accum > 1 and cfg.batch_size % grad_accum:
         raise ValueError(
             f"batch_size {cfg.batch_size} is not divisible into "
@@ -187,6 +189,12 @@ def train(
         state, pp_micro = enable_pipeline(
             problem, state, mesh, batch_size=fwd_bs
         )  # also replicates geom + data splits over the stage mesh
+        # Trade-off: the GPipe schedule is sized from fwd_bs (the training
+        # forward batch).  Under grad-accum, eval still runs full
+        # cfg.batch_size batches, so eval sees fewer microbatches than
+        # stages and a larger pipeline bubble.  Correctness is unaffected
+        # (eval batches are rounded to a pp_micro multiple); eval is a tiny
+        # fraction of the epoch, so we keep one schedule.
         mesh = None  # no 'data' axis: epoch functions run unsharded inputs
     elif mesh is not None:
         n_data = data_axis_size(mesh)

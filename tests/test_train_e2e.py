@@ -499,6 +499,20 @@ def test_grad_accum_indivisible_errors():
         )
 
 
+def test_grad_accum_nonpositive_errors():
+    """grad_accum < 1 raises a clear ValueError in the runner (not a
+    ZeroDivisionError from the fwd_bs computation)."""
+    import pytest
+
+    cfg = _tiny(configs.BURGERS, grid=(64,), latent_grid=(16,), batch_size=8)
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="grad_accum must be >= 1"):
+            runner.train(
+                cfg, epochs=1, ntrain=16, ntest=8, verbose=False,
+                grad_accum=bad,
+            )
+
+
 def test_bf16_compute_dtype_trains_and_tracks_f32():
     """model.compute_dtype=bfloat16 (mixed precision): bf16 activations,
     f32 params/masks/softmax/output. Same config trains end-to-end and the
