@@ -464,7 +464,7 @@ def setup_burgers_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         return model.apply({"params": params}, geom, mesh, batch["x"])
 
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        model=model, apply_fn=apply_fn, batch_mean_loss=True, keras_adam=True,
         **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, geom, mesh, data["x"])
@@ -519,7 +519,7 @@ def setup_sod_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         return model.apply({"params": params}, geom, mesh, batch["x"])
 
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        model=model, apply_fn=apply_fn, batch_mean_loss=True, keras_adam=True,
         **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, geom, mesh, data["x"])
@@ -596,7 +596,7 @@ def setup_darcy_tf(
         return y_norm.denormalize(out.reshape(out.shape[0], s, s, m.out_dim))
 
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        model=model, apply_fn=apply_fn, batch_mean_loss=True, keras_adam=True,
         **_task_kwargs(cfg),
     )
     flat = lambda a: jnp.asarray(a).reshape(a.shape[0], -1, a.shape[-1])
@@ -651,7 +651,7 @@ def setup_vorticity_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         return model.apply({"params": params}, geom, grid_q, batch["x"])
 
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        model=model, apply_fn=apply_fn, batch_mean_loss=True, keras_adam=True,
         **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])
@@ -716,7 +716,7 @@ def setup_elasticity_tf(
     task = Task(
         model=model, apply_fn=apply_fn, geom_fn=geom_fn,
         geometry_required_keys=(),  # thresholds optional, 'mesh' plot-only
-        batch_mean_loss=True, **_task_kwargs(cfg),
+        batch_mean_loss=True, keras_adam=True, **_task_kwargs(cfg),
     )
     init_fn = lambda rng, data: model.init(rng, data["x"])
     return Problem(
@@ -776,7 +776,7 @@ def setup_naca_tf(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     # dict-merge: _task_kwargs already sets param_constraint for the
     # selfpit variant; naca_tf needs it unconditionally (tan bandwidth)
     task = Task(
-        model=model, apply_fn=apply_fn, batch_mean_loss=True,
+        model=model, apply_fn=apply_fn, batch_mean_loss=True, keras_adam=True,
         **{**_task_kwargs(cfg), "param_constraint": nonneg_bandwidths},
     )
     init_fn = lambda rng, data: model.init(rng, geom, grid_q, data["x"])

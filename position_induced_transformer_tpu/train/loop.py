@@ -42,14 +42,78 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _keras_adam(
+    schedule, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """``tf.keras.optimizers.Adam`` semantics, exactly.
+
+    keras applies epsilon OUTSIDE the bias correction (reference drivers
+    compile with it, e.g. tensorflow/1_InviscidBurgers/train.py:48):
+
+        lr_t = lr(t) * sqrt(1 - b2^(t+1)) / (1 - b1^(t+1))
+        p   -= lr_t * m / (sqrt(v) + eps)          # v UNcorrected, eps 1e-7
+
+    whereas torch/optax Adam add eps to the corrected root
+    (``m_hat / (sqrt(v_hat) + eps)``, eps 1e-8) — a ~1e-6-relative
+    different trajectory. The TF-semantics family trains with this
+    transform so its dynamics are pinned bit-for-bit against the numpy
+    oracle (tests/tf_numpy_oracle.py ``adam_keras``); the torch family
+    keeps ``optax.adam``, which is already torch-identical.
+
+    State reuses :class:`optax.ScaleByAdamState` (count/mu/nu mirror the
+    param treedef) so generic state consumers — ``shard_state``'s
+    path-matching TP placement, Orbax checkpoints — treat it like Adam.
+    """
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, grads
+        )
+        # keras: decayed lr at the PRE-increment iteration count, bias
+        # correction at local_step = iterations + 1
+        t = state.count + 1
+        tf_ = t.astype(jnp.float32)
+        lr_t = (
+            schedule(state.count)
+            * jnp.sqrt(1.0 - b2**tf_)
+            / (1.0 - b1**tf_)
+        )
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -lr_t * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return updates, optax.ScaleByAdamState(count=t, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
-    lr: float, total_steps: int, eta_min: float = 0.0
+    lr: float, total_steps: int, eta_min: float = 0.0, flavor: str = "adam"
 ) -> optax.GradientTransformation:
     """Adam + per-step cosine annealing to ``eta_min``
-    (reference: train_burgers.py:75-76)."""
+    (reference: train_burgers.py:75-76).
+
+    ``flavor='keras'`` selects the keras epsilon/bias-correction
+    formulation (:func:`_keras_adam`) used by the TF-semantics family
+    (reference: tensorflow/*/train.py ``tf.keras.optimizers.Adam(
+    CosineDecay(lr, epochs * (ntrain // batch)))``)."""
     schedule = optax.cosine_decay_schedule(
         init_value=lr, decay_steps=total_steps, alpha=eta_min / lr if lr else 0.0
     )
+    if flavor == "keras":
+        return _keras_adam(schedule)
+    if flavor != "adam":
+        raise ValueError(f"unknown optimizer flavor {flavor!r}")
     return optax.adam(learning_rate=schedule)
 
 
@@ -81,6 +145,9 @@ class Task:
     # whose call signature differs (geom, mesh, inputs)
     batch_mean_loss: bool = False  # TF loss convention: mean over batch
     # (reference: tensorflow/1_InviscidBurgers/utils.py:25 reduce_mean)
+    keras_adam: bool = False  # train with the keras Adam formulation
+    # (make_optimizer flavor='keras') so TF-family dynamics match the
+    # reference's tf.keras.optimizers.Adam bit-for-bit — see _keras_adam
     trajectory_loss: bool = False  # TF rollout convention: ONE loss over the
     # whole unrolled trajectory, mean over (batch, steps) of stepwise rel-Lp
     # (reference: tensorflow/4_Vorticity/utils.py:11-21 rel_norm_step used as

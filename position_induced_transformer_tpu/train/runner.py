@@ -133,7 +133,12 @@ def train(
         )
     # reference: train_burgers.py:56
     total_steps = (schedule_epochs or epochs) * n_batches
-    optimizer = make_optimizer(cfg.lr, total_steps)
+    optimizer = make_optimizer(
+        cfg.lr, total_steps,
+        # TF-family tasks train with the keras Adam formulation so their
+        # dynamics match tf.keras.optimizers.Adam (loop._keras_adam)
+        flavor="keras" if problem.task.keras_adam else "adam",
+    )
     state = init_state(problem, optimizer, seed)
 
     def _payload(state):

@@ -187,6 +187,83 @@ def pit_tf_point_cloud_forward(
     return tf_mlp(params["de_layer"], de)
 
 
+def rel_norm_loss(true, pred, p=1):
+    """The keras ``rel_norm`` training loss: per-sample relative Lp of the
+    flattened fields, MEAN over the batch (reference:
+    tensorflow/1_InviscidBurgers/utils.py:12-25 reduce_mean)."""
+    t = np.asarray(true, np.float64).reshape(true.shape[0], -1)
+    q = np.asarray(pred, np.float64).reshape(pred.shape[0], -1)
+    if p == 1:
+        rel = np.sum(np.abs(t - q), axis=1) / np.sum(np.abs(t), axis=1)
+    else:
+        rel = np.linalg.norm(t - q, axis=1) / np.linalg.norm(t, axis=1)
+    return float(np.mean(rel))
+
+
+def cosine_decay(lr, step, decay_steps, alpha=0.0):
+    """keras ``CosineDecay(lr, decay_steps)`` (reference:
+    tensorflow/1_InviscidBurgers/train.py:48): evaluated at the optimizer's
+    PRE-increment iteration count."""
+    frac = min(float(step), float(decay_steps)) / float(decay_steps)
+    cosine = 0.5 * (1.0 + math.cos(math.pi * frac))
+    return lr * ((1.0 - alpha) * cosine + alpha)
+
+
+def adam_keras_init(params):
+    def zeros(t):
+        if isinstance(t, dict):
+            return {k: zeros(v) for k, v in t.items()}
+        return np.zeros_like(np.asarray(t, np.float64))
+
+    return {"t": 0, "m": zeros(params), "v": zeros(params)}
+
+
+def adam_keras_step(
+    params, grads, state, lr, b1=0.9, b2=0.999, eps=1e-7
+):
+    """One ``tf.keras.optimizers.Adam`` update (TF2 semantics): epsilon is
+    added OUTSIDE the bias correction —
+
+        lr_t = lr * sqrt(1 - b2^(t+1)) / (1 - b1^(t+1))
+        m    = b1 m + (1-b1) g ;  v = b2 v + (1-b2) g^2
+        p   -= lr_t * m / (sqrt(v) + eps)
+
+    (torch/optax instead use m_hat/(sqrt(v_hat)+eps).) ``lr`` is the
+    already-decayed schedule value at the pre-increment step. Returns the
+    updated (params, state); everything float64."""
+    t = state["t"] + 1
+    lr_t = lr * math.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+
+    def walk(p, g, m, v):
+        if isinstance(p, dict):
+            new_p, new_m, new_v = {}, {}, {}
+            for k in p:
+                new_p[k], new_m[k], new_v[k] = walk(p[k], g[k], m[k], v[k])
+            return new_p, new_m, new_v
+        p = np.asarray(p, np.float64)
+        g = np.asarray(g, np.float64)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        return p - lr_t * m / (np.sqrt(v) + eps), m, v
+
+    new_params, new_m, new_v = walk(params, grads, state["m"], state["v"])
+    return new_params, {"t": t, "m": new_m, "v": new_v}
+
+
+def nonneg_project(params):
+    """keras NonNeg weight-constraint semantics: clamp every band_width to
+    [0, inf) after the update (reference: tensorflow/6_NACA/utils.py:115)."""
+    def walk(t, under_bw=False):
+        if isinstance(t, dict):
+            return {
+                k: walk(v, under_bw or k == "band_width")
+                for k, v in t.items()
+            }
+        return np.maximum(t, 0.0) if under_bw else t
+
+    return walk(params)
+
+
 def self_att(p, x):
     """Scaled dot-product MHA with trailing GELU
     (reference: tensorflow/1_InviscidBurgers/utils.py:265-277)."""
