@@ -54,13 +54,23 @@ def run_one(name: str) -> dict:
             model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
         )
         variant = ""
+    # the darcy family's headline capability is the zero-shot 421^2
+    # super-resolution transfer (reference: tensorflow/README.md:5,
+    # train_darcy.py:151-180) — checkpoint the run and record it
+    zssr_ckpt = None
+    if bench.startswith("darcy"):
+        zssr_ckpt = os.path.join(
+            os.path.dirname(OUT), ".full_budget_ckpt", name.replace(":", "_")
+        )
+        os.makedirs(zssr_ckpt, exist_ok=True)
     t0 = time.time()
     problem, state, history = runner.train(
-        cfg, verbose=False, sync_every=50, model_variant=variant or None
+        cfg, verbose=False, sync_every=50, model_variant=variant or None,
+        checkpoint_path=zssr_ckpt,
     )
     wall = time.time() - t0
     tail = [h["seconds"] for h in history[5:]] or [history[-1]["seconds"]]
-    return {
+    out = {
         "epochs": len(history),
         "wall_s": round(wall, 1),
         "steady_epoch_s": round(sorted(tail)[len(tail) // 2], 4),
@@ -68,6 +78,18 @@ def run_one(name: str) -> dict:
             k: round(v, 6) for k, v in history[-1].items() if k != "epoch"
         },
     }
+    if zssr_ckpt is not None:
+        from position_induced_transformer_tpu.train import evaluate
+
+        res = evaluate.evaluate(
+            cfg, zssr_ckpt, zssr=True, model_variant=variant or None
+        )
+        out["zssr_421"] = {
+            k: round(v, 6)
+            for k, v in res.items()
+            if isinstance(v, float)
+        }
+    return out
 
 
 def main(names):
