@@ -1,6 +1,8 @@
 """Fused Pallas TPU kernels."""
 
 from position_induced_transformer_tpu.kernels.posatt_batched import (
+    BandSpec,
+    band_tile_rows,
     position_attention_batched,
     position_attention_batched_dist,
 )
@@ -9,6 +11,8 @@ from position_induced_transformer_tpu.kernels.posatt_pallas import (
 )
 
 __all__ = [
+    "BandSpec",
+    "band_tile_rows",
     "position_attention_fixed",
     "position_attention_batched",
     "position_attention_batched_dist",

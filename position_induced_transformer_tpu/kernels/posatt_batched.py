@@ -35,7 +35,9 @@ only (the only metric the reference uses with per-sample meshes).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -89,22 +91,40 @@ def _attention(dist, keep, s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
+def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
     """``with_thr``: the per-row locality threshold is a precomputed input
     (per-sample meshes are constant across training, so thresholds are
     data — computed once at setup, ops/locality.py invariant) and the
-    c-1 masked-min passes disappear from the hot path."""
+    c-1 masked-min passes disappear from the hot path.
+
+    ``band_w``: masked-tile skip (requires ``with_thr``). A per-(sample,
+    row-tile) kept-column band start (ops/locality.batched_band_starts
+    guarantees every kept column lies in [start, start+band_w)) restricts
+    distances, softmax and the value contraction to a (TLo, band_w) slice
+    of the row — at NACA's locality 0.02 on the spatially-ordered C-grid
+    this is a 3x compute/transcendental reduction (band 256 vs padded
+    row 768)."""
 
     def kernel(scale_ref, *refs):
-        if with_thr:
+        if band_w:
+            start_ref, thr_ref, mq_ref, mk_ref, u_ref, out_ref = refs
+        elif with_thr:
             thr_ref, mq_ref, mk_ref, u_ref, out_ref = refs
         else:
             mq_ref, mk_ref, u_ref, out_ref = refs
         mq = mq_ref[0]  # (TLo, d)
-        mk = mk_ref[0]  # (Li_p, d)
-        u = u_ref[0]  # (Li_p, D)
+        if band_w:
+            start = pl.multiple_of(start_ref[0, pl.program_id(1)], 8)
+            mk = mk_ref[0, pl.ds(start, band_w), :]  # (band_w, d)
+            u = u_ref[0, pl.ds(start, band_w), :]  # (band_w, D)
+        else:
+            start = 0
+            mk = mk_ref[0]  # (Li_p, d)
+            u = u_ref[0]  # (Li_p, D)
         dist = _dist_tile(mq, mk, space_dim)
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        col = (
+            start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        )
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], col)
         else:
@@ -118,21 +138,43 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("keep_count", "interpret"))
+def _tile_rows(L_out: int) -> int:
+    """Output-row tile height shared by the kernels AND the setup-time band
+    computation (ops/locality.batched_band_starts callers must tile with
+    the same height the kernel will use)."""
+    return min(_round_up(L_out, 8), 256)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep_count", "band_width", "interpret")
+)
 def _posatt_batched_raw(
-    mesh_q, mesh_k, scale, u, thr=None, *, keep_count, interpret=False,
+    mesh_q, mesh_k, scale, u, thr=None, band_starts=None, *,
+    keep_count, band_width=0, interpret=False,
 ):
     """(B, L_out, H*D) fused batched position attention.
 
     mesh_q: (B, L_out, d); mesh_k: (B, L_in, d); scale: (H, 1); u: (B, L_in, D);
-    thr: optional precomputed per-row locality thresholds (B, L_out, 1).
+    thr: optional precomputed per-row locality thresholds (B, L_out, 1);
+    band_starts/band_width: optional kept-column band (B, n_tiles) int32 +
+    static width — masked-tile skip, requires thr (see _make_fwd_kernel).
     """
     H = scale.shape[0]
     B, L_in, D = u.shape
     L_out, d = mesh_q.shape[1], mesh_q.shape[2]
-    TLo = min(_round_up(L_out, 8), 256)
+    TLo = _tile_rows(L_out)
     Lo_p = _round_up(L_out, TLo)
     Li_p = _round_up(L_in, 128)
+    n_tiles = Lo_p // TLo
+    if band_starts is not None:
+        if thr is None or not band_width:
+            raise ValueError("band skip requires precomputed thresholds")
+        if band_starts.shape != (B, n_tiles):
+            raise ValueError(
+                f"band_starts shape {band_starts.shape} != (B, n_tiles) = "
+                f"({B}, {n_tiles}); the setup-time band computation must "
+                f"tile with _tile_rows(L_out) = {TLo}"
+            )
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
     mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
@@ -149,10 +191,22 @@ def _posatt_batched_raw(
         thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
+    if band_starts is not None:
+        in_specs.insert(
+            1,
+            pl.BlockSpec(
+                (1, n_tiles), lambda b, i: (b, 0), memory_space=pltpu.SMEM
+            ),
+        )
+        operands.insert(1, band_starts)
 
-    grid = (B, Lo_p // TLo)
+    eff_li = band_width if band_starts is not None else Li_p
+    grid = (B, n_tiles)
     out = pl.pallas_call(
-        _make_fwd_kernel(H, D, d, keep_count, L_in, thr is not None),
+        _make_fwd_kernel(
+            H, D, d, keep_count, L_in, thr is not None,
+            band_width if band_starts is not None else 0,
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TLo, H * D), lambda b, i: (b, i, 0)),
@@ -161,20 +215,23 @@ def _posatt_batched_raw(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * H * B * Lo_p * Li_p
+            flops=2 * H * B * Lo_p * eff_li
             * (D + d + (0 if thr is not None else keep_count)),
             bytes_accessed=4
             * (B * (Lo_p + Li_p) * d + B * Li_p * D + B * Lo_p * H * D),
-            transcendentals=H * B * Lo_p * Li_p,
+            transcendentals=H * B * Lo_p * eff_li,
         ),
         interpret=interpret,
     )(*operands)
     return out[:, :L_out, :]
 
 
-def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
+def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
     def kernel(scale_ref, *refs):
-        if with_thr:
+        if band_w:
+            (start_ref, thr_ref, mq_ref, mk_ref, u_ref, g_ref,
+             du_ref, ds_ref, ds_acc) = refs
+        elif with_thr:
             thr_ref, mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc = refs
         else:
             mq_ref, mk_ref, u_ref, g_ref, du_ref, ds_ref, ds_acc = refs
@@ -187,10 +244,18 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
                 ds_acc[h, 0] = 0.0
 
         mq = mq_ref[0]
-        mk = mk_ref[0]
-        u = u_ref[0]
+        if band_w:
+            start = pl.multiple_of(start_ref[0, i], 8)
+            mk = mk_ref[0, pl.ds(start, band_w), :]
+            u = u_ref[0, pl.ds(start, band_w), :]
+        else:
+            start = 0
+            mk = mk_ref[0]
+            u = u_ref[0]
         dist = _dist_tile(mq, mk, space_dim)
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        col = (
+            start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        )
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], col)
         else:
@@ -201,10 +266,17 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
             g = g_ref[0, :, h * D : (h + 1) * D]  # (TLo, D)
             # dValues: P^T @ G, accumulated over row tiles. dot_general
             # with contraction on the row axis — no explicit .T relayout.
-            du_ref[0] += jax.lax.dot_general(
+            # Band: only rows [start, start+band_w) of dU receive mass
+            # from this tile (att is zero-padded outside the band by
+            # construction), so accumulate into the slice.
+            dug = jax.lax.dot_general(
                 att, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if band_w:
+                du_ref[0, pl.ds(start, band_w), :] += dug
+            else:
+                du_ref[0] += dug
             # dScale: dL/dlogit = P*(T - r), dlogit/ds = -dist on kept
             # entries; T = G @ U^T via contraction on the feature axis.
             t = jax.lax.dot_general(
@@ -226,18 +298,22 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("keep_count", "interpret")
+    jax.jit, static_argnames=("keep_count", "band_width", "interpret")
 )
 def _posatt_batched_bwd_raw(
-    mesh_q, mesh_k, scale, u, g, thr=None, *, keep_count, interpret=False
+    mesh_q, mesh_k, scale, u, g, thr=None, band_starts=None, *,
+    keep_count, band_width=0, interpret=False,
 ):
     """(dU (B, L_in, D), dScale (B, H)) in one streaming pass."""
     H = scale.shape[0]
     B, L_in, D = u.shape
     L_out, d = mesh_q.shape[1], mesh_q.shape[2]
-    TLo = min(_round_up(L_out, 8), 256)
+    TLo = _tile_rows(L_out)
     Lo_p = _round_up(L_out, TLo)
     Li_p = _round_up(L_in, 128)
+    n_tiles = Lo_p // TLo
+    if band_starts is not None and (thr is None or not band_width):
+        raise ValueError("band skip requires precomputed thresholds")
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
     mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
@@ -257,10 +333,21 @@ def _posatt_batched_bwd_raw(
         thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
+    if band_starts is not None:
+        in_specs.insert(
+            1,
+            pl.BlockSpec(
+                (1, n_tiles), lambda b, i: (b, 0), memory_space=pltpu.SMEM
+            ),
+        )
+        operands.insert(1, band_starts)
 
     du, ds = pl.pallas_call(
-        _make_bwd_kernel(H, D, d, keep_count, L_in, thr is not None),
-        grid=(B, Lo_p // TLo),
+        _make_bwd_kernel(
+            H, D, d, keep_count, L_in, thr is not None,
+            band_width if band_starts is not None else 0,
+        ),
+        grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Li_p, D), lambda b, i: (b, 0, 0)),
@@ -322,6 +409,14 @@ _fwd_part_nothr = batch_partitioned(
     "b lo d, b li d, h one, b li f -> b lo g",
     static_argnums=(4, 5),
 )
+_fwd_part_band = batch_partitioned(
+    lambda mq, mk, s, u, thr, bs, kc, bw, interp: _posatt_batched_raw(
+        mq, mk, s, u, thr, bs,
+        keep_count=kc, band_width=bw, interpret=interp,
+    ),
+    "b lo d, b li d, h one, b li f, b lo uno, b t -> b lo g",
+    static_argnums=(6, 7, 8),
+)
 _bwd_part_thr = batch_partitioned(
     lambda mq, mk, s, u, g, thr, kc, interp: _posatt_batched_bwd_raw(
         mq, mk, s, u, g, thr, keep_count=kc, interpret=interp
@@ -336,10 +431,26 @@ _bwd_part_nothr = batch_partitioned(
     "b lo d, b li d, h one, b li f, b lo g -> b li f2, b h2",
     static_argnums=(5, 6),
 )
+_bwd_part_band = batch_partitioned(
+    lambda mq, mk, s, u, g, thr, bs, kc, bw, interp: _posatt_batched_bwd_raw(
+        mq, mk, s, u, g, thr, bs,
+        keep_count=kc, band_width=bw, interpret=interp,
+    ),
+    "b lo d, b li d, h one, b li f, b lo g, b lo uno, b t -> b li f2, b h2",
+    static_argnums=(7, 8, 9),
+)
 
 
-def _fwd_dispatch(mesh_q, mesh_k, scale, u, thr, keep_count, interpret):
+def _fwd_dispatch(
+    mesh_q, mesh_k, scale, u, thr, band_starts, keep_count, band_width,
+    interpret,
+):
     if _multi_device():
+        if band_starts is not None:
+            return _fwd_part_band(
+                mesh_q, mesh_k, scale, u, thr, band_starts,
+                keep_count, band_width, interpret,
+            )
         if thr is None:
             return _fwd_part_nothr(
                 mesh_q, mesh_k, scale, u, keep_count, interpret
@@ -348,13 +459,21 @@ def _fwd_dispatch(mesh_q, mesh_k, scale, u, thr, keep_count, interpret):
             mesh_q, mesh_k, scale, u, thr, keep_count, interpret
         )
     return _posatt_batched_raw(
-        mesh_q, mesh_k, scale, u, thr,
-        keep_count=keep_count, interpret=interpret,
+        mesh_q, mesh_k, scale, u, thr, band_starts,
+        keep_count=keep_count, band_width=band_width, interpret=interpret,
     )
 
 
-def _bwd_dispatch(mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret):
+def _bwd_dispatch(
+    mesh_q, mesh_k, scale, u, g, thr, band_starts, keep_count, band_width,
+    interpret,
+):
     if _multi_device():
+        if band_starts is not None:
+            return _bwd_part_band(
+                mesh_q, mesh_k, scale, u, g, thr, band_starts,
+                keep_count, band_width, interpret,
+            )
         if thr is None:
             return _bwd_part_nothr(
                 mesh_q, mesh_k, scale, u, g, keep_count, interpret
@@ -363,36 +482,41 @@ def _bwd_dispatch(mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret):
             mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret
         )
     return _posatt_batched_bwd_raw(
-        mesh_q, mesh_k, scale, u, g, thr,
-        keep_count=keep_count, interpret=interpret,
+        mesh_q, mesh_k, scale, u, g, thr, band_starts,
+        keep_count=keep_count, band_width=band_width, interpret=interpret,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _posatt_batched(
-    mesh_q, mesh_k, scale, u, thr, keep_count, interpret=False,
+    mesh_q, mesh_k, scale, u, thr, band_starts, keep_count,
+    band_width=0, interpret=False,
 ):
     return _fwd_dispatch(
-        mesh_q, mesh_k, scale, u, thr, keep_count, interpret
+        mesh_q, mesh_k, scale, u, thr, band_starts, keep_count,
+        band_width, interpret,
     )
 
 
 def _posatt_batched_fwd(
-    mesh_q, mesh_k, scale, u, thr, keep_count, interpret
+    mesh_q, mesh_k, scale, u, thr, band_starts, keep_count, band_width,
+    interpret,
 ):
     out = _fwd_dispatch(
-        mesh_q, mesh_k, scale, u, thr, keep_count, interpret
+        mesh_q, mesh_k, scale, u, thr, band_starts, keep_count,
+        band_width, interpret,
     )
-    return out, (mesh_q, mesh_k, scale, u, thr)
+    return out, (mesh_q, mesh_k, scale, u, thr, band_starts)
 
 
-def _posatt_batched_bwd(keep_count, interpret, residuals, g):
-    mesh_q, mesh_k, scale, u, thr = residuals
+def _posatt_batched_bwd(keep_count, band_width, interpret, residuals, g):
+    mesh_q, mesh_k, scale, u, thr, band_starts = residuals
     du, ds = _bwd_dispatch(
-        mesh_q, mesh_k, scale, u, g, thr, keep_count, interpret
+        mesh_q, mesh_k, scale, u, g, thr, band_starts, keep_count,
+        band_width, interpret,
     )
     dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
-    return None, None, dscale, du, None
+    return None, None, dscale, du, None, None
 
 
 _posatt_batched.defvjp(_posatt_batched_fwd, _posatt_batched_bwd)
@@ -699,6 +823,32 @@ def position_attention_batched_dist(
     return _posatt_tf(dist, thr, scales, values, interpret)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandSpec:
+    """Kept-column band for the masked-tile skip: per-(sample, row-tile)
+    8-aligned start columns plus the common static width. Produced at setup
+    by ops/locality.batched_band_starts (which must tile with
+    :func:`band_tile_rows`); carried through the Geometry pytree and
+    gathered with the batch like the per-sample thresholds."""
+
+    starts: Any  # (B, n_tiles) int32
+    width: int  # static: lane-aligned band width
+
+    def tree_flatten(self):
+        return (self.starts,), self.width
+
+    @classmethod
+    def tree_unflatten(cls, width, children):
+        return cls(children[0], width)
+
+
+def band_tile_rows(L_out: int) -> int:
+    """The output-row tile height the batched kernels will use for this
+    L_out — setup-time band computations must tile with the same value."""
+    return _tile_rows(L_out)
+
+
 def position_attention_batched(
     mesh_q: jnp.ndarray,
     mesh_k: jnp.ndarray,
@@ -706,6 +856,7 @@ def position_attention_batched(
     inputs: jnp.ndarray,
     locality: float,
     thr: jnp.ndarray | None = None,
+    band: "BandSpec | None" = None,
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -724,12 +875,23 @@ def position_attention_batched(
     masked-min passes from both the forward and backward kernels (the keep
     mask ``dist <= thr`` is identical either way).
 
+    ``band``: optional :class:`BandSpec` kept-column band (requires
+    ``thr``): restricts every tile's distances/softmax/contraction to the
+    setup-computed (tile_rows, band.width) kept-column slice — the
+    masked-tile skip that exploits locality 0.02 leaving 98% of each row
+    masked (ops/locality.batched_band_starts).
+
     Locality semantics match the top-k equivalence of the reference's
     quantile mask (ops/locality.py); Euclidean metric only.
     """
     H = lmda.shape[0]
     B, L_out = inputs.shape[0], mesh_q.shape[1]
     keep_count = topk_keep_count(mesh_k.shape[1], locality)
+    if band is not None and thr is None:
+        raise ValueError(
+            "band skip requires precomputed thresholds (the band start "
+            "arrays are only valid for the thr they were computed from)"
+        )
     if thr is None and locality < 1.0 and keep_count > 32:
         # the in-kernel keep mask unrolls keep_count-1 masked-min passes at
         # trace time — fine for the reference localities (c = 3-20) but a
@@ -751,7 +913,9 @@ def position_attention_batched(
         thr = midpoint_to_next(dist, topk_threshold(dist, locality))
     scale = bandwidth_scale(lmda).reshape(H, 1)
     out = _posatt_batched(
-        mesh_q, mesh_k, scale, inputs, thr, keep_count, interpret
+        mesh_q, mesh_k, scale, inputs, thr,
+        None if band is None else band.starts,
+        keep_count, 0 if band is None else band.width, interpret,
     )
     assert out.shape == (B, L_out, H * inputs.shape[-1])
     return out

@@ -65,6 +65,10 @@ class Geometry:
     thr_up: Optional[Any] = None
     mesh_ltt: Optional[Any] = None
     mesh_out: Optional[Any] = None
+    # optional kept-column bands (kernels/posatt_batched.BandSpec) for the
+    # lazy batched path's masked-tile skip — setup-computed, like thr_*
+    band_down: Optional[Any] = None
+    band_up: Optional[Any] = None
 
     def tree_flatten(self):
         children = (
@@ -76,6 +80,8 @@ class Geometry:
             self.thr_up,
             self.mesh_ltt,
             self.mesh_out,
+            self.band_down,
+            self.band_up,
         )
         return children, None
 

@@ -71,7 +71,8 @@ class KaimingMLP(nn.Module):
 
 
 def _dispatch_posatt(
-    dist, lmda, inputs, locality, thr, fused: bool, mesh_q=None, mesh_k=None
+    dist, lmda, inputs, locality, thr, fused: bool, mesh_q=None, mesh_k=None,
+    band=None,
 ):
     """Route to a fused Pallas kernel or the XLA path.
 
@@ -120,14 +121,36 @@ def _dispatch_posatt(
         # when the module's fused flag is False (direct PiT construction
         # defaults fused_kernel=False, unlike configs.ModelConfig)
         if (mode == "always" or (fused and mode != "never")) and on_tpu:
-            from position_induced_transformer_tpu.kernels import (
-                position_attention_batched,
+            # shape-aware dispatch: for SMALL batched ops the (B, Lq, Lk)
+            # intermediates XLA materializes are a few MB and its fusion
+            # beats the kernel's per-grid-cell overhead (NACA encoder
+            # cross, 20x728x120: 16 us XLA vs 68 us fused upper bounds,
+            # ROOFLINE r3) — route those to XLA and keep the kernel for
+            # the large shapes where never materializing the tensors is
+            # the win (elasticity processor 10x972x972 = 9.4M elements:
+            # fused 186 us vs XLA 280 us; NACA decoder 226M: 8.4x).
+            # Threshold between the measured points; 'always' still
+            # forces the kernel everywhere. Override for measurement:
+            # PIT_BATCHED_XLA_MAX_ELEMS (0 disables the XLA routing).
+            max_elems = int(
+                float(os.environ.get("PIT_BATCHED_XLA_MAX_ELEMS", 4e6))
             )
+            small = (
+                mode != "always"
+                and inputs.shape[0]
+                * mesh_q.shape[-2]
+                * (-(-mesh_k.shape[-2] // 128) * 128)
+                <= max_elems
+            )
+            if not small:
+                from position_induced_transformer_tpu.kernels import (
+                    position_attention_batched,
+                )
 
-            return position_attention_batched(
-                mesh_q, mesh_k, lmda, inputs.astype(jnp.float32), locality,
-                thr,
-            ).astype(cdt)
+                return position_attention_batched(
+                    mesh_q, mesh_k, lmda, inputs.astype(jnp.float32),
+                    locality, thr, band,
+                ).astype(cdt)
         from position_induced_transformer_tpu.ops.distances import (
             pairwise_sq_dist,
         )
@@ -164,10 +187,13 @@ class PosAtt(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
+    def __call__(
+        self, dist, inputs, thr=None, mesh_q=None, mesh_k=None, band=None
+    ):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
         conv = _dispatch_posatt(
-            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
+            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q,
+            mesh_k, band,
         )
         return jnp.concatenate([inputs, conv], axis=-1)
 
@@ -181,10 +207,13 @@ class PosAttCross(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, dist, inputs, thr=None, mesh_q=None, mesh_k=None):
+    def __call__(
+        self, dist, inputs, thr=None, mesh_q=None, mesh_k=None, band=None
+    ):
         lmda = self.param("lmda", uniform01, (self.n_head, 1, 1))
         return _dispatch_posatt(
-            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q, mesh_k
+            dist, lmda, inputs, self.locality, thr, self.fused, mesh_q,
+            mesh_k, band,
         )
 
 
@@ -254,7 +283,7 @@ class PiT(nn.Module):
         func_in = func_in.astype(jnp.dtype(self.compute_dtype))
         f = self.down(
             geom.dist_down, func_in, geom.thr_down,
-            mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in,
+            mesh_q=geom.mesh_ltt, mesh_k=geom.mesh_in, band=geom.band_down,
         )
         f = self.en_layer(f)
         return nn.gelu(f, approximate=False)
@@ -272,7 +301,7 @@ class PiT(nn.Module):
     def decoder(self, geom: Geometry, f: jnp.ndarray) -> jnp.ndarray:
         f = self.up(
             geom.dist_up, f, geom.thr_up,
-            mesh_q=geom.mesh_out, mesh_k=geom.mesh_ltt,
+            mesh_q=geom.mesh_out, mesh_k=geom.mesh_ltt, band=geom.band_up,
         )
         return self.de(f)
 

@@ -129,6 +129,89 @@ def batched_topk_thresholds(
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def batched_band_starts(
+    mesh_q: jnp.ndarray,
+    mesh_k: jnp.ndarray,
+    thr: jnp.ndarray,
+    tile_rows: int,
+    metric: str = "euclidean",
+    chunk: int = 16,
+    min_saving: float = 0.75,
+    width: "int | None" = None,
+):
+    """Kept-column band starts for the fused batched kernel's masked-tile
+    skip: ``(starts (B, n_tiles) int32, band_width int)`` or ``None``.
+
+    At locality 0.02 the keep mask ``dist <= thr`` blanks ~98% of each
+    attention row, and when the key ordering is spatially coherent (the
+    NACA C-grid latent, a strided slice of the output grid — reference:
+    train_naca.py:62-65) the kept columns of a ``tile_rows``-row output
+    tile form a narrow contiguous index band. Per-sample meshes are
+    constant across training, so the band is data: computed once at setup
+    (chunked over B like :func:`batched_topk_thresholds`), it lets the
+    kernel run distances/softmax/contraction on a ``(tile_rows,
+    band_width)`` slice instead of the full padded row — compute and
+    transcendentals drop by ``band_width / L_in_padded``.
+
+    Contract: for every (sample, tile), ALL kept columns lie inside
+    ``[start, start + band_width)``; starts are 8-aligned (TPU sublane)
+    and clamped so the band stays inside the 128-padded key axis. Returns
+    ``None`` when the common band would cover more than ``min_saving`` of
+    the padded width (spatially incoherent orderings, e.g. the elasticity
+    point clouds) — callers then fall back to full-width tiles.
+
+    ``width``: optional floor on the band width — pass the width another
+    split (train vs test) produced so both share ONE static width (the
+    kernel is specialized on it; the wider of the two covers both).
+    """
+    import numpy as np
+
+    from position_induced_transformer_tpu.ops.distances import (
+        pairwise_sq_dist,
+    )
+
+    B, L_q = mesh_q.shape[0], mesh_q.shape[1]
+    L_k = mesh_k.shape[1]
+    n_tiles = -(-L_q // tile_rows)
+    Lk_pad = -(-L_k // 128) * 128
+
+    def one_chunk(mq, mk, th):
+        dist = pairwise_sq_dist(mq, mk, metric)  # (c, L_q, L_k)
+        keep = dist <= th
+        # per (sample, tile) union over rows, padded to n_tiles * tile_rows
+        pad = n_tiles * tile_rows - L_q
+        keep = jnp.pad(keep, ((0, 0), (0, pad), (0, 0)))
+        keep = keep.reshape(keep.shape[0], n_tiles, tile_rows, L_k).any(2)
+        cols = jnp.arange(L_k)
+        lo = jnp.min(jnp.where(keep, cols, L_k), axis=-1)
+        hi = jnp.max(jnp.where(keep, cols + 1, 0), axis=-1)
+        return lo, hi
+
+    fn = jax.jit(one_chunk)
+    los, his = [], []
+    for s in range(0, B, chunk):
+        lo, hi = fn(
+            mesh_q[s : s + chunk], mesh_k[s : s + chunk], thr[s : s + chunk]
+        )
+        los.append(np.asarray(lo))
+        his.append(np.asarray(hi))
+    lo = np.concatenate(los, axis=0)  # (B, n_tiles)
+    hi = np.concatenate(his, axis=0)
+    # all-masked tiles (rows past L_q, or fully-masked rows) contribute an
+    # empty [L_k, 0) span; give them a harmless zero-width band at 0
+    empty = hi <= lo
+    lo = np.where(empty, 0, lo)
+    hi = np.where(empty, 0, hi)
+    start = (lo // 8) * 8  # sublane-aligned
+    need = int(np.max(hi - start)) if (hi > start).any() else 0
+    need = -(-max(need, 8) // 128) * 128  # lane-aligned tile width
+    width = max(need, width or 0)
+    if width >= min_saving * Lk_pad or width >= Lk_pad:
+        return None  # no meaningful skip: run the full-width kernel
+    start = np.minimum(start, Lk_pad - width)  # keep band in-bounds
+    return jnp.asarray(start.astype(np.int32)), width
+
+
 def batched_halfdist_percentile_thresholds(
     coords: jnp.ndarray, percentile: float, chunk: int = 8
 ) -> "jnp.ndarray | None":

@@ -356,6 +356,44 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         return d
 
     model = _make_model(cfg)
+    d_tr = prep(c_tr, X_tr, Y_tr)
+    d_te = prep(c_te, X_te, Y_te)
+
+    # decoder masked-tile skip: the C-grid ordering is spatially coherent,
+    # so at locality 0.02 each 256-row tile's kept columns span ~156 of
+    # 768 padded latent columns — the fused kernel then computes only a
+    # (256, band) slice per tile (kernels/posatt_batched.py BandSpec).
+    # One static width shared by both splits (the kernel specializes on
+    # it); per-sample starts gathered with the batch like thr_up.
+    band_width = None
+    if "thr_up" in d_tr:
+        from position_induced_transformer_tpu.kernels import (
+            BandSpec,
+            band_tile_rows,
+        )
+        from position_induced_transformer_tpu.ops.locality import (
+            batched_band_starts,
+        )
+
+        tlo = band_tile_rows(d_tr["mesh_out"].shape[1])
+        b_tr = batched_band_starts(
+            d_tr["mesh_out"], d_tr["mesh_ltt"], d_tr["thr_up"], tlo,
+            cfg.metric, chunk=16,
+        )
+        if b_tr is not None:
+            b_te = batched_band_starts(
+                d_te["mesh_out"], d_te["mesh_ltt"], d_te["thr_up"], tlo,
+                cfg.metric, chunk=16, width=b_tr[1],
+            )
+            if b_te is not None:
+                band_width = max(b_tr[1], b_te[1])
+                if b_tr[1] < band_width:  # re-clamp to the common width
+                    b_tr = batched_band_starts(
+                        d_tr["mesh_out"], d_tr["mesh_ltt"], d_tr["thr_up"],
+                        tlo, cfg.metric, chunk=16, width=band_width,
+                    )
+                d_tr["band_up"] = b_tr[0]
+                d_te["band_up"] = b_te[0]
 
     def geom_fn(batch):
         # lazy in-step per-sample geometry: top-k locality semantics (same
@@ -366,8 +404,13 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
             metric=cfg.metric, en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
+        starts = batch.get("band_up")
         return dataclasses.replace(
-            g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up")
+            g, thr_down=batch.get("thr_down"), thr_up=batch.get("thr_up"),
+            band_up=(
+                None if starts is None or band_width is None
+                else BandSpec(starts, band_width)
+            ),
         )
 
     task = Task(
@@ -375,10 +418,7 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
         geometry_required_keys=("mesh_in", "mesh_ltt", "mesh_out"),
         **_task_kwargs(cfg),
     )
-    return Problem(
-        cfg, model, task, None,
-        prep(c_tr, X_tr, Y_tr), prep(c_te, X_te, Y_te), ntrain, ntest,
-    )
+    return Problem(cfg, model, task, None, d_tr, d_te, ntrain, ntest)
 
 
 def setup_cylinder(

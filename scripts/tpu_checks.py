@@ -246,27 +246,94 @@ def check_tf_batched(L, B, H, V, percentile, label, rows):
         rows.append(row)
 
 
+def check_naca_band(label, rows):
+    """Band (masked-tile skip) vs plain thr fused kernel at the REAL NACA
+    decoder geometry: the C-grid latent ordering is what makes the kept
+    columns banded (random meshes, as in check_batched, have no band)."""
+    from position_induced_transformer_tpu.data import loaders
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+
+    B, H, D, loc = 20, 1, 128, 0.02
+    _, X_tr, _, _, _, _ = loaders.naca(None, B, 2, nx=221, ny=51)
+    X = jnp.asarray(X_tr[:B])
+    mk = X[:, ::4, ::4, :][:, :56, :13, :].reshape(B, -1, 2)
+    mq = X.reshape(B, -1, 2)
+    Lq, Lk = mq.shape[1], mk.shape[1]
+    thr = batched_topk_thresholds(mq, mk, loc, chunk=4)
+    band = batched_band_starts(mq, mk, thr, band_tile_rows(Lq), chunk=4)
+    assert band is not None, "C-grid NACA decoder must band"
+    spec = BandSpec(*band)
+    lmda0 = jnp.asarray(np.random.default_rng(1).standard_normal((H, 1, 1)), jnp.float32)
+    u0 = jnp.asarray(np.random.default_rng(2).random((B, Lk, D)), jnp.float32)
+
+    plain = lambda x, lm: position_attention_batched(mq, mk, lm, x, loc, thr)
+    banded = lambda x, lm: position_attention_batched(
+        mq, mk, lm, x, loc, thr, spec
+    )
+    err = float(jnp.max(jnp.abs(banded(u0, lmda0) - plain(u0, lmda0))))
+    for impl, fn in (("fused_thr", plain), ("fused_band", banded)):
+        t, resolved = timeit_scanned(fn, u0.shape, (H, 1, 1))
+        row = roofline_row(label, impl, t, Lq, Lk, B, H, D, True, resolved)
+        if impl == "fused_band":
+            row["max_abs_err_vs_thr"] = err
+            row["band_width"] = spec.width
+        rows.append(row)
+
+    # backward (the training hot path): grad wrt (values, bandwidth)
+    for impl, fn in (("fused_thr", plain), ("fused_band", banded)):
+        gfn = jax.grad(lambda x, lm: jnp.sum(fn(x, lm)), argnums=(0, 1))
+        g = lambda x, lm: gfn(x, lm)[0]
+        t, resolved = timeit_scanned(g, u0.shape, (H, 1, 1))
+        row = roofline_row(
+            label + " bwd", impl, t, Lq, Lk, B, H, D, True, resolved
+        )
+        rows.append(row)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
+    only = [a.lower() for a in sys.argv[1:]]
+    want = lambda label: not only or any(sub in label.lower() for sub in only)
     rows = []
     # reference hot shapes, fixed meshes
-    check_fixed(256, 256, 8, 2, 64, 1.0, "burgers processor (global)", rows)
-    check_fixed(256, 1024, 8, 2, 2, 0.02, "burgers encoder cross", rows)
-    check_fixed(1024, 256, 8, 2, 64, 0.02, "burgers decoder cross", rows)
-    check_fixed(256, 256, 20, 2, 256, 1.0, "vorticity processor", rows)
-    check_fixed(4096, 256, 20, 2, 256, 0.02, "vorticity decoder", rows)
-    check_fixed(177241 // 4, 256, 4, 2, 64, 0.02, "darcy ZSSR decoder slab", rows)
+    if want("burgers processor (global)"):
+        check_fixed(256, 256, 8, 2, 64, 1.0, "burgers processor (global)", rows)
+    if want("burgers encoder cross"):
+        check_fixed(256, 1024, 8, 2, 2, 0.02, "burgers encoder cross", rows)
+    if want("burgers decoder cross"):
+        check_fixed(1024, 256, 8, 2, 64, 0.02, "burgers decoder cross", rows)
+    if want("vorticity processor"):
+        check_fixed(256, 256, 20, 2, 256, 1.0, "vorticity processor", rows)
+    if want("vorticity decoder"):
+        check_fixed(4096, 256, 20, 2, 256, 0.02, "vorticity decoder", rows)
+    if want("darcy ZSSR decoder slab"):
+        check_fixed(177241 // 4, 256, 4, 2, 64, 0.02, "darcy ZSSR decoder slab", rows)
     # per-sample-mesh hot shapes (fused batched kernel)
-    check_batched(972, 972, 10, 2, 256, 1.0, "elasticity processor (global)", rows)
-    check_batched(972, 972, 10, 2, 256, 0.02, "elasticity cross (loc .02)", rows)
-    check_batched(11271, 728, 20, 1, 128, 0.02, "naca decoder cross", rows)
-    check_batched(728, 120, 20, 1, 2, 0.02, "naca encoder cross", rows)
+    if want("elasticity processor (global)"):
+        check_batched(972, 972, 10, 2, 256, 1.0, "elasticity processor (global)", rows)
+    if want("elasticity cross (loc .02)"):
+        check_batched(972, 972, 10, 2, 256, 0.02, "elasticity cross (loc .02)", rows)
+    if want("naca decoder cross"):
+        check_batched(11271, 728, 20, 1, 128, 0.02, "naca decoder cross", rows)
+    if want("naca encoder cross"):
+        check_batched(728, 120, 20, 1, 2, 0.02, "naca encoder cross", rows)
+    if want("naca decoder band"):
+        check_naca_band("naca decoder band", rows)
     # TF point-cloud attention (pre-built dists, per-head values)
-    check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
+    if want("elasticity_tf attention (8 heads)"):
+        check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
 
     # model-level fused-vs-XLA parity for the TF point-cloud forward
     # (the kernel-level checks above validate the kernels; this validates
     # the MultiHeadPosAttBatched dispatch glue on the real chip)
+    run_model_check = want("pointcloud_model")
     import os as _os
 
     from position_induced_transformer_tpu.models import PiTTFPointCloud
@@ -274,25 +341,35 @@ if __name__ == "__main__":
         batched_halfdist_percentile_thresholds,
     )
 
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.random((4, 972, 44)), jnp.float32)
-    pc = PiTTFPointCloud(
-        out_dim=1, hid_dim=512, n_head=8,
-        locality_encoder=2.0, locality_decoder=2.0, n_blocks=4,
-    )
-    params = pc.init(jax.random.PRNGKey(0), x)
-    thr = batched_halfdist_percentile_thresholds(x[..., :2], 2.0)
-    _os.environ["PIT_FUSED_MODE"] = "never"
-    want = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
-    _os.environ["PIT_FUSED_MODE"] = "auto"
-    got = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
-    _os.environ.pop("PIT_FUSED_MODE", None)
-    rel = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-30))
-    print(json.dumps({"check": "pointcloud_model_fused_vs_xla", "rel_err": rel}), flush=True)
-    assert rel < 2e-2, rel
+    if run_model_check:
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((4, 972, 44)), jnp.float32)
+        pc = PiTTFPointCloud(
+            out_dim=1, hid_dim=512, n_head=8,
+            locality_encoder=2.0, locality_decoder=2.0, n_blocks=4,
+        )
+        params = pc.init(jax.random.PRNGKey(0), x)
+        thr = batched_halfdist_percentile_thresholds(x[..., :2], 2.0)
+        _os.environ["PIT_FUSED_MODE"] = "never"
+        ref = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
+        _os.environ["PIT_FUSED_MODE"] = "auto"
+        got = jax.jit(lambda p, xx, t: pc.apply(p, xx, t, t))(params, x, thr)
+        _os.environ.pop("PIT_FUSED_MODE", None)
+        rel = float(jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        print(json.dumps({"check": "pointcloud_model_fused_vs_xla", "rel_err": rel}), flush=True)
+        assert rel < 2e-2, rel
 
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "ROOFLINE.json"
     )
+    # merge by (case, impl) so selective runs refresh only their rows
+    old = []
+    if os.path.exists(out):
+        try:
+            old = json.load(open(out)).get("rows", [])
+        except Exception:
+            pass
+    fresh = {(r["case"], r["impl"]) for r in rows}
+    rows = [r for r in old if (r["case"], r["impl"]) not in fresh] + rows
     with open(out, "w") as f:
         json.dump({"device": str(jax.devices()[0]), "rows": rows}, f, indent=1)

@@ -461,3 +461,181 @@ def test_tf_batched_kernel_data_sharded_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
         )
+
+
+# ------------------------------------------------- kept-column band skip
+def _banded_case(B, Lq, Lk, loc, seed=11):
+    """Spatially-ORDERED meshes (keys sorted along x, like the NACA C-grid
+    latent slice) so the kept columns of each row tile form a narrow
+    band. Returns (mq, mk, thr, band)."""
+    from position_induced_transformer_tpu.kernels import band_tile_rows
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+
+    rng = np.random.default_rng(seed)
+    # sorted x plus small y jitter: index order == spatial order
+    kx = np.sort(rng.random((B, Lk)), axis=-1)
+    qx = np.sort(rng.random((B, Lq)), axis=-1)
+    mk = jnp.asarray(
+        np.stack([kx, 0.05 * rng.random((B, Lk))], -1), jnp.float32
+    )
+    mq = jnp.asarray(
+        np.stack([qx, 0.05 * rng.random((B, Lq))], -1), jnp.float32
+    )
+    thr = batched_topk_thresholds(mq, mk, loc)
+    band = batched_band_starts(mq, mk, thr, band_tile_rows(Lq))
+    return mq, mk, thr, band
+
+
+def test_band_starts_cover_all_kept_columns():
+    """The setup-time contract the kernel relies on: every kept column of
+    every row lies inside its tile's [start, start+width) band, starts are
+    8-aligned and the band stays inside the 128-padded key axis."""
+    from position_induced_transformer_tpu.kernels import band_tile_rows
+
+    B, Lq, Lk, loc = 2, 1200, 520, 0.02
+    mq, mk, thr, band = _banded_case(B, Lq, Lk, loc)
+    assert band is not None, "ordered mesh must yield a band"
+    starts, width = np.asarray(band[0]), band[1]
+    tlo = band_tile_rows(Lq)
+    assert starts.shape == (B, -(-Lq // tlo))
+    assert width % 128 == 0 and (starts % 8 == 0).all()
+    Lk_pad = -(-Lk // 128) * 128
+    assert (starts >= 0).all() and (starts + width <= Lk_pad).all()
+    keep = np.asarray(euclidean_sq(mq, mk)) <= np.asarray(thr)
+    for b in range(B):
+        for i in range(starts.shape[1]):
+            cols = np.where(keep[b, i * tlo : (i + 1) * tlo].any(0))[0]
+            assert cols.size
+            assert cols.min() >= starts[b, i]
+            assert cols.max() < starts[b, i] + width
+
+
+def test_band_starts_none_for_incoherent_ordering():
+    """Randomly-ordered point clouds (elasticity) span the full key axis;
+    the helper must decline so callers fall back to full-width tiles."""
+    from position_induced_transformer_tpu.kernels import band_tile_rows
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+
+    rng = np.random.default_rng(5)
+    B, Lq, Lk, loc = 2, 600, 520, 0.02
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    thr = batched_topk_thresholds(mq, mk, loc)
+    assert batched_band_starts(mq, mk, thr, band_tile_rows(Lq)) is None
+
+
+@pytest.mark.parametrize("B,Lq,Lk,loc", [(2, 1200, 520, 0.02)])
+def test_band_kernel_matches_oracle(B, Lq, Lk, loc):
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        position_attention_batched,
+    )
+
+    rng = np.random.default_rng(13)
+    H, D = 2, 8
+    mq, mk, thr, band = _banded_case(B, Lq, Lk, loc)
+    assert band is not None
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+
+    want = position_attention(euclidean_sq(mq, mk), lmda, u, loc, thr=thr)
+    got = position_attention_batched(
+        mq, mk, lmda, u, loc, thr, BandSpec(*band), interpret=INTERPRET
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_band_kernel_gradients_match_oracle():
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        position_attention_batched,
+    )
+
+    rng = np.random.default_rng(17)
+    B, Lq, Lk, H, D, loc = 2, 700, 384, 1, 8, 0.03
+    mq, mk, thr, band = _banded_case(B, Lq, Lk, loc, seed=19)
+    assert band is not None
+    lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+    spec = BandSpec(*band)
+
+    def fused(lm, uu):
+        return jnp.sum(
+            position_attention_batched(
+                mq, mk, lm, uu, loc, thr, spec, interpret=INTERPRET
+            )
+            * ct
+        )
+
+    def oracle(lm, uu):
+        return jnp.sum(
+            position_attention(euclidean_sq(mq, mk), lm, uu, loc, thr=thr)
+            * ct
+        )
+
+    g1 = jax.grad(fused, argnums=(0, 1))(lmda, u)
+    g2 = jax.grad(oracle, argnums=(0, 1))(lmda, u)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_band_kernel_data_sharded_matches_unsharded():
+    """Band variant of the custom_partitioning rules: the per-(sample,
+    tile) starts shard with the batch like every other operand."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        position_attention_batched,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (fake) devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(23)
+    B, Lq, Lk, H, D, loc = 4, 600, 384, 2, 8, 0.03
+    mq, mk, thr, band = _banded_case(B, Lq, Lk, loc, seed=29)
+    assert band is not None
+    starts, width = band
+    lmda = jnp.asarray(rng.random((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+
+    def loss(lm, uu, mq_, mk_, thr_, st_, ct_):
+        return jnp.sum(
+            position_attention_batched(
+                mq_, mk_, lm, uu, loc, thr_, BandSpec(st_, width),
+                interpret=INTERPRET,
+            )
+            * ct_
+        )
+
+    want = jax.jit(loss)(lmda, u, mq, mk, thr, starts, ct)
+    gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        lmda, u, mq, mk, thr, starts, ct
+    )
+    mq_s, mk_s, thr_s, st_s, u_s, ct_s = (
+        jax.device_put(a, shard) for a in (mq, mk, thr, starts, u, ct)
+    )
+    got = jax.jit(loss)(lmda, u_s, mq_s, mk_s, thr_s, st_s, ct_s)
+    gg = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        lmda, u_s, mq_s, mk_s, thr_s, st_s, ct_s
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
