@@ -225,6 +225,44 @@ def _convert(args):
     )
 
 
+def _resolve_data_path(args):
+    """Real-data resolution (data/catalog.py canonical layout):
+
+    - an explicit ``--data-path`` pointing at a catalog-layout ROOT
+      resolves to the benchmark's file/dir inside it; any other explicit
+      path is passed through unchanged (single-file / custom layouts);
+    - with no ``--data-path``, a set ``PIT_REAL_DATA_DIR`` whose layout
+      carries this benchmark's files switches the run onto the real
+      dataset automatically — the one-command real-data path
+      (scripts/fetch_data.py downloads/verifies the layout);
+    - otherwise None (synthetic fallback, with the loaders' warning).
+    """
+    import os
+    import sys as _sys
+
+    from position_induced_transformer_tpu.data import catalog
+
+    bench = getattr(args, "benchmark", None)
+    dp = getattr(args, "data_path", None)
+    if dp is not None:
+        if bench and os.path.isdir(dp):
+            resolved = catalog.data_path_for(bench, dp)
+            if resolved is not None and resolved != dp:
+                return resolved
+        return dp
+    root = catalog.real_data_root()
+    if bench and root:
+        resolved = catalog.data_path_for(bench, root)
+        if resolved is not None:
+            print(
+                f"[data] PIT_REAL_DATA_DIR: using real {bench} dataset "
+                f"({resolved})",
+                file=_sys.stderr,
+            )
+            return resolved
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="position_induced_transformer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -389,6 +427,10 @@ def main(argv=None):
     _add_common(p_desc)
 
     args = parser.parse_args(argv)
+    if getattr(args, "data_path", None) is not None or getattr(
+        args, "benchmark", None
+    ):
+        args.data_path = _resolve_data_path(args)
 
     if args.command == "convert":
         _apply_platform(args)
