@@ -119,3 +119,14 @@ class TestDarcyResolutionConsistency:
         by it); boundary pixels are the risk case for sine-mode fields."""
         x, _ = syn.darcy(n=64, s=43, seed=1)
         assert x[..., 0].std(axis=0).min() > 1e-3
+
+    def test_solution_satisfies_dirichlet_boundary(self):
+        """The real Darcy target solves with u=0 on the boundary
+        (reference: the FNO piececonst dataset); the surrogate's window
+        restores that structure (round-4 error-map diagnosis: without it
+        a trained model's error concentrates on the boundary ring)."""
+        _, y = syn.darcy(n=4, s=43, seed=3)
+        assert abs(y[:, 0]).max() == 0 and abs(y[:, -1]).max() == 0
+        assert abs(y[:, :, 0]).max() == 0 and abs(y[:, :, -1]).max() == 0
+        # and the interior is NOT degenerate
+        assert abs(y[:, 5:-5, 5:-5]).max() > 1e-3
