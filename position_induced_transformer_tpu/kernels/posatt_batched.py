@@ -114,7 +114,12 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
             mq_ref, mk_ref, u_ref, out_ref = refs
         mq = mq_ref[0]  # (TLo, d)
         if band_w:
-            start = pl.multiple_of(start_ref[0, pl.program_id(1)], 8)
+            # starts live UNBLOCKED in SMEM (Mosaic requires block dims
+            # 8/128-divisible OR equal to the array dims; a (1, n_tiles)
+            # block is neither) — index by the grid position instead
+            start = pl.multiple_of(
+                start_ref[pl.program_id(0), pl.program_id(1)], 8
+            )
             mk = mk_ref[0, pl.ds(start, band_w), :]  # (band_w, d)
             u = u_ref[0, pl.ds(start, band_w), :]  # (band_w, D)
         else:
@@ -192,12 +197,7 @@ def _posatt_batched_raw(
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
     if band_starts is not None:
-        in_specs.insert(
-            1,
-            pl.BlockSpec(
-                (1, n_tiles), lambda b, i: (b, 0), memory_space=pltpu.SMEM
-            ),
-        )
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.insert(1, band_starts)
 
     eff_li = band_width if band_starts is not None else Li_p
@@ -245,7 +245,7 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
 
         mq = mq_ref[0]
         if band_w:
-            start = pl.multiple_of(start_ref[0, i], 8)
+            start = pl.multiple_of(start_ref[pl.program_id(0), i], 8)
             mk = mk_ref[0, pl.ds(start, band_w), :]
             u = u_ref[0, pl.ds(start, band_w), :]
         else:
@@ -334,12 +334,7 @@ def _posatt_batched_bwd_raw(
         in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
         operands.insert(1, thr_p)
     if band_starts is not None:
-        in_specs.insert(
-            1,
-            pl.BlockSpec(
-                (1, n_tiles), lambda b, i: (b, 0), memory_space=pltpu.SMEM
-            ),
-        )
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.insert(1, band_starts)
 
     du, ds = pl.pallas_call(

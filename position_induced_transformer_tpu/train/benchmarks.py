@@ -9,6 +9,7 @@ data declared next to the config.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -366,7 +367,7 @@ def setup_naca(cfg, data_path=None, ntrain=None, ntest=None) -> Problem:
     # One static width shared by both splits (the kernel specializes on
     # it); per-sample starts gathered with the batch like thr_up.
     band_width = None
-    if "thr_up" in d_tr:
+    if "thr_up" in d_tr and os.environ.get("PIT_BATCHED_BAND", "1") != "0":
         from position_induced_transformer_tpu.kernels import (
             BandSpec,
             band_tile_rows,
