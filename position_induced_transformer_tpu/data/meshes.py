@@ -41,3 +41,24 @@ def grid_2d_rect(s0: int, s1: int, endpoint: bool = False):
     a, b = axis(s0), axis(s1)
     aa, bb = np.meshgrid(a, b, indexing="ij")
     return np.stack([aa.ravel(), bb.ravel()], axis=-1).astype(np.float32)
+
+
+def angular_sort_perm(coords):
+    """Per-sample permutation ordering a 2-D point cloud by angle around
+    its centroid: (n, L, 2) -> (n, L) int permutation indices.
+
+    For clouds sampled along a CLOSED curve (the elasticity unit-cell
+    boundary, reference: train_elasticity.py:7-16) this makes index order
+    follow spatial order, so the locality keep-mask of each row tile
+    becomes a narrow circular band of columns — the precondition for the
+    fused kernel's masked-tile skip (ops/locality.batched_band_starts
+    circular=True). Position attention is permutation-equivariant in the
+    keys and the per-point loss permutation-invariant, so sorting inputs,
+    coordinates and targets with the SAME permutation changes nothing but
+    the row order of model outputs.
+    """
+    import numpy as np
+
+    c = np.asarray(coords)
+    d = c - c.mean(axis=1, keepdims=True)
+    return np.argsort(np.arctan2(d[..., 1], d[..., 0]), axis=1)

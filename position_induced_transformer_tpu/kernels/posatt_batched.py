@@ -825,17 +825,27 @@ class BandSpec:
     8-aligned start columns plus the common static width. Produced at setup
     by ops/locality.batched_band_starts (which must tile with
     :func:`band_tile_rows`); carried through the Geometry pytree and
-    gathered with the batch like the per-sample thresholds."""
+    gathered with the batch like the per-sample thresholds.
+
+    ``wrap``: circular-band margin. For clouds ordered along a CLOSED
+    curve (elasticity annulus sorted by angle) the kept columns of a
+    seam-straddling tile wrap around the index space; the caller appends
+    the first ``wrap`` keys/values again (one XLA concat — its transpose
+    routes the duplicated dValues back automatically) so every band is a
+    plain linear window of the extended axis. ``width < L_k`` guarantees
+    no window ever sees both copies of a key (batched_band_starts
+    enforces it), so the softmax is exact."""
 
     starts: Any  # (B, n_tiles) int32
     width: int  # static: lane-aligned band width
+    wrap: int = 0  # static: circular margin appended to the key axis
 
     def tree_flatten(self):
-        return (self.starts,), self.width
+        return (self.starts,), (self.width, self.wrap)
 
     @classmethod
-    def tree_unflatten(cls, width, children):
-        return cls(children[0], width)
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
 
 def band_tile_rows(L_out: int) -> int:
@@ -907,6 +917,12 @@ def position_attention_batched(
         # vs the kernel's in-VMEM distance computation
         thr = midpoint_to_next(dist, topk_threshold(dist, locality))
     scale = bandwidth_scale(lmda).reshape(H, 1)
+    if band is not None and band.wrap:
+        # circular band: duplicate the leading wrap-margin keys/values on
+        # the end of the key axis (BandSpec docstring); autodiff routes
+        # the duplicated dValues back through the concat adjoint
+        mesh_k = jnp.concatenate([mesh_k, mesh_k[:, : band.wrap]], axis=1)
+        inputs = jnp.concatenate([inputs, inputs[:, : band.wrap]], axis=1)
     out = _posatt_batched(
         mesh_q, mesh_k, scale, inputs, thr,
         None if band is None else band.starts,

@@ -138,6 +138,7 @@ def batched_band_starts(
     chunk: int = 16,
     min_saving: float = 0.75,
     width: "int | None" = None,
+    circular: bool = False,
 ):
     """Kept-column band starts for the fused batched kernel's masked-tile
     skip: ``(starts (B, n_tiles) int32, band_width int)`` or ``None``.
@@ -163,6 +164,14 @@ def batched_band_starts(
     ``width``: optional floor on the band width — pass the width another
     split (train vs test) produced so both share ONE static width (the
     kernel is specialized on it; the wider of the two covers both).
+
+    ``circular``: treat the key axis as a ring (clouds ordered along a
+    closed curve, e.g. the elasticity annulus sorted by angle): the band
+    is the minimal circular arc covering the kept columns, and starts may
+    point into the wrap margin ``[L_k, L_k + width)`` — the kernel caller
+    appends a duplicated key margin (kernels.BandSpec.wrap) so a linear
+    window still covers the seam-crossing tiles. Returns
+    ``(starts, width, wrap)`` with ``wrap = width``.
     """
     import numpy as np
 
@@ -181,33 +190,61 @@ def batched_band_starts(
         # per (sample, tile) union over rows, padded to n_tiles * tile_rows
         pad = n_tiles * tile_rows - L_q
         keep = jnp.pad(keep, ((0, 0), (0, pad), (0, 0)))
-        keep = keep.reshape(keep.shape[0], n_tiles, tile_rows, L_k).any(2)
-        cols = jnp.arange(L_k)
-        lo = jnp.min(jnp.where(keep, cols, L_k), axis=-1)
-        hi = jnp.max(jnp.where(keep, cols + 1, 0), axis=-1)
-        return lo, hi
+        return keep.reshape(keep.shape[0], n_tiles, tile_rows, L_k).any(2)
 
     fn = jax.jit(one_chunk)
-    los, his = [], []
-    for s in range(0, B, chunk):
-        lo, hi = fn(
-            mesh_q[s : s + chunk], mesh_k[s : s + chunk], thr[s : s + chunk]
+    keeps = [
+        np.asarray(
+            fn(mesh_q[s : s + chunk], mesh_k[s : s + chunk],
+               thr[s : s + chunk])
         )
-        los.append(np.asarray(lo))
-        his.append(np.asarray(hi))
-    lo = np.concatenate(los, axis=0)  # (B, n_tiles)
-    hi = np.concatenate(his, axis=0)
-    # all-masked tiles (rows past L_q, or fully-masked rows) contribute an
-    # empty [L_k, 0) span; give them a harmless zero-width band at 0
-    empty = hi <= lo
-    lo = np.where(empty, 0, lo)
-    hi = np.where(empty, 0, hi)
+        for s in range(0, B, chunk)
+    ]
+    keep = np.concatenate(keeps, axis=0)  # (B, n_tiles, L_k) bool
+    cols = np.arange(L_k)
+    if circular:
+        # minimal circular arc covering the kept columns = complement of
+        # the largest circular RUN of unkept columns. Find it by scanning
+        # the doubled mask for the longest zero run of length < L_k.
+        lo = np.zeros(keep.shape[:2], np.int64)
+        hi = np.zeros(keep.shape[:2], np.int64)
+        for b in range(keep.shape[0]):
+            for t in range(keep.shape[1]):
+                k = keep[b, t]
+                idx = np.flatnonzero(k)
+                if idx.size == 0:
+                    continue
+                # circular gaps between consecutive kept columns
+                gaps = np.diff(idx) - 1
+                wrap_gap = (idx[0] + L_k - idx[-1]) - 1
+                g = int(np.argmax(gaps)) if gaps.size else -1
+                if gaps.size and gaps[g] > wrap_gap:
+                    # arc starts after the largest interior gap and wraps
+                    lo[b, t] = idx[g + 1]
+                    hi[b, t] = idx[g] + 1 + L_k  # linear index in extension
+                else:
+                    lo[b, t] = idx[0]
+                    hi[b, t] = idx[-1] + 1
+    else:
+        big = np.where(keep, cols, L_k)
+        lo = big.min(-1)
+        hi = np.where(keep, cols + 1, 0).max(-1)
+        empty = hi <= lo  # all-masked tiles: harmless zero-width band at 0
+        lo = np.where(empty, 0, lo)
+        hi = np.where(empty, 0, hi)
     start = (lo // 8) * 8  # sublane-aligned
     need = int(np.max(hi - start)) if (hi > start).any() else 0
     need = -(-max(need, 8) // 128) * 128  # lane-aligned tile width
     width = max(need, width or 0)
-    if width >= min_saving * Lk_pad or width >= Lk_pad:
-        return None  # no meaningful skip: run the full-width kernel
+    if width >= min_saving * Lk_pad or width >= L_k:
+        # no meaningful skip — or (circular) a window wide enough to see
+        # BOTH copies of a duplicated key, which would double-count it
+        return None
+    if circular:
+        # extended key axis [0, L_k + width): starts stay in-bounds there
+        ext_pad = -(-(L_k + width) // 128) * 128
+        start = np.minimum(start, ext_pad - width)
+        return jnp.asarray(start.astype(np.int32)), width, width
     start = np.minimum(start, Lk_pad - width)  # keep band in-bounds
     return jnp.asarray(start.astype(np.int32)), width
 

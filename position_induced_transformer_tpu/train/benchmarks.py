@@ -282,6 +282,72 @@ def setup_elasticity(
     )
     model = _make_model(cfg)
 
+    # masked-tile band skip (PIT_ELASTICITY_BAND=0 disables): the clouds
+    # sample a CLOSED boundary curve, so sorting each sample by angle
+    # around its centroid makes index order follow spatial order and the
+    # locality mask becomes a narrow CIRCULAR column band per row tile
+    # (kernels/posatt_batched.py BandSpec.wrap). Sorting inputs, coords
+    # and targets with one permutation is exact (posatt is
+    # permutation-equivariant in keys; the loss per-point). latent ==
+    # output == input cloud here, and en_loc == de_loc for the reference
+    # config, so ONE threshold/band pair serves encoder and decoder.
+    band_width = band_wrap = None
+    if os.environ.get("PIT_ELASTICITY_BAND", "1") != "0":
+        import numpy as _np
+
+        from position_induced_transformer_tpu.data.meshes import (
+            angular_sort_perm,
+        )
+        from position_induced_transformer_tpu.kernels import (
+            BandSpec,
+            band_tile_rows,
+        )
+        from position_induced_transformer_tpu.ops.locality import (
+            batched_band_starts,
+            batched_topk_thresholds,
+        )
+
+        def sort_split(X, ext, Y):
+            perm = angular_sort_perm(ext)
+            take = lambda a: _np.take_along_axis(
+                _np.asarray(a), perm[..., None], axis=1
+            )
+            return take(X), take(ext), take(Y)
+
+        X_tr, ext_tr, Y_tr = sort_split(X_tr, ext_tr, Y_tr)
+        X_te, ext_te, Y_te = sort_split(X_te, ext_te, Y_te)
+        if cfg.model.en_loc == cfg.model.de_loc and cfg.model.en_loc < 1.0:
+            tlo = band_tile_rows(ext_tr.shape[1])
+            m_tr, m_te = jnp.asarray(ext_tr), jnp.asarray(ext_te)
+            thr_tr = batched_topk_thresholds(
+                m_tr, m_tr, cfg.model.en_loc, cfg.metric
+            )
+            thr_te = batched_topk_thresholds(
+                m_te, m_te, cfg.model.en_loc, cfg.metric
+            )
+            b_tr = batched_band_starts(
+                m_tr, m_tr, thr_tr, tlo, cfg.metric, circular=True
+            )
+            if b_tr is not None:
+                b_te = batched_band_starts(
+                    m_te, m_te, thr_te, tlo, cfg.metric,
+                    width=b_tr[1], circular=True,
+                )
+                if b_te is not None:
+                    band_width = max(b_tr[1], b_te[1])
+                    band_wrap = max(b_tr[2], b_te[2])
+                    if b_tr[1] < band_width:
+                        b_tr = batched_band_starts(
+                            m_tr, m_tr, thr_tr, tlo, cfg.metric,
+                            width=band_width, circular=True,
+                        )
+
+    extras_tr = {}
+    extras_te = {}
+    if band_width is not None:
+        extras_tr = {"thr": thr_tr, "band": b_tr[0]}
+        extras_te = {"thr": thr_te, "band": b_te[0]}
+
     def geom_fn(batch):
         # latent mesh == output mesh == input cloud, per sample
         # (reference: train_elasticity.py:46-53 mesh_ltt = mesh_out.clone()).
@@ -294,20 +360,30 @@ def setup_elasticity(
             en_loc=cfg.model.en_loc, de_loc=cfg.model.de_loc,
             lazy=True,
         )
-        return g  # no precomputed thresholds here (see NOTE below)
+        thr = batch.get("thr")
+        starts = batch.get("band")
+        if thr is None or starts is None or band_width is None:
+            # deployment batches carry raw coords only: in-kernel mask
+            return g
+        spec = BandSpec(starts, band_width, band_wrap)
+        return dataclasses.replace(
+            g, thr_down=thr, thr_up=thr, band_down=spec, band_up=spec
+        )
 
-    # NOTE: precomputed per-sample thresholds (as in setup_naca) were
-    # measured NO faster here (0.96x — at L=972 the extra (B, L, 1)
-    # gathers cost as much as the ~19 in-kernel min passes they remove),
-    # so elasticity keeps the in-kernel locality mask.
+    # NOTE (r3): precomputed thresholds ALONE measured no faster here
+    # (0.96x — at L=972 the (B, L, 1) gathers cost as much as the ~19
+    # in-kernel min passes they remove); they ride along now because the
+    # band skip requires them (r4 A/B in BASELINE.md).
     task = Task(
         model=model, geom_fn=geom_fn, geometry_required_keys=("mesh",),
         **_task_kwargs(cfg),
     )
     return Problem(
         cfg, model, task, None,
-        {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr), "y": jnp.asarray(Y_tr)},
-        {"x": jnp.asarray(X_te), "mesh": jnp.asarray(ext_te), "y": jnp.asarray(Y_te)},
+        {"x": jnp.asarray(X_tr), "mesh": jnp.asarray(ext_tr),
+         "y": jnp.asarray(Y_tr), **extras_tr},
+        {"x": jnp.asarray(X_te), "mesh": jnp.asarray(ext_te),
+         "y": jnp.asarray(Y_te), **extras_te},
         ntrain, ntest,
     )
 

@@ -639,3 +639,106 @@ def test_band_kernel_data_sharded_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
         )
+
+
+def _ring_case(B, Lq, Lk, loc, seed=31):
+    """Angle-sorted point clouds on a closed curve: kept columns WRAP at
+    the index seam — the circular-band case (elasticity annulus)."""
+    from position_induced_transformer_tpu.kernels import band_tile_rows
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+
+    rng = np.random.default_rng(seed)
+    th_k = np.sort(rng.uniform(0, 2 * np.pi, (B, Lk)), axis=1)
+    th_q = np.sort(rng.uniform(0, 2 * np.pi, (B, Lq)), axis=1)
+    rad = 1.0 + 0.1 * rng.random((B, 1))
+    mk = jnp.asarray(
+        np.stack([rad * np.cos(th_k), rad * np.sin(th_k)], -1), jnp.float32
+    )
+    mq = jnp.asarray(
+        np.stack([rad * np.cos(th_q), rad * np.sin(th_q)], -1), jnp.float32
+    )
+    thr = batched_topk_thresholds(mq, mk, loc)
+    band = batched_band_starts(
+        mq, mk, thr, band_tile_rows(Lq), circular=True
+    )
+    return mq, mk, thr, band
+
+
+def test_circular_band_covers_seam_and_matches_oracle():
+    """Rows near the index seam keep columns at BOTH ends of the key
+    axis; the circular band (wrap margin) must still reproduce the
+    oracle exactly — including gradients through the duplicated keys."""
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        position_attention_batched,
+    )
+
+    B, Lq, Lk, H, D, loc = 2, 900, 700, 2, 8, 0.02
+    mq, mk, thr, band = _ring_case(B, Lq, Lk, loc)
+    assert band is not None, "ring cloud must yield a circular band"
+    starts, width, wrap = band
+    assert wrap == width and width < Lk
+    # the seam tile genuinely wraps: some start + width exceeds Lk
+    assert (np.asarray(starts) + width > Lk).any()
+    spec = BandSpec(starts, width, wrap)
+
+    rng = np.random.default_rng(37)
+    lmda = jnp.asarray(rng.standard_normal((H, 1, 1)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, Lq, H * D)), jnp.float32)
+
+    want = position_attention(euclidean_sq(mq, mk), lmda, u, loc, thr=thr)
+    got = position_attention_batched(
+        mq, mk, lmda, u, loc, thr, spec, interpret=INTERPRET
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+    def fused(lm, uu):
+        return jnp.sum(
+            position_attention_batched(
+                mq, mk, lm, uu, loc, thr, spec, interpret=INTERPRET
+            )
+            * ct
+        )
+
+    def oracle(lm, uu):
+        return jnp.sum(
+            position_attention(euclidean_sq(mq, mk), lm, uu, loc, thr=thr)
+            * ct
+        )
+
+    g1 = jax.grad(fused, argnums=(0, 1))(lmda, u)
+    g2 = jax.grad(oracle, argnums=(0, 1))(lmda, u)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_elasticity_setup_band_model_parity():
+    """setup_elasticity's angular sort + circular band: geometry carries
+    one thr/band pair for encoder+decoder, and (on the CPU XLA path,
+    which ignores the band) forward matches the band-less geometry."""
+    import dataclasses as dc
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import benchmarks
+
+    p = benchmarks.setup_elasticity(configs.get("elasticity"), ntrain=8,
+                                    ntest=4)
+    assert "band" in p.train_data and "thr" in p.train_data
+    batch = {k: v[:4] for k, v in p.train_data.items()}
+    g = p.task.geom_fn(batch)
+    assert g.band_up is not None and g.band_up.wrap == g.band_up.width
+    params = p.model.init(jax.random.PRNGKey(0), g, batch["x"])
+    out = jax.jit(p.model.apply)(params, g, batch["x"])
+    g2 = dc.replace(g, band_down=None, band_up=None)
+    out2 = jax.jit(p.model.apply)(params, g2, batch["x"])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out2), rtol=2e-5, atol=1e-6
+    )
