@@ -5,6 +5,7 @@ from position_induced_transformer_tpu.kernels.posatt_batched import (
     band_tile_rows,
     position_attention_batched,
     position_attention_batched_dist,
+    position_attention_batched_tf_coords,
 )
 from position_induced_transformer_tpu.kernels.posatt_pallas import (
     position_attention_fixed,
@@ -16,4 +17,5 @@ __all__ = [
     "position_attention_fixed",
     "position_attention_batched",
     "position_attention_batched_dist",
+    "position_attention_batched_tf_coords",
 ]

@@ -930,3 +930,380 @@ def position_attention_batched(
     )
     assert out.shape == (B, L_out, H * inputs.shape[-1])
     return out
+
+
+# --- TF-semantics kernels over RAW COORDINATES --------------------------
+# The TF point-cloud model (elasticity_tf) builds one (B, L, L) dist^2/2
+# matrix per forward and every attention op re-reads it — 37 MB per batch
+# at L=972 that the pre-built-dist kernel above still streams from HBM.
+# These variants compute the distances IN-KERNEL from the (B, L, 2)
+# coordinates (same op order as models/pit_tf.pairwise_dist_half:
+# diff -> square -> sum -> * 0.5), so on the fused path the distance
+# tensor never exists anywhere. Per-head values/output layout and scale
+# semantics match position_attention_batched_dist; the kept-column band
+# skip (BandSpec, incl. circular wrap) composes exactly as in the
+# coordinate kernel above.
+
+
+def _make_tf_coord_fwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
+    def kernel(scale_ref, *refs):
+        if band_w:
+            start_ref, thr_ref, mq_ref, mk_ref, v_ref, out_ref = refs
+        elif with_thr:
+            thr_ref, mq_ref, mk_ref, v_ref, out_ref = refs
+        else:
+            mq_ref, mk_ref, v_ref, out_ref = refs
+        mq = mq_ref[0]
+        if band_w:
+            start = pl.multiple_of(
+                start_ref[pl.program_id(0), pl.program_id(1)], 8
+            )
+            mk = mk_ref[0, pl.ds(start, band_w), :]
+            v = v_ref[0, pl.ds(start, band_w), :]
+        else:
+            start = 0
+            mk = mk_ref[0]
+            v = v_ref[0]
+        dist = 0.5 * _dist_tile(mq, mk, space_dim)
+        col = (
+            start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        )
+        keep = col
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
+                att, v[:, h * V : (h + 1) * V],
+                preferred_element_type=jnp.float32,
+            )
+
+    return kernel
+
+
+def _make_tf_coord_bwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
+    def kernel(scale_ref, *refs):
+        if band_w:
+            (start_ref, thr_ref, mq_ref, mk_ref, v_ref, g_ref,
+             dv_ref, ds_ref, ds_acc) = refs
+        elif with_thr:
+            (thr_ref, mq_ref, mk_ref, v_ref, g_ref,
+             dv_ref, ds_ref, ds_acc) = refs
+        else:
+            mq_ref, mk_ref, v_ref, g_ref, dv_ref, ds_ref, ds_acc = refs
+        i, ni = pl.program_id(1), pl.num_programs(1)
+
+        @pl.when(i == 0)
+        def _init():
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+            for h in range(H):
+                ds_acc[h, 0] = 0.0
+
+        mq = mq_ref[0]
+        if band_w:
+            start = pl.multiple_of(start_ref[pl.program_id(0), i], 8)
+            mk = mk_ref[0, pl.ds(start, band_w), :]
+            v = v_ref[0, pl.ds(start, band_w), :]
+        else:
+            start = 0
+            mk = mk_ref[0]
+            v = v_ref[0]
+        dist = 0.5 * _dist_tile(mq, mk, space_dim)
+        col = (
+            start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
+        )
+        keep = col
+        if with_thr:
+            keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        nd = jnp.where(keep, -dist, 0.0)
+        for h in range(H):
+            att = _attention(dist, keep, scale_ref[h, 0])
+            g = g_ref[0, :, h * V : (h + 1) * V]
+            dvg = jax.lax.dot_general(
+                att, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if band_w:
+                dv_ref[0, pl.ds(start, band_w), h * V : (h + 1) * V] += dvg
+            else:
+                dv_ref[0, :, h * V : (h + 1) * V] += dvg
+            t = jax.lax.dot_general(
+                g, v[:, h * V : (h + 1) * V], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pt = att * t
+            r = jnp.sum(pt, axis=-1, keepdims=True)
+            ds_acc[h, 0] += jnp.sum(pt * nd) - jnp.sum(
+                r * jnp.sum(att * nd, axis=-1, keepdims=True)
+            )
+
+        @pl.when(i == ni - 1)
+        def _fin():
+            for h in range(H):
+                ds_ref[0, 0, h] = ds_acc[h, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_width", "interpret")
+)
+def _posatt_tf_coord_raw(
+    mesh_q, mesh_k, scale, values, thr=None, band_starts=None, *,
+    band_width=0, interpret=False,
+):
+    """(B, L_out, H*V) TF-semantics attention from raw coordinates."""
+    H = scale.shape[0]
+    B, L_in, HV = values.shape
+    L_out, d = mesh_q.shape[1], mesh_q.shape[2]
+    if HV % H:
+        raise ValueError(
+            f"values feature dim {HV} not divisible by n_head {H}"
+        )
+    V = HV // H
+    TLo = _tile_rows(L_out)
+    Lo_p = _round_up(L_out, TLo)
+    Li_p = _round_up(L_in, 128)
+    n_tiles = Lo_p // TLo
+    if band_starts is not None and (thr is None or not band_width):
+        raise ValueError("band skip requires precomputed thresholds")
+
+    mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    v_p = jnp.pad(values, ((0, 0), (0, Li_p - L_in), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+    ]
+    operands = [scale, mq_p, mk_p, v_p]
+    if thr is not None:
+        thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+    if band_starts is not None:
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(1, band_starts)
+
+    eff_li = band_width if band_starts is not None else Li_p
+    out = pl.pallas_call(
+        _make_tf_coord_fwd_kernel(
+            H, V, d, L_in, thr is not None,
+            band_width if band_starts is not None else 0,
+        ),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lo_p, HV), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Lo_p * eff_li * (HV + d) + 5 * H * B * Lo_p * eff_li,
+            bytes_accessed=4
+            * (B * (Lo_p + Li_p) * d + B * Li_p * HV + B * Lo_p * HV),
+            transcendentals=H * B * Lo_p * eff_li,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :L_out, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_width", "interpret")
+)
+def _posatt_tf_coord_bwd_raw(
+    mesh_q, mesh_k, scale, values, g, thr=None, band_starts=None, *,
+    band_width=0, interpret=False,
+):
+    H = scale.shape[0]
+    B, L_in, HV = values.shape
+    L_out, d = mesh_q.shape[1], mesh_q.shape[2]
+    V = HV // H
+    TLo = _tile_rows(L_out)
+    Lo_p = _round_up(L_out, TLo)
+    Li_p = _round_up(L_in, 128)
+    n_tiles = Lo_p // TLo
+
+    mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    v_p = jnp.pad(values, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TLo, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Li_p, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, TLo, HV), lambda b, i: (b, i, 0)),
+    ]
+    operands = [scale, mq_p, mk_p, v_p, g_p]
+    if thr is not None:
+        thr_p = jnp.pad(thr, ((0, 0), (0, Lo_p - L_out), (0, 0)))
+        in_specs.insert(1, pl.BlockSpec((1, TLo, 1), lambda b, i: (b, i, 0)))
+        operands.insert(1, thr_p)
+    if band_starts is not None:
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(1, band_starts)
+
+    dv, ds = pl.pallas_call(
+        _make_tf_coord_bwd_kernel(
+            H, V, d, L_in, thr is not None,
+            band_width if band_starts is not None else 0,
+        ),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, Li_p, HV), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Li_p, HV), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((H, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dv[:, :L_in, :], ds[:, 0, :]
+
+
+_tfc_fwd_part_thr = batch_partitioned(
+    lambda mq, mk, s, v, thr, interp: _posatt_tf_coord_raw(
+        mq, mk, s, v, thr, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo uno -> b lo g",
+    static_argnums=(5,),
+)
+_tfc_fwd_part_nothr = batch_partitioned(
+    lambda mq, mk, s, v, interp: _posatt_tf_coord_raw(
+        mq, mk, s, v, None, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f -> b lo g",
+    static_argnums=(4,),
+)
+_tfc_fwd_part_band = batch_partitioned(
+    lambda mq, mk, s, v, thr, bs, bw, interp: _posatt_tf_coord_raw(
+        mq, mk, s, v, thr, bs, band_width=bw, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo uno, b t -> b lo g",
+    static_argnums=(6, 7),
+)
+_tfc_bwd_part_thr = batch_partitioned(
+    lambda mq, mk, s, v, g, thr, interp: _posatt_tf_coord_bwd_raw(
+        mq, mk, s, v, g, thr, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo g, b lo uno -> b li f2, b h2",
+    static_argnums=(6,),
+)
+_tfc_bwd_part_nothr = batch_partitioned(
+    lambda mq, mk, s, v, g, interp: _posatt_tf_coord_bwd_raw(
+        mq, mk, s, v, g, None, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo g -> b li f2, b h2",
+    static_argnums=(5,),
+)
+_tfc_bwd_part_band = batch_partitioned(
+    lambda mq, mk, s, v, g, thr, bs, bw, interp: _posatt_tf_coord_bwd_raw(
+        mq, mk, s, v, g, thr, bs, band_width=bw, interpret=interp
+    ),
+    "b lo d, b li d, h one, b li f, b lo g, b lo uno, b t -> b li f2, b h2",
+    static_argnums=(7, 8),
+)
+
+
+def _tfc_fwd_dispatch(mq, mk, scale, v, thr, bs, bw, interpret):
+    if _multi_device():
+        if bs is not None:
+            return _tfc_fwd_part_band(mq, mk, scale, v, thr, bs, bw, interpret)
+        if thr is None:
+            return _tfc_fwd_part_nothr(mq, mk, scale, v, interpret)
+        return _tfc_fwd_part_thr(mq, mk, scale, v, thr, interpret)
+    return _posatt_tf_coord_raw(
+        mq, mk, scale, v, thr, bs, band_width=bw, interpret=interpret
+    )
+
+
+def _tfc_bwd_dispatch(mq, mk, scale, v, g, thr, bs, bw, interpret):
+    if _multi_device():
+        if bs is not None:
+            return _tfc_bwd_part_band(
+                mq, mk, scale, v, g, thr, bs, bw, interpret
+            )
+        if thr is None:
+            return _tfc_bwd_part_nothr(mq, mk, scale, v, g, interpret)
+        return _tfc_bwd_part_thr(mq, mk, scale, v, g, thr, interpret)
+    return _posatt_tf_coord_bwd_raw(
+        mq, mk, scale, v, g, thr, bs, band_width=bw, interpret=interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _posatt_tf_coord(mq, mk, scale, values, thr, band_starts, band_width=0,
+                     interpret=False):
+    return _tfc_fwd_dispatch(
+        mq, mk, scale, values, thr, band_starts, band_width, interpret
+    )
+
+
+def _posatt_tf_coord_fwd(mq, mk, scale, values, thr, band_starts,
+                         band_width, interpret):
+    out = _tfc_fwd_dispatch(
+        mq, mk, scale, values, thr, band_starts, band_width, interpret
+    )
+    return out, (mq, mk, scale, values, thr, band_starts)
+
+
+def _posatt_tf_coord_bwd(band_width, interpret, residuals, g):
+    mq, mk, scale, values, thr, band_starts = residuals
+    dv, ds = _tfc_bwd_dispatch(
+        mq, mk, scale, values, g, thr, band_starts, band_width, interpret
+    )
+    dscale = jnp.sum(ds, axis=0).reshape(scale.shape)
+    return None, None, dscale, dv, None, None
+
+
+_posatt_tf_coord.defvjp(_posatt_tf_coord_fwd, _posatt_tf_coord_bwd)
+
+
+def position_attention_batched_tf_coords(
+    coords_q: jnp.ndarray,
+    coords_k: jnp.ndarray,
+    scales: jnp.ndarray,
+    values: jnp.ndarray,
+    thr: jnp.ndarray | None = None,
+    band: "BandSpec | None" = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TF-semantics fused attention DIRECTLY from point-cloud coordinates
+    (reference: tensorflow/5_Elasticity/utils.py:60-103 computes
+    softmax(-dist^2/2 * r_h^2) @ V_h over per-sample distances): the
+    distance matrix is built tile-resident in VMEM with the exact
+    ``pairwise_dist_half`` op order, so neither the (B, L, L) distances
+    nor the (B, H, L, L) attention tensors ever exist in HBM.
+
+    coords_q: (B, L_out, d); coords_k: (B, L_in, d); scales: (H, 1)
+    non-negative (e.g. r^2); values: (B, L_in, H*V) per-head folded; thr:
+    optional (B, L_out, 1) thresholds ON THE HALVED distances; band:
+    optional kept-column :class:`BandSpec` (requires thr; circular wrap
+    supported). Differentiable in (scales, values).
+    """
+    if band is not None and thr is None:
+        raise ValueError("band skip requires precomputed thresholds")
+    if band is not None and band.wrap:
+        coords_k = jnp.concatenate(
+            [coords_k, coords_k[:, : band.wrap]], axis=1
+        )
+        values = jnp.concatenate([values, values[:, : band.wrap]], axis=1)
+    return _posatt_tf_coord(
+        coords_q, coords_k, scales, values, thr,
+        None if band is None else band.starts,
+        0 if band is None else band.width, interpret,
+    )

@@ -427,8 +427,13 @@ class MultiHeadPosAttBatched(nn.Module):
 
     @nn.compact
     def __call__(
-        self, dist: jnp.ndarray, inputs: jnp.ndarray, thr=None
+        self, dist, inputs: jnp.ndarray, thr=None, coords=None, band=None
     ) -> jnp.ndarray:
+        """``dist``: pre-built (B, L, L) halved distances, or None when
+        ``coords`` (B, L, 2) are given — the fused TPU path then computes
+        distances tile-resident in VMEM and the tensor never exists
+        (kernels position_attention_batched_tf_coords); ``band``:
+        optional kept-column BandSpec (requires thr)."""
         v_dim = round(self.hid_dim / self.n_head)
         # keras add_weight default init (glorot_uniform) — the reference
         # passes none for r (tensorflow/5_Elasticity/utils.py:72-76)
@@ -466,6 +471,10 @@ class MultiHeadPosAttBatched(nn.Module):
             )
 
             if self.locality <= 100 and thr is None:
+                if dist is None:
+                    c = coords
+                    diff = c[:, :, None, :] - c[:, None, :, :]
+                    dist = 0.5 * jnp.sum(diff * diff, axis=-1)
                 thr = quantile_threshold(dist, self.locality / 100.0)
             elif self.locality > 100:
                 thr = None
@@ -475,11 +484,27 @@ class MultiHeadPosAttBatched(nn.Module):
             values = jnp.einsum(
                 "bnj,hjk->bnhk", inputs, w.astype(inputs.dtype)
             ).reshape(inputs.shape[0], inputs.shape[1], self.hid_dim)
-            out = position_attention_batched_dist(
-                dist, scales, values.astype(jnp.float32), thr
-            ).astype(inputs.dtype)
+            if coords is not None:
+                # distances built in-kernel from the raw coordinates: the
+                # (B, L, L) tensor never exists in HBM at all (and the
+                # kept-column band skip composes)
+                from position_induced_transformer_tpu.kernels import (
+                    position_attention_batched_tf_coords,
+                )
+
+                out = position_attention_batched_tf_coords(
+                    coords, coords, scales, values.astype(jnp.float32),
+                    thr, band,
+                ).astype(inputs.dtype)
+            else:
+                out = position_attention_batched_dist(
+                    dist, scales, values.astype(jnp.float32), thr
+                ).astype(inputs.dtype)
             return nn.gelu(out, approximate=False)
 
+        if dist is None:  # XLA fallback with lazy coords
+            diff = coords[:, :, None, :] - coords[:, None, :, :]
+            dist = 0.5 * jnp.sum(diff * diff, axis=-1)
         scaled = dist[:, None, :, :] * (r * r)  # (B, H, L, L)
         if self.locality <= 100:
             if thr is not None:
@@ -522,11 +547,12 @@ class PiTTFPointCloud(nn.Module):
     # per-sample distance matrix and its thresholds are built from the
     # raw f32 coordinates BEFORE the activations are cast
 
-    def _att(self, kind, locality, name, dist, x, thr=None):
+    def _att(self, kind, locality, name, dist, x, thr=None, coords=None,
+             band=None):
         if kind == "position":
             return MultiHeadPosAttBatched(
                 self.n_head, self.hid_dim, locality, name=name
-            )(dist, x, thr)
+            )(dist, x, thr, coords=coords, band=band)
         if kind == "self":
             return MultiHeadSelfAtt(self.n_head, self.hid_dim, name=name)(x)
         raise ValueError(
@@ -535,11 +561,31 @@ class PiTTFPointCloud(nn.Module):
 
     @nn.compact
     def __call__(
-        self, inputs: jnp.ndarray, thr_en=None, thr_de=None
+        self, inputs: jnp.ndarray, thr_en=None, thr_de=None,
+        band_en=None, band_de=None,
     ) -> jnp.ndarray:
-        coords = inputs[..., :2]
-        diff = coords[:, :, None, :] - coords[:, None, :, :]
-        m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)  # (B, L, L)
+        import os
+
+        import jax
+
+        coords = inputs[..., :2].astype(jnp.float32)
+        # the (B, L, L) halved-distance matrix is needed only off the
+        # fused path, or to compute thresholds nobody precomputed: on the
+        # fused path the coordinate kernel builds distances tile-resident
+        # in VMEM and the matrix never exists in HBM
+        fused = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PIT_FUSED_MODE", "auto") != "never"
+        )
+        locs = {self.locality_encoder: thr_en, self.locality_decoder: thr_de}
+        missing_thr = self.coder_attention == "position" and any(
+            t is None and loc <= 100 for loc, t in locs.items()
+        )
+        m_dist = None
+        if not fused or missing_thr:
+            diff = coords[:, :, None, :] - coords[:, None, :, :]
+            m_dist = 0.5 * jnp.sum(diff * diff, axis=-1)  # (B, L, L)
+        pass_coords = coords if (fused and m_dist is None) else None
         # head-independent locality thresholds, once per distinct locality
         # (the reference sorts the scaled (B, H, L, L) tensor per attention
         # block per forward — H x redundant). ``thr_en``/``thr_de``:
@@ -572,6 +618,11 @@ class PiTTFPointCloud(nn.Module):
             )
             for loc in {self.locality_encoder, self.locality_decoder}
         }
+        band = {self.locality_encoder: band_en, self.locality_decoder: band_de}
+        if self.locality_encoder == self.locality_decoder:
+            band[self.locality_encoder] = (
+                band_en if band_en is not None else band_de
+            )
 
         cdt = jnp.dtype(self.compute_dtype)
         inputs = inputs.astype(cdt)  # distances/thresholds above are f32
@@ -585,13 +636,15 @@ class PiTTFPointCloud(nn.Module):
             self._att(
                 self.coder_attention, self.locality_encoder, "down",
                 m_dist, en, thr[self.locality_encoder],
+                coords=pass_coords, band=band[self.locality_encoder],
             )
         ) + dense("w1")(en)
         x = nn.gelu(x, approximate=False)
 
         for i in range(self.n_blocks):
             pa = self._att(
-                self.processor_attention, 200.0, f"PA_{i}", m_dist, x
+                self.processor_attention, 200.0, f"PA_{i}", m_dist, x,
+                coords=pass_coords,
             )
             x = mlp(self.hid_dim, f"MLP_{i}")(pa) + dense(f"W_{i}")(x)
             x = nn.gelu(x, approximate=False)
@@ -600,6 +653,7 @@ class PiTTFPointCloud(nn.Module):
             self._att(
                 self.coder_attention, self.locality_decoder, "up",
                 m_dist, x, thr[self.locality_decoder],
+                coords=pass_coords, band=band[self.locality_decoder],
             )
         ) + dense("w2")(x)
         de = nn.gelu(de, approximate=False)

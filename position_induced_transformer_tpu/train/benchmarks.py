@@ -805,9 +805,34 @@ def setup_elasticity_tf(
     # percentile sort the reference pays per forward
     # (tensorflow/5_Elasticity/utils.py:92-95) is data: per-sample
     # thresholds once at setup, gathered with the batch and handed to the
-    # model through the geometry slot
+    # model through the geometry slot. Angular sorting (see
+    # setup_elasticity) additionally gives the fused coordinate kernel a
+    # circular kept-column band per locality (PIT_ELASTICITY_BAND=0
+    # disables the sort+band).
     from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
         batched_halfdist_percentile_thresholds as _pct_thr,
+    )
+
+    use_band = os.environ.get("PIT_ELASTICITY_BAND", "1") != "0"
+    if use_band:
+        from position_induced_transformer_tpu.data.meshes import (
+            angular_sort_perm,
+        )
+
+        def _sort(X, ext, Y):
+            perm = angular_sort_perm(ext)
+            take = lambda a: np.take_along_axis(
+                np.asarray(a), perm[..., None], axis=1
+            )
+            return take(X), take(ext), take(Y)
+
+        X_tr, ext_tr, Y_tr = _sort(X_tr, ext_tr, Y_tr)
+        X_te, ext_te, Y_te = _sort(X_te, ext_te, Y_te)
+
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
     )
 
     def data_dict(X, ext, Y):
@@ -823,12 +848,59 @@ def setup_elasticity_tf(
             d["thr_de"] = thr_de
         return d
 
+    d_tr = data_dict(X_tr, ext_tr, Y_tr)
+    d_te = data_dict(X_te, ext_te, Y_te)
+    # circular kept-column bands per locality (the thresholds are on the
+    # HALVED distances — batched_band_starts masks with full euclidean_sq,
+    # so hand it 2*thr). One static (width, wrap) per threshold key.
+    band_meta = {}
+    if use_band:
+        tlo = band_tile_rows(d_tr["x"].shape[1])
+        for key in ("thr_en", "thr_de"):
+            if key not in d_tr:
+                continue
+            if key == "thr_de" and m.de_loc == m.en_loc and "thr_en" in band_meta:
+                band_meta["thr_de"] = band_meta["thr_en"]
+                d_tr["band_de"] = d_tr["band_en"]
+                d_te["band_de"] = d_te["band_en"]
+                continue
+            ctr, cte = d_tr["x"][..., :2], d_te["x"][..., :2]
+            b_tr = batched_band_starts(
+                ctr, ctr, 2.0 * d_tr[key], tlo, circular=True
+            )
+            if b_tr is None:
+                continue
+            b_te = batched_band_starts(
+                cte, cte, 2.0 * d_te[key], tlo, width=b_tr[1], circular=True
+            )
+            if b_te is None:
+                continue
+            w = max(b_tr[1], b_te[1])
+            if b_tr[1] < w:
+                b_tr = batched_band_starts(
+                    ctr, ctr, 2.0 * d_tr[key], tlo, width=w, circular=True
+                )
+            bkey = key.replace("thr", "band")
+            d_tr[bkey] = b_tr[0]
+            d_te[bkey] = b_te[0]
+            band_meta[key] = (w, max(b_tr[2], b_te[2]))
+
+    def _spec(batch, bkey, tkey):
+        starts = batch.get(bkey)
+        meta = band_meta.get(tkey)
+        if starts is None or meta is None:
+            return None
+        return BandSpec(starts, meta[0], meta[1])
+
     geom_fn = lambda batch: {
-        "thr_en": batch.get("thr_en"), "thr_de": batch.get("thr_de")
+        "thr_en": batch.get("thr_en"), "thr_de": batch.get("thr_de"),
+        "band_en": _spec(batch, "band_en", "thr_en"),
+        "band_de": _spec(batch, "band_de", "thr_de"),
     }
     apply_fn = lambda params, geom, batch: model.apply(
         {"params": params}, batch["x"],
         (geom or {}).get("thr_en"), (geom or {}).get("thr_de"),
+        (geom or {}).get("band_en"), (geom or {}).get("band_de"),
     )
     task = Task(
         model=model, apply_fn=apply_fn, geom_fn=geom_fn,
@@ -837,10 +909,7 @@ def setup_elasticity_tf(
     )
     init_fn = lambda rng, data: model.init(rng, data["x"])
     return Problem(
-        cfg, model, task, None,
-        data_dict(X_tr, ext_tr, Y_tr),
-        data_dict(X_te, ext_te, Y_te),
-        ntrain, ntest, init_fn=init_fn,
+        cfg, model, task, None, d_tr, d_te, ntrain, ntest, init_fn=init_fn,
     )
 
 

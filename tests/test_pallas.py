@@ -742,3 +742,190 @@ def test_elasticity_setup_band_model_parity():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out2), rtol=2e-5, atol=1e-6
     )
+
+
+# -------------------------------------- TF-semantics coordinate kernel
+def test_tf_coord_kernel_matches_oracle_and_dist_kernel():
+    """position_attention_batched_tf_coords (in-kernel dist^2/2) vs the
+    XLA oracle AND the pre-built-dist kernel: same math, no HBM dist."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+        position_attention_batched_tf_coords,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        quantile_threshold,
+    )
+
+    rng = np.random.default_rng(41)
+    B, L, H, V = 3, 200, 4, 16
+    c = jnp.asarray(rng.random((B, L, 2)), jnp.float32)
+    diff = c[:, :, None, :] - c[:, None, :, :]
+    dist = 0.5 * jnp.sum(diff * diff, axis=-1)
+    scales = jnp.asarray(rng.random((H, 1)) + 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+
+    for pct in (2.0, None):  # local and global
+        thr = quantile_threshold(dist, pct / 100.0) if pct else None
+        want = position_attention_batched_dist(
+            dist, scales, v, thr, interpret=INTERPRET
+        )
+        got = position_attention_batched_tf_coords(
+            c, c, scales, v, thr, interpret=INTERPRET
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_tf_coord_kernel_gradients_match_dist_kernel():
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched_dist,
+        position_attention_batched_tf_coords,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        quantile_threshold,
+    )
+
+    rng = np.random.default_rng(43)
+    B, L, H, V = 2, 150, 2, 8
+    c = jnp.asarray(rng.random((B, L, 2)), jnp.float32)
+    diff = c[:, :, None, :] - c[:, None, :, :]
+    dist = 0.5 * jnp.sum(diff * diff, axis=-1)
+    thr = quantile_threshold(dist, 0.03)
+    scales = jnp.asarray(rng.random((H, 1)) + 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+
+    g1 = jax.grad(
+        lambda s, vv: jnp.sum(
+            position_attention_batched_tf_coords(
+                c, c, s, vv, thr, interpret=INTERPRET
+            ) * ct
+        ),
+        argnums=(0, 1),
+    )(scales, v)
+    g2 = jax.grad(
+        lambda s, vv: jnp.sum(
+            position_attention_batched_dist(
+                dist, s, vv, thr, interpret=INTERPRET
+            ) * ct
+        ),
+        argnums=(0, 1),
+    )(scales, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_tf_coord_kernel_circular_band():
+    """Circular band on an angle-sorted ring cloud through the TF
+    coordinate kernel (the elasticity_tf production config), incl. the
+    dValues adjoint through the duplicated wrap margin."""
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
+        position_attention_batched_dist,
+        position_attention_batched_tf_coords,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_halfdist_percentile_thresholds,
+    )
+
+    rng = np.random.default_rng(47)
+    B, L, H, V = 2, 900, 2, 8
+    th = np.sort(rng.uniform(0, 2 * np.pi, (B, L)), axis=1)
+    rad = 1.0 + 0.05 * rng.random((B, L))
+    c = jnp.asarray(
+        np.stack([rad * np.cos(th), rad * np.sin(th)], -1), jnp.float32
+    )
+    thr = batched_halfdist_percentile_thresholds(c, 2.0)
+    band = batched_band_starts(
+        c, c, 2.0 * thr, band_tile_rows(L), circular=True
+    )
+    assert band is not None
+    spec = BandSpec(*band)
+    assert (np.asarray(spec.starts) + spec.width > L).any()  # seam tiles
+
+    diff = c[:, :, None, :] - c[:, None, :, :]
+    dist = 0.5 * jnp.sum(diff * diff, axis=-1)
+    scales = jnp.asarray(rng.random((H, 1)) + 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, L, H * V)), jnp.float32)
+
+    want = position_attention_batched_dist(
+        dist, scales, v, thr, interpret=INTERPRET
+    )
+    got = position_attention_batched_tf_coords(
+        c, c, scales, v, thr, spec, interpret=INTERPRET
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+    g1 = jax.grad(
+        lambda s, vv: jnp.sum(
+            position_attention_batched_tf_coords(
+                c, c, s, vv, thr, spec, interpret=INTERPRET
+            ) * ct
+        ),
+        argnums=(0, 1),
+    )(scales, v)
+    g2 = jax.grad(
+        lambda s, vv: jnp.sum(
+            position_attention_batched_dist(
+                dist, s, vv, thr, interpret=INTERPRET
+            ) * ct
+        ),
+        argnums=(0, 1),
+    )(scales, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_elasticity_tf_setup_band_and_sorted_model_parity():
+    """setup_elasticity_tf: angular sort + circular bands in the data
+    dict; sorting is EXACT (same final metrics as the unsorted setup on
+    the CPU XLA path, which ignores coords/band)."""
+    import os
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import benchmarks
+
+    cfg = configs.get("elasticity_tf")
+    p = benchmarks.setup_elasticity_tf(cfg, ntrain=8, ntest=4)
+    assert "band_en" in p.train_data and "band_de" in p.train_data
+    g = p.task.geom_fn({k: v[:4] for k, v in p.train_data.items()})
+    assert g["band_en"] is not None and g["band_en"].wrap > 0
+
+    # exactness of the permutation: the model is permutation-equivariant
+    # over points (attention over all pairs + pointwise layers), so
+    # sorted inputs produce exactly the sorted outputs of the unsorted
+    # setup (full-width training parity is covered on-chip; a CPU
+    # full-width elasticity_tf train is minutes per epoch)
+    os.environ["PIT_ELASTICITY_BAND"] = "0"
+    try:
+        p_plain = benchmarks.setup_elasticity_tf(cfg, ntrain=8, ntest=4)
+    finally:
+        os.environ.pop("PIT_ELASTICITY_BAND")
+    from position_induced_transformer_tpu.data.meshes import (
+        angular_sort_perm,
+    )
+
+    xs = p.train_data["x"][:2]
+    xp = p_plain.train_data["x"][:2]
+    perm = angular_sort_perm(np.asarray(xp[..., :2]))[:2]
+    np.testing.assert_allclose(
+        np.asarray(xs),
+        np.take_along_axis(np.asarray(xp), perm[..., None], 1),
+    )
+    params = p.model.init(jax.random.PRNGKey(0), xs)
+    out_s = jax.jit(p.model.apply)(params, xs)
+    out_p = jax.jit(p_plain.model.apply)(params, xp)
+    np.testing.assert_allclose(
+        np.asarray(out_s),
+        np.take_along_axis(np.asarray(out_p), perm[..., None], 1),
+        rtol=2e-5, atol=2e-5,
+    )
