@@ -297,6 +297,111 @@ def check_naca_band(label, rows):
         rows.append(row)
 
 
+def check_elasticity_band(label, rows):
+    """Circular band (angle-sorted annulus clouds) vs plain in-kernel mask
+    at the REAL elasticity geometry — torch-family coordinate kernel."""
+    from position_induced_transformer_tpu.data import loaders
+    from position_induced_transformer_tpu.data.meshes import (
+        angular_sort_perm,
+    )
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+
+    B, H, D, loc = 10, 2, 256, 0.02
+    _, ext, _, *_ = loaders.elasticity(None, B, 2)
+    perm = angular_sort_perm(ext)
+    m = jnp.asarray(np.take_along_axis(np.asarray(ext), perm[..., None], 1))
+    L = m.shape[1]
+    thr = batched_topk_thresholds(m, m, loc)
+    band = batched_band_starts(m, m, thr, band_tile_rows(L), circular=True)
+    assert band is not None, "angle-sorted elasticity must band"
+    spec = BandSpec(*band)
+    u0 = jnp.asarray(np.random.default_rng(2).random((B, L, D)), jnp.float32)
+
+    plain = lambda x, lm: position_attention_batched(m, m, lm, x, loc)
+    banded = lambda x, lm: position_attention_batched(
+        m, m, lm, x, loc, thr, spec
+    )
+    lm0 = jnp.asarray(
+        np.random.default_rng(1).standard_normal((H, 1, 1)), jnp.float32
+    )
+    err = float(jnp.max(jnp.abs(banded(u0, lm0) - plain(u0, lm0))))
+    for impl, fn in (("fused_inkernel", plain), ("fused_band", banded)):
+        t, resolved = timeit_scanned(fn, u0.shape, (H, 1, 1))
+        row = roofline_row(label, impl, t, L, L, B, H, D, True, resolved)
+        if impl == "fused_band":
+            row["max_abs_err_vs_inkernel"] = err
+            row["band_width"] = spec.width
+            row["band_wrap"] = spec.wrap
+        rows.append(row)
+
+
+def check_elasticity_tf_coords(label, rows):
+    """TF coordinate kernel (in-VMEM dist^2/2) + circular band vs the
+    pre-built-dist TF kernel at the real elasticity_tf config."""
+    from position_induced_transformer_tpu.data import loaders
+    from position_induced_transformer_tpu.data.meshes import (
+        angular_sort_perm,
+    )
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
+        position_attention_batched_dist,
+        position_attention_batched_tf_coords,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_halfdist_percentile_thresholds,
+    )
+
+    B, H, V, pct = 10, 8, 64, 2.0
+    _, ext, _, *_ = loaders.elasticity(None, B, 2)
+    perm = angular_sort_perm(ext)
+    c = jnp.asarray(np.take_along_axis(np.asarray(ext), perm[..., None], 1))
+    L = c.shape[1]
+    thr = batched_halfdist_percentile_thresholds(c, pct)
+    band = batched_band_starts(
+        c, c, 2.0 * thr, band_tile_rows(L), circular=True
+    )
+    spec = None if band is None else BandSpec(*band)
+    diff = c[:, :, None, :] - c[:, None, :, :]
+    dist = 0.5 * jnp.sum(diff * diff, axis=-1)
+    v0 = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, L, H * V)), jnp.float32
+    )
+    s0 = jnp.asarray(np.random.default_rng(4).random((H, 1, 1)), jnp.float32)
+
+    prebuilt = lambda v, sc: position_attention_batched_dist(
+        dist, sc.reshape(H, 1), v, thr
+    )
+    coords = lambda v, sc: position_attention_batched_tf_coords(
+        c, c, sc.reshape(H, 1), v, thr
+    )
+    coords_band = lambda v, sc: position_attention_batched_tf_coords(
+        c, c, sc.reshape(H, 1), v, thr, spec
+    )
+    cases = [("tf_prebuilt_dist", prebuilt), ("tf_coords", coords)]
+    if spec is not None:
+        cases.append(("tf_coords_band", coords_band))
+    base = prebuilt(v0, s0)
+    for impl, fn in cases:
+        t, resolved = timeit_scanned(fn, v0.shape, (H, 1, 1), n_iter=64)
+        row = roofline_row(label, impl, t, L, L, B, H, V, True, resolved)
+        if impl != "tf_prebuilt_dist":
+            row["max_abs_err_vs_prebuilt"] = float(
+                jnp.max(jnp.abs(fn(v0, s0) - base))
+            )
+        if impl == "tf_coords_band" and spec is not None:
+            row["band_width"] = spec.width
+        rows.append(row)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     only = [a.lower() for a in sys.argv[1:]]
@@ -326,6 +431,10 @@ if __name__ == "__main__":
         check_batched(728, 120, 20, 1, 2, 0.02, "naca encoder cross", rows)
     if want("naca decoder band"):
         check_naca_band("naca decoder band", rows)
+    if want("elasticity band"):
+        check_elasticity_band("elasticity band", rows)
+    if want("elasticity_tf coords"):
+        check_elasticity_tf_coords("elasticity_tf coords", rows)
     # TF point-cloud attention (pre-built dists, per-head values)
     if want("elasticity_tf attention (8 heads)"):
         check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
