@@ -84,11 +84,19 @@ def _keep_mask(dist, col_valid, keep_count: int, L_in: int):
 
 
 def _attention(dist, keep, s):
-    """Full-row masked softmax of -s * dist over the resident tile."""
-    logits = jnp.where(keep, -dist * s, _NEG)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    """Masked softmax of -s * dist over the resident tile WITHOUT the
+    max-subtraction pass: every scale this kernel family receives is
+    non-negative (torch bandwidth_scale = tan of a [0, pi/2) angle; TF
+    r^2), so logits are <= 0 and exp cannot overflow — two VPU passes
+    (row max + subtract) saved per head per tile. Masked entries are
+    exactly 0; fully-masked rows (padded output rows, all-masked
+    thresholds) get a denominator floor instead of the max-shifted
+    uniform distribution, making their output 0 — they carry zero
+    cotangent either way. Underflow (all kept logits < -88) zeroes the
+    row where the shifted softmax would renormalize; reference bandwidth
+    magnitudes sit orders of magnitude away from that regime."""
+    p = jnp.where(keep, jnp.exp(-dist * s), 0.0)
+    return p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
 
 def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
@@ -146,8 +154,14 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
 def _tile_rows(L_out: int) -> int:
     """Output-row tile height shared by the kernels AND the setup-time band
     computation (ops/locality.batched_band_starts callers must tile with
-    the same height the kernel will use)."""
-    return min(_round_up(L_out, 8), 256)
+    the same height the kernel will use). PIT_BATCHED_TLO overrides the
+    default 256 (experiment knob: smaller tiles tighten kept-column bands
+    at the cost of more grid cells; the kernels validate that setup-time
+    band shapes used the same height)."""
+    import os
+
+    cap = int(os.environ.get("PIT_BATCHED_TLO", 256))
+    return min(_round_up(L_out, 8), cap)
 
 
 @functools.partial(
@@ -964,7 +978,9 @@ def _make_tf_coord_fwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
             start = 0
             mk = mk_ref[0]
             v = v_ref[0]
-        dist = 0.5 * _dist_tile(mq, mk, space_dim)
+        # the TF 0.5 halving is folded into scale/thr by the caller
+        # (position_attention_batched_tf_coords) — one VPU pass saved
+        dist = _dist_tile(mq, mk, space_dim)
         col = (
             start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
         )
@@ -1008,7 +1024,7 @@ def _make_tf_coord_bwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
             start = 0
             mk = mk_ref[0]
             v = v_ref[0]
-        dist = 0.5 * _dist_tile(mq, mk, space_dim)
+        dist = _dist_tile(mq, mk, space_dim)  # halving folded into scale
         col = (
             start + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) < L_in
         )
@@ -1302,8 +1318,12 @@ def position_attention_batched_tf_coords(
             [coords_k, coords_k[:, : band.wrap]], axis=1
         )
         values = jnp.concatenate([values, values[:, : band.wrap]], axis=1)
+    # fold the dist^2/2 halving into the scale and threshold OUTSIDE the
+    # custom VJP: logits and keep mask are identical, the kernel skips a
+    # VPU pass, and autodiff chains dScales through the 0.5 factor
     return _posatt_tf_coord(
-        coords_q, coords_k, scales, values, thr,
+        coords_q, coords_k, 0.5 * scales, values,
+        None if thr is None else 2.0 * thr,
         None if band is None else band.starts,
         0 if band is None else band.width, interpret,
     )
