@@ -109,7 +109,16 @@ def aggregate_trace(outdir, top=25):
 
 def main():
     names = sys.argv[1:] or ["vorticity_tf", "vorticity"]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "VORTICITY_TF_PROFILE.json",
+    )
     out = {}
+    if os.path.exists(path):  # merge: selective runs refresh their keys
+        try:
+            out = json.load(open(path))
+        except Exception:
+            pass
     for name in names:
         ntrain = 80 if name == "vorticity_tf" else 100
         cfg, problem, state, train_epoch = setup_epoch(name, ntrain, 16)
@@ -135,11 +144,7 @@ def main():
         out[name] = rows
         for op, sec in rows[:15]:
             print(f"  {sec:8.4f} s  {op[:110]}", flush=True)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     "VORTICITY_TF_PROFILE.json"),
-        "w",
-    ) as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 
