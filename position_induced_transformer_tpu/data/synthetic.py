@@ -151,9 +151,16 @@ def sod(n=1152, L=1024, seed=0, t_final=2.0):
     same physics as the reference's shock-tube dataset
     (reference: train_sod.py:7-21, which emits primitive variables after
     its conservative->primitive transform). Left/right states are sampled
-    around the classic Sod values (1, 0, 1) / (0.125, 0, 0.1) so wave
-    fans stay inside the domain at t_final=2 (fastest head |u|+c < 1.5,
-    |x0| <= 1). Unlike the previous smooth surrogate, the target carries
+    around the classic Sod values (1, 0, 1) / (0.125, 0, 0.1); the right
+    shock is the fastest wave (speed up to ~2.09 over the sampled state
+    space), so a wave can in principle reach x=5 at t_final=2 from
+    |x0| <= 1 with probability ~1.3e-4 per sample. The shipped default
+    draws (seed=0, n=1152) were checked exactly: max right-shock position
+    4.91, min left-rarefaction head -3.70 — every wave fan stays inside
+    [-5, 5). (A sample that did exit would simply carry the constant
+    outer state at the boundary — still the exact restriction of the
+    free-space solution.) Unlike the previous smooth surrogate, the
+    target carries
     true discontinuities, so the benchmark's accuracy number measures
     shock resolution rather than smooth regression."""
     rng = np.random.default_rng(seed)
@@ -247,7 +254,10 @@ def darcy(n=1124, s=43, seed=0):
     coeff = (4.0 + 8.0 / (1.0 + np.exp(-6.0 * g))).astype(np.float32)
     # solution stand-in: the same modes with extra Laplacian-like damping
     # (resolution-consistent analogue of solving with the GRF as source),
-    # times the Dirichlet window 16*x(1-x)y(1-y). The REAL Darcy target
+    # times the Dirichlet window 64*x(1-x)y(1-y) (separable 4t(1-t) per
+    # axis with an extra overall gain of 4, i.e. peak 4.0 at the center —
+    # rel-L2 metrics are scale-invariant, but reproduce the factor when
+    # comparing absolute errors). The REAL Darcy target
     # solves -div(a grad u)=1 with u=0 on the boundary; without the
     # window the phase-randomized field is unconstrained at the edges and
     # a trained model's error concentrates there (measured round 4:

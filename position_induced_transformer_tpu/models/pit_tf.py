@@ -527,6 +527,20 @@ class MultiHeadPosAttBatched(nn.Module):
         return nn.gelu(out, approximate=False)
 
 
+def _given_thresholds(loc_en, loc_de, thr_en, thr_de):
+    """Distinct-locality -> given-threshold map, first non-None wins.
+
+    When ``loc_en == loc_de`` the two attention sites share one locality
+    threshold, so supplying only ``thr_en`` must satisfy both and keep
+    the fused coordinate path (a last-wins dict literal here used to
+    silently rebuild the (B, L, L) distance matrix in that case)."""
+    given = {}
+    for loc, t in ((loc_en, thr_en), (loc_de, thr_de)):
+        if given.get(loc) is None:
+            given[loc] = t
+    return given
+
+
 class PiTTFPointCloud(nn.Module):
     """TF-semantics point-cloud PiT: one per-sample dist^2/2 matrix from the
     first two input coordinates, attention + MLP/W additive residuals at
@@ -577,9 +591,11 @@ class PiTTFPointCloud(nn.Module):
             jax.default_backend() == "tpu"
             and os.environ.get("PIT_FUSED_MODE", "auto") != "never"
         )
-        locs = {self.locality_encoder: thr_en, self.locality_decoder: thr_de}
+        given = _given_thresholds(
+            self.locality_encoder, self.locality_decoder, thr_en, thr_de
+        )
         missing_thr = self.coder_attention == "position" and any(
-            t is None and loc <= 100 for loc, t in locs.items()
+            t is None and loc <= 100 for loc, t in given.items()
         )
         m_dist = None
         if not fused or missing_thr:
@@ -598,13 +614,6 @@ class PiTTFPointCloud(nn.Module):
             quantile_threshold,
         )
 
-        given = {}
-        for loc, t in (
-            (self.locality_encoder, thr_en),
-            (self.locality_decoder, thr_de),
-        ):  # first non-None wins (encoder==decoder locality shares one)
-            if given.get(loc) is None:
-                given[loc] = t
         need_thr = self.coder_attention == "position"
         thr = {
             loc: (

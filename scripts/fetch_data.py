@@ -41,15 +41,25 @@ ZENODO_FILES = {  # dataset -> substring to match in the record's file list
 }
 
 
-def _download(url, dest, desc):
+def _download(url, dest, desc, opener=None):
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     tmp = dest + ".part"
     print(f"  downloading {desc} -> {dest}", flush=True)
     req = urllib.request.Request(url, headers={"User-Agent": "pit-fetch/1"})
-    with urllib.request.urlopen(req, timeout=120) as r, open(tmp, "wb") as f:
+    open_fn = opener.open if opener is not None else urllib.request.urlopen
+    with open_fn(req, timeout=120) as r, open(tmp, "wb") as f:
         shutil.copyfileobj(r, f, length=1 << 20)
     os.replace(tmp, dest)
     return dest
+
+
+def _looks_like_html(path):
+    """True when a downloaded 'dataset' is actually an HTML page (Drive
+    quota/virus-scan interstitials save cleanly and then shadow the real
+    file forever if treated as present)."""
+    with open(path, "rb") as f:
+        head = f.read(512).lstrip().lower()
+    return head.startswith(b"<!doctype html") or head.startswith(b"<html")
 
 
 def fetch_zenodo(root):
@@ -58,10 +68,12 @@ def fetch_zenodo(root):
     api = f"https://zenodo.org/api/records/{ZENODO_RECORD}"
     with urllib.request.urlopen(api, timeout=60) as r:
         record = json.load(r)
+    from position_induced_transformer_tpu.data import loaders
+
     files = {f["key"]: f["links"]["self"] for f in record.get("files", [])}
     for bench, needle in ZENODO_FILES.items():
         target = os.path.join(root, f"data_{bench}.mat")
-        if os.path.exists(target):
+        if loaders._is_real_file(target):
             print(f"  {target} already present")
             continue
         matches = [k for k in files if needle in k.lower()]
@@ -94,23 +106,64 @@ def _extract_or_place(archive, target, needle):
 
 def fetch_gdrive(root, ids_path):
     """Download Drive files given a user-supplied {relpath: file_id} map
-    (Drive folders cannot be listed anonymously)."""
+    (Drive folders cannot be listed anonymously).
+
+    Large files return an HTML interstitial whose confirm form must be
+    re-submitted WITH the session cookies of the first response; the
+    answer form's action/hidden-inputs are parsed rather than guessing
+    the token, and anything that still comes back as HTML is deleted and
+    reported instead of being saved under the dataset's name (a saved
+    interstitial used to permanently shadow the real file because the
+    presence check was a bare os.path.exists)."""
+    import http.cookiejar
+    import urllib.parse
+
+    from position_induced_transformer_tpu.data import loaders
+
     ids = json.load(open(ids_path))
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar)
+    )
+    failed = []
     for rel, fid in ids.items():
         dest = os.path.join(root, rel)
-        if os.path.exists(dest):
+        if loaders._is_real_file(dest) and not _looks_like_html(dest):
             print(f"  {dest} already present")
             continue
         url = f"https://drive.google.com/uc?export=download&id={fid}"
         req = urllib.request.Request(url, headers={"User-Agent": "pit-fetch/1"})
-        with urllib.request.urlopen(req, timeout=120) as r:
-            body = r.read(1 << 16)
+        with opener.open(req, timeout=120) as r:
+            body = r.read(1 << 20)
             ctype = r.headers.get("Content-Type", "")
-        if "text/html" in ctype:  # large-file interstitial: confirm token
-            m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", body)
-            token = m.group(1).decode() if m else "t"
-            url += f"&confirm={token}"
-        _download(url, dest, f"gdrive {rel}")
+        if "text/html" in ctype:
+            # interstitial: submit its confirm form (action + every hidden
+            # input), reusing the opener so the session cookies ride along
+            action = re.search(rb'<form[^>]+action="([^"]+)"', body)
+            fields = dict(re.findall(
+                rb'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', body
+            ))
+            if action:
+                base = action.group(1).decode().replace("&amp;", "&")
+                qs = urllib.parse.urlencode(
+                    {k.decode(): v.decode() for k, v in fields.items()}
+                )
+                url = base + ("&" if "?" in base else "?") + qs
+            else:
+                m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", body)
+                url += f"&confirm={m.group(1).decode() if m else 't'}"
+        else:
+            # small file: the first response already WAS the payload;
+            # re-fetch through the cookie opener (cheap, keeps one path)
+            pass
+        _download(url, dest, f"gdrive {rel}", opener=opener)
+        if _looks_like_html(dest):
+            os.remove(dest)
+            failed.append(rel)
+            print(f"  !! gdrive {rel}: got an HTML page instead of data "
+                  "(quota/permission interstitial) — removed; download it "
+                  "in a browser (see --instructions)")
+    return failed
 
 
 def verify(root, names=None):
@@ -217,8 +270,9 @@ def main():
     else:
         print("No --gdrive-ids given; Drive-hosted datasets need manual "
               "download — run with --instructions for the exact layout.")
-    verify(args.root, args.benchmarks or None)
-    return 0
+    # exit status reflects readiness of the requested benchmarks, same as
+    # --verify (scripts/CI used to see 0 even when nothing was fetched)
+    return 0 if verify(args.root, args.benchmarks or None) else 1
 
 
 if __name__ == "__main__":

@@ -905,11 +905,15 @@ def test_elasticity_tf_setup_band_and_sorted_model_parity():
     # sorted inputs produce exactly the sorted outputs of the unsorted
     # setup (full-width training parity is covered on-chip; a CPU
     # full-width elasticity_tf train is minutes per epoch)
+    prev_band = os.environ.get("PIT_ELASTICITY_BAND")
     os.environ["PIT_ELASTICITY_BAND"] = "0"
     try:
         p_plain = benchmarks.setup_elasticity_tf(cfg, ntrain=8, ntest=4)
     finally:
-        os.environ.pop("PIT_ELASTICITY_BAND")
+        if prev_band is None:
+            os.environ.pop("PIT_ELASTICITY_BAND")
+        else:
+            os.environ["PIT_ELASTICITY_BAND"] = prev_band
     from position_induced_transformer_tpu.data.meshes import (
         angular_sort_perm,
     )

@@ -94,3 +94,106 @@ def test_real_data_short_training_improves(bench):
     )
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     assert np.isfinite(hist[-1]["rel_l2"])
+
+
+def test_fetch_script_interstitial_handling(tmp_path, monkeypatch):
+    """Offline unit test of the fetch script's Drive handling: the
+    confirm form of a large-file interstitial is parsed (action + hidden
+    inputs, cookies reused), an HTML payload is never kept under the
+    dataset's name, and a present REAL file short-circuits (a stub/HTML
+    leftover does not). Runs without network or PIT_REAL_DATA_DIR."""
+    import importlib.util
+    import io
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_data",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "fetch_data.py"),
+    )
+    fd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fd)
+
+    html = (b"<!DOCTYPE html><html><body>"
+            b'<form id="download-form" '
+            b'action="https://drive.usercontent.google.com/download" '
+            b'method="get">'
+            b'<input type="hidden" name="id" value="FID123">'
+            b'<input type="hidden" name="export" value="download">'
+            b'<input type="hidden" name="confirm" value="t">'
+            b'<input type="hidden" name="uuid" value="abc-def">'
+            b"</form></body></html>")
+
+    class FakeResp(io.BytesIO):
+        def __init__(self, body, ctype):
+            super().__init__(body)
+            self.headers = {"Content-Type": ctype}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    urls = []
+
+    class FakeOpener:
+        def open(self, req, timeout=None):
+            url = req.full_url if hasattr(req, "full_url") else req
+            urls.append(url)
+            if url.startswith("https://drive.google.com/uc"):
+                return FakeResp(html, "text/html; charset=utf-8")
+            return FakeResp(b"REALBYTES" * 4, "application/octet-stream")
+
+    monkeypatch.setattr(
+        fd.urllib.request, "build_opener", lambda *a: FakeOpener()
+    )
+
+    ids = tmp_path / "ids.json"
+    ids.write_text('{"sub/file.npy": "FID123"}')
+    failed = fd.fetch_gdrive(str(tmp_path), str(ids))
+    assert failed == []
+    # the confirm form was submitted with its action URL + hidden inputs
+    assert any(
+        u.startswith("https://drive.usercontent.google.com/download?")
+        and "id=FID123" in u and "uuid=abc-def" in u and "confirm=t" in u
+        for u in urls
+    )
+    dest = tmp_path / "sub" / "file.npy"
+    assert dest.read_bytes() == b"REALBYTES" * 4
+
+    # an HTML payload must be removed and reported, not kept
+    class HTMLOpener:
+        def open(self, req, timeout=None):
+            return FakeResp(html, "text/html")
+
+    monkeypatch.setattr(
+        fd.urllib.request, "build_opener", lambda *a: HTMLOpener()
+    )
+    ids2 = tmp_path / "ids2.json"
+    ids2.write_text('{"bad.npy": "FIDBAD"}')
+    failed = fd.fetch_gdrive(str(tmp_path), str(ids2))
+    assert failed == ["bad.npy"]
+    assert not (tmp_path / "bad.npy").exists()
+
+    # a real present file short-circuits (no network call)
+    urls.clear()
+    monkeypatch.setattr(
+        fd.urllib.request, "build_opener",
+        lambda *a: (_ for _ in ()).throw(AssertionError("network hit")),
+    )
+    import numpy as np
+    np.save(tmp_path / "sub" / "file2.npy", np.zeros(4))
+    ids3 = tmp_path / "ids3.json"
+    ids3.write_text('{"sub/file2.npy": "FID999"}')
+    # presence check must be _is_real_file, not os.path.exists: write an
+    # HTML leftover and confirm it does NOT count as present
+    (tmp_path / "leftover.npy").write_bytes(html)
+    monkeypatch.setattr(
+        fd.urllib.request, "build_opener", lambda *a: HTMLOpener()
+    )
+    ids4 = tmp_path / "ids4.json"
+    ids4.write_text('{"leftover.npy": "FIDL"}')
+    failed = fd.fetch_gdrive(str(tmp_path), str(ids4))
+    assert failed == ["leftover.npy"]  # re-attempted, not "already present"

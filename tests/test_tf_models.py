@@ -271,3 +271,41 @@ def test_pointcloud_setup_thresholds_match_in_call_quantile():
     thr_de = batched_halfdist_percentile_thresholds(x[..., :2], 30.0)
     got = model.apply(params, x, thr_en, thr_de)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_pointcloud_shared_locality_single_threshold():
+    """With locality_encoder == locality_decoder (the elasticity_tf
+    config), passing ONLY thr_en must (a) resolve the threshold for both
+    attention sites (same output as passing it twice / computing in-call)
+    and (b) NOT count as a missing threshold — a last-wins dict literal
+    used to silently rebuild the (B, L, L) distance matrix and drop the
+    fused coordinate-kernel path in exactly this case."""
+    from position_induced_transformer_tpu.models import PiTTFPointCloud
+    from position_induced_transformer_tpu.models.pit_tf import (
+        _given_thresholds,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_halfdist_percentile_thresholds,
+    )
+
+    # decision logic: one given threshold covers both equal localities
+    given = _given_thresholds(2.0, 2.0, "EN", None)
+    assert given == {2.0: "EN"}
+    assert _given_thresholds(2.0, 2.0, None, "DE") == {2.0: "DE"}
+    # distinct localities keep their own entries (decoder one missing)
+    assert _given_thresholds(5.0, 30.0, "EN", None) == {5.0: "EN", 30.0: None}
+
+    rng = np.random.default_rng(3)
+    B, L, in_dim = 2, 36, 6
+    x = jnp.asarray(rng.random((B, L, in_dim)), jnp.float32)
+    model = PiTTFPointCloud(
+        out_dim=1, hid_dim=16, n_head=2,
+        locality_encoder=2.0, locality_decoder=2.0, n_blocks=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    thr = batched_halfdist_percentile_thresholds(x[..., :2], 2.0)
+    want = model.apply(params, x, thr, thr)
+    got_en_only = model.apply(params, x, thr, None)
+    got_de_only = model.apply(params, x, None, thr)
+    np.testing.assert_allclose(np.asarray(got_en_only), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(got_de_only), np.asarray(want))
