@@ -49,6 +49,18 @@ from position_induced_transformer_tpu.ops.posatt import bandwidth_scale
 
 _NEG = -1e38
 
+# Padding value for KEY coordinates (all coordinate kernels): squared
+# distance from any real query to a padded key is ~1e30 per axis — above
+# any real locality threshold, so padded columns are never kept by a
+# ``dist <= thr`` compare AND can never win the bare row-min that
+# _shifted_dist relies on. Finite so ``-dsh * s`` stays -inf/finite (an
+# inf distance times s == 0 would make NaN); 1e15 squared is ~1e30,
+# comfortably inside f32 while dominating any realistic coordinate
+# magnitude (reference meshes are O(1..100); a user mesh would need
+# coords > ~2.5e14 to break the invariant, far beyond f32 mesh
+# precision).
+_PAD_COORD = 1e15
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -83,19 +95,51 @@ def _keep_mask(dist, col_valid, keep_count: int, L_in: int):
     return d <= thr
 
 
-def _attention(dist, keep, s):
-    """Masked softmax of -s * dist over the resident tile WITHOUT the
-    max-subtraction pass: every scale this kernel family receives is
+def _shifted_dist(dist):
+    """``dist - dmin`` with dmin the BARE per-row minimum of the resident
+    tile — the exact, HEAD-INDEPENDENT softmax shift: one reduction and
+    one subtract per TILE, amortized over all H heads (a conventional
+    max-subtracted softmax pays both per HEAD, and a kept-masked min
+    would pay an extra where() pass). The bare min equals the min over
+    KEPT columns with no masking pass by two invariants:
+
+    - unkept REAL columns sit ABOVE every kept distance (the locality
+      mask keeps exactly the smallest distances of the row: ``dist <=
+      thr`` with thr a per-row order statistic, or the keep_count
+      smallest via _keep_mask), so they cannot win the min;
+    - padded key columns cannot either: the coordinate kernels pad key
+      coords with _PAD_COORD (squared distance ~1e30, far above any
+      real threshold) and the prebuilt-dist TF kernels pad with
+      _TF_BIG.
+
+    Why shift at all: every scale this kernel family receives is
     non-negative (torch bandwidth_scale = tan of a [0, pi/2) angle; TF
-    r^2), so logits are <= 0 and exp cannot overflow — two VPU passes
-    (row max + subtract) saved per head per tile. Masked entries are
-    exactly 0; fully-masked rows (padded output rows, all-masked
-    thresholds) get a denominator floor instead of the max-shifted
-    uniform distribution, making their output 0 — they carry zero
-    cotangent either way. Underflow (all kept logits < -88) zeroes the
-    row where the shifted softmax would renormalize; reference bandwidth
-    magnitudes sit orders of magnitude away from that regime."""
-    p = jnp.where(keep, jnp.exp(-dist * s), 0.0)
+    r^2), so the max kept logit of ``-s * dist`` is exactly
+    ``-s * dmin`` and the shift restores the reference's max-subtracted
+    softmax semantics exactly. Without it, a row whose nearest kept
+    distance satisfies ``s * dmin > ~88`` (attainable: the learned
+    torch bandwidth is unconstrained, tan blows up as sin(lmda) -> 1)
+    silently became all-zero output with zero cotangent — a dead
+    attention row that could not recover. With the shift such a row
+    degrades to ~one-hot at the nearest kept column. Softmax is
+    shift-invariant, so all downstream algebra in terms of p and the
+    TRUE distances is unchanged, including the custom-VJP dScale
+    formula. Fully-masked rows (padded output rows) shift by the
+    resident min and zero out via the keep mask + denominator floor in
+    _attention — they carry zero cotangent either way."""
+    return dist - jnp.min(dist, axis=-1, keepdims=True)
+
+
+def _attention(dsh, keep, s):
+    """Masked softmax of ``-s * dist`` over the resident tile, taking the
+    pre-shifted ``dsh = dist - dmin`` from _shifted_dist: the largest
+    kept exponent is exactly 0, so the kept sum is >= 1 and a row with
+    any kept column can never underflow to the denominator floor.
+    Masked entries are exactly 0 (the where also discards inf/NaN exp
+    operands from padded columns, e.g. ``s == 0`` times an overflowed
+    ``-dsh * s``); fully-masked rows (padded output rows) get the
+    denominator floor and output 0."""
+    p = jnp.where(keep, jnp.exp(-dsh * s), 0.0)
     return p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
 
@@ -142,8 +186,9 @@ def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
             keep = jnp.logical_and(dist <= thr_ref[0], col)
         else:
             keep = _keep_mask(dist, col, keep_count, L_in)
+        dsh = _shifted_dist(dist)
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             out_ref[0, :, h * D : (h + 1) * D] = jnp.dot(
                 att, u, preferred_element_type=jnp.float32
             )
@@ -196,7 +241,8 @@ def _posatt_batched_raw(
             )
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
-    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)),
+                   constant_values=_PAD_COORD)
     u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
 
     in_specs = [
@@ -274,9 +320,10 @@ def _make_bwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
             keep = jnp.logical_and(dist <= thr_ref[0], col)
         else:
             keep = _keep_mask(dist, col, keep_count, L_in)
+        dsh = _shifted_dist(dist)
         nd = jnp.where(keep, -dist, 0.0)
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             g = g_ref[0, :, h * D : (h + 1) * D]  # (TLo, D)
             # dValues: P^T @ G, accumulated over row tiles. dot_general
             # with contraction on the row axis — no explicit .T relayout.
@@ -330,7 +377,8 @@ def _posatt_batched_bwd_raw(
         raise ValueError("band skip requires precomputed thresholds")
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
-    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)),
+                   constant_values=_PAD_COORD)
     u_p = jnp.pad(u, ((0, 0), (0, Li_p - L_in), (0, 0)))
     # padded output rows carry zero cotangent -> no contribution
     g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
@@ -556,9 +604,10 @@ def _make_tf_fwd_kernel(H, V, L_in, L_out, TLo, with_thr):
         keep = jnp.logical_and(col, row)
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        dsh = _shifted_dist(dist)
         v = v_ref[0]
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
                 att, v[:, h * V : (h + 1) * V],
                 preferred_element_type=jnp.float32,
@@ -591,9 +640,10 @@ def _make_tf_bwd_kernel(H, V, L_in, L_out, TLo, with_thr):
         keep = jnp.logical_and(col, row)
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        dsh = _shifted_dist(dist)
         nd = jnp.where(keep, -dist, 0.0)
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             g = g_ref[0, :, h * V : (h + 1) * V]  # (TLo, V)
             dv_ref[0, :, h * V : (h + 1) * V] += jax.lax.dot_general(
                 att, g, (((0,), (0,)), ((), ())),
@@ -987,8 +1037,9 @@ def _make_tf_coord_fwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
         keep = col
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        dsh = _shifted_dist(dist)
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
                 att, v[:, h * V : (h + 1) * V],
                 preferred_element_type=jnp.float32,
@@ -1031,9 +1082,10 @@ def _make_tf_coord_bwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
         keep = col
         if with_thr:
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
+        dsh = _shifted_dist(dist)
         nd = jnp.where(keep, -dist, 0.0)
         for h in range(H):
-            att = _attention(dist, keep, scale_ref[h, 0])
+            att = _attention(dsh, keep, scale_ref[h, 0])
             g = g_ref[0, :, h * V : (h + 1) * V]
             dvg = jax.lax.dot_general(
                 att, g, (((0,), (0,)), ((), ())),
@@ -1085,7 +1137,8 @@ def _posatt_tf_coord_raw(
         raise ValueError("band skip requires precomputed thresholds")
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
-    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)),
+                   constant_values=_PAD_COORD)
     v_p = jnp.pad(values, ((0, 0), (0, Li_p - L_in), (0, 0)))
 
     in_specs = [
@@ -1144,7 +1197,8 @@ def _posatt_tf_coord_bwd_raw(
     n_tiles = Lo_p // TLo
 
     mq_p = jnp.pad(mesh_q, ((0, 0), (0, Lo_p - L_out), (0, 0)))
-    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)))
+    mk_p = jnp.pad(mesh_k, ((0, 0), (0, Li_p - L_in), (0, 0)),
+                   constant_values=_PAD_COORD)
     v_p = jnp.pad(values, ((0, 0), (0, Li_p - L_in), (0, 0)))
     g_p = jnp.pad(g, ((0, 0), (0, Lo_p - L_out), (0, 0)))
 

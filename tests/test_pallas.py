@@ -933,3 +933,53 @@ def test_elasticity_tf_setup_band_and_sorted_model_parity():
         np.take_along_axis(np.asarray(out_p), perm[..., None], 1),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_batched_extreme_bandwidth_no_dead_rows():
+    """Saturated learned bandwidth (sin(lmda) -> 1, scale ~ 3e9): every
+    kept logit would underflow exp without the per-row kept-min shift
+    (_row_min_kept), silently zeroing rows AND their cotangents. The
+    kernel must instead degrade like the reference's max-subtracted
+    softmax: ~one-hot at the nearest kept column, nonzero outputs,
+    nonzero dValues. Regression for the no-shift _attention variant."""
+    from position_induced_transformer_tpu.kernels import (
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import topk_threshold
+    from position_induced_transformer_tpu.ops.posatt import bandwidth_scale
+
+    rng = np.random.default_rng(5)
+    B, Lq, Lk, H, D, loc = 2, 32, 48, 2, 8, 0.2
+    mq = jnp.asarray(rng.random((B, Lq, 2)), jnp.float32)
+    mk = jnp.asarray(rng.random((B, Lk, 2)), jnp.float32)
+    u = jnp.asarray(rng.random((B, Lk, D)), jnp.float32)
+    # lmda ~ pi/2: scale = tan(pi/4 (1+sin lmda)) saturates to ~3e9
+    lmda = jnp.full((H, 1, 1), 1.5707, jnp.float32)
+    s = float(bandwidth_scale(lmda)[0, 0, 0])
+    dist = euclidean_sq(mq, mk)
+    assert s * float(jnp.min(dist)) > 200.0  # genuinely in the regime
+
+    want = position_attention(dist, lmda, u, loc)  # jax.nn.softmax path
+    got = position_attention_batched(mq, mk, lmda, u, loc, interpret=INTERPRET)
+    # no dead rows, and the one-hot limit agrees with the oracle
+    assert float(jnp.min(jnp.max(jnp.abs(got), axis=-1))) > 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+    # cotangent flows: dValues must be nonzero (it was exactly zero with
+    # the underflowed no-shift softmax)
+    gfun = jax.grad(
+        lambda uu: jnp.sum(
+            position_attention_batched(mq, mk, lmda, uu, loc,
+                                       interpret=INTERPRET)
+        )
+    )
+    gref = jax.grad(
+        lambda uu: jnp.sum(position_attention(dist, lmda, uu, loc))
+    )
+    du, du_ref = gfun(u), gref(u)
+    assert float(jnp.max(jnp.abs(du))) > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(du), np.asarray(du_ref), rtol=2e-4, atol=2e-5
+    )
