@@ -972,14 +972,13 @@ def position_attention_batched(
             euclidean_sq,
         )
         from position_induced_transformer_tpu.ops.locality import (
-            midpoint_to_next,
-            topk_threshold,
+            robust_topk_threshold,
         )
 
         dist = euclidean_sq(mesh_q, mesh_k)
-        # midpoint to the next order statistic: robust to ulp differences
-        # vs the kernel's in-VMEM distance computation
-        thr = midpoint_to_next(dist, topk_threshold(dist, locality))
+        # wide-gap midpoint: kept set invariant to ulp differences vs the
+        # kernel's in-VMEM distance recomputation (even on tied rows)
+        thr = robust_topk_threshold(dist, locality)
     scale = bandwidth_scale(lmda).reshape(H, 1)
     if band is not None and band.wrap:
         # circular band: duplicate the leading wrap-margin keys/values on

@@ -155,15 +155,17 @@ def _dispatch_posatt(
             pairwise_sq_dist,
         )
         from position_induced_transformer_tpu.ops.locality import (
-            topk_threshold,
+            robust_topk_threshold,
         )
 
         dist = pairwise_sq_dist(mesh_q, mesh_k)
         if locality < 1.0 and thr is None:
-            # per-step top-k; precomputed Geometry.thr_* skip this (the
-            # per-sample meshes are constant — setups hoist where it
-            # pays, ops/locality.batched_topk_thresholds)
-            thr = topk_threshold(dist, locality)
+            # per-step threshold; precomputed Geometry.thr_* skip this
+            # (the per-sample meshes are constant — setups hoist where it
+            # pays, ops/locality.batched_topk_thresholds). The robust
+            # wide-gap variant keeps this path's kept sets identical to
+            # the setup-precomputed ones on tie-heavy grids.
+            thr = robust_topk_threshold(dist, locality)
     elif mode == "always" and dist.ndim == 2 and on_tpu:
         from position_induced_transformer_tpu.kernels import (
             position_attention_fixed,

@@ -11,6 +11,7 @@ from position_induced_transformer_tpu.ops.locality import (
     batched_topk_thresholds,
     keep_mask,
     quantile_threshold,
+    robust_topk_threshold,
     topk_keep_count,
     topk_threshold,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "keep_mask",
     "quantile_threshold",
     "topk_threshold",
+    "robust_topk_threshold",
     "topk_keep_count",
     "batched_topk_thresholds",
     "batched_halfdist_percentile_thresholds",

@@ -83,6 +83,71 @@ def topk_threshold(dist: jnp.ndarray, locality: float) -> jnp.ndarray:
     return -neg_smallest[..., -1:]
 
 
+def robust_topk_threshold(
+    dist: jnp.ndarray,
+    locality: float,
+    window: int = 4,
+    rel_gap: float = 1e-5,
+) -> jnp.ndarray:
+    """Codegen-invariant locality threshold: nearest WIDE-gap midpoint.
+
+    ``topk_threshold`` + ``midpoint_to_next`` is still fragile on tie-heavy
+    grids (53% of NACA C-grid decoder rows have their kc-th and (kc+1)-th
+    smallest distances exactly tied — BASELINE.md band-skip paragraph): a
+    real-arithmetic tie can SPLIT under a different compiler contraction
+    (one value comes out 1 ulp above the other), which shifts the
+    distinct-value sequence the masked-min passes walk, moves the cut
+    inside the tie group, and flips kept columns between kernel shapes
+    (scripts/debug_band_parity.py finding 2).
+
+    This variant works on ORDER STATISTICS (multiplicity preserved, stable
+    to ulp noise) and chooses the cut index ``i`` nearest the nominal keep
+    count ``c`` — scanning c, c+1, c-1, c+2, ... — whose gap
+    ``d_(i+1) - d_(i)`` is WIDE (``>= rel_gap * d_(i+1)``; both distance
+    computations here are diff-square-sum, so cross-codegen noise is a few
+    ulps RELATIVE to d, ~100x below this margin). The threshold is the
+    midpoint of that gap, so the kept set ``d <= thr`` is invariant to any
+    sub-margin recomputation difference (in-VMEM kernel distances at any
+    tile width, XLA on another backend, live-vs-setup). Exactly-tied order
+    statistics have zero gap and are never selected: the cut lands at a
+    tie-group boundary, keeping or dropping each tie group WHOLE.
+
+    On tie-safe rows (every nearby gap wide) the scan stops at ``c``
+    immediately and this equals ``midpoint_to_next(topk_threshold(...))``
+    — the quantile-equivalent kept set. On tie-heavy rows the kept count
+    may deviate from ``c`` by up to ``window`` (a principled, bounded
+    deviation from the reference's interpolation semantics; the
+    exact-torch path in ops/posatt.py remains for bit-parity tests). If no
+    wide gap exists within the window, falls back to the plain midpoint at
+    ``c`` (best effort, the pre-round-5 behavior).
+    """
+    L = dist.shape[-1]
+    c = topk_keep_count(L, locality)
+    if c >= L:
+        return jnp.max(dist, axis=-1, keepdims=True)
+    lo = max(c - window, 1)
+    hi = min(c + window, L - 1)
+    neg, _ = jax.lax.top_k(-dist, hi + 1)
+    small = -neg  # ascending order statistics d_(1..hi+1)
+    d_i = small[..., lo - 1 : hi]  # d_(i),   i = lo..hi (1-indexed)
+    d_n = small[..., lo : hi + 1]  # d_(i+1)
+    wide = (d_n - d_i) >= rel_gap * d_n
+    mid = 0.5 * (d_i + d_n)
+    # preference scan c, c+1, c-1, ...: apply lowest-priority candidates
+    # first so later (higher-priority) wide gaps overwrite them
+    order = [c]
+    for s in range(1, window + 1):
+        if c + s <= hi:
+            order.append(c + s)
+        if c - s >= lo:
+            order.append(c - s)
+    thr = mid[..., c - lo : c - lo + 1]  # fallback: plain midpoint at c
+    for i in reversed(order):
+        j = i - lo
+        thr = jnp.where(wide[..., j : j + 1], mid[..., j : j + 1], thr)
+    return thr
+
+
 def midpoint_to_next(dist: jnp.ndarray, thr: jnp.ndarray) -> jnp.ndarray:
     """Move a per-row threshold to the midpoint between it and the next
     strictly-greater distance: the keep set {d <= thr} is unchanged, but
@@ -121,7 +186,7 @@ def batched_topk_thresholds(
 
     def one_chunk(mq, mk):
         dist = pairwise_sq_dist(mq, mk, metric)
-        return midpoint_to_next(dist, topk_threshold(dist, locality))
+        return robust_topk_threshold(dist, locality)
 
     fn = jax.jit(one_chunk)
     B = mesh_q.shape[0]
@@ -256,9 +321,11 @@ def batched_halfdist_percentile_thresholds(
     TF point-cloud ``dist^2 / 2`` matrices (same op order as
     models/pit_tf.PiTTFPointCloud, reference:
     tensorflow/5_Elasticity/utils.py:92-95,172-177). Per-sample clouds are
-    constant across training, so this runs once at setup; the interpolated
-    quantile falls strictly inside the order-statistic gap, so the
-    ``d <= thr`` mask is robust to compiler-level rounding differences.
+    constant across training, so this runs once at setup; the threshold is
+    the :func:`robust_topk_threshold` wide-gap midpoint (equals the
+    interpolated percentile's kept set on tie-safe rows; codegen-invariant
+    on tied ones), so the ``d <= thr`` mask is robust to compiler-level
+    rounding differences.
     """
     if percentile > 100:
         return None
@@ -266,7 +333,7 @@ def batched_halfdist_percentile_thresholds(
     def one_chunk(c):
         diff = c[:, :, None, :] - c[:, None, :, :]
         m = 0.5 * jnp.sum(diff * diff, axis=-1)
-        return quantile_threshold(m, percentile / 100.0)
+        return robust_topk_threshold(m, percentile / 100.0)
 
     fn = jax.jit(one_chunk)
     B = coords.shape[0]
