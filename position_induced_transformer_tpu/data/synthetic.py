@@ -320,10 +320,42 @@ def vorticity(n=1200, s=64, frames=30, seed=0):
     return traj
 
 
+def _void_radius(r_ctrl, theta, n_harm=6):
+    """Smooth void-boundary radius a(theta) and derivative a'(theta) from 42
+    control radii via truncated trigonometric interpolation (closed form in
+    theta — resolution-consistent: the same continuous profile at any
+    sampling). r_ctrl (n, 42), theta (n, L) -> a, da (n, L)."""
+    n_ctrl = r_ctrl.shape[-1]
+    phi = 2 * np.pi * np.arange(n_ctrl) / n_ctrl
+    a = np.full(theta.shape, r_ctrl.mean(-1, keepdims=True))
+    da = np.zeros_like(theta)
+    for k in range(1, n_harm + 1):
+        ck = (r_ctrl * np.cos(k * phi)).mean(-1, keepdims=True) * 2
+        sk = (r_ctrl * np.sin(k * phi)).mean(-1, keepdims=True) * 2
+        a += ck * np.cos(k * theta) + sk * np.sin(k * theta)
+        da += k * (sk * np.cos(k * theta) - ck * np.sin(k * theta))
+    return a, da
+
+
 def elasticity(n=1200, L=972, seed=0):
     """(X, ext, Y): X (n, L, 44) = coords ++ broadcast 42-dim radius vector,
-    ext (n, L, 2) point cloud, Y (n, L, 1) stress stand-in
-    (reference: train_elasticity.py:7-16)."""
+    ext (n, L, 2) point cloud, Y (n, L, 1) Kirsch-type von Mises stress
+    (reference: train_elasticity.py:7-16).
+
+    Operator-learning probe (round 5; the r4 target was trig(coords) +
+    0.1*rvec — ~pointwise-computable from the cloud coordinates alone, so
+    its accuracy column could not detect modeling regressions, VERDICT r4):
+    the sample's 42 control radii define a smooth irregular VOID boundary
+    a(theta) around (0.5, 0.5); the measurement cloud is a SEPARATE closed
+    curve (radius ~0.35 + harmonics, angle-sorted — the circular-band
+    kernel path keys on this ordering), whose coordinates carry no
+    information about the void. The target is the plane-stress Kirsch
+    solution for a hole of local radius a(theta) under uniaxial tension
+    (sigma_rr/tt/rt -> von Mises), amplified by the local shape gradient
+    (1 + 1.5 (a'/a)^2). Shuffling the rvec input channels across samples
+    while keeping clouds/targets inflates the error by the full
+    void-shape-dependent variance (scripts/surrogate_ablation.py).
+    r4<->r5 elasticity accuracy numbers are NOT comparable."""
     rng = np.random.default_rng(seed)
     theta = np.sort(rng.uniform(0, 2 * np.pi, (n, L)), axis=1)
     r_inner = 0.2 + 0.05 * rng.standard_normal((n, 42))
@@ -338,42 +370,147 @@ def elasticity(n=1200, L=972, seed=0):
     ).astype(np.float32)
     rvec = np.repeat((5 * r_inner - 1)[:, None, :], L, axis=1).astype(np.float32)
     X = np.concatenate([ext, rvec], axis=-1)
-    Y = (np.sin(3 * ext[..., :1]) * np.cos(2 * ext[..., 1:2])
-         + 0.1 * rvec[..., :1]).astype(np.float32)
+    # Kirsch stress around the void of local radius a(theta), evaluated at
+    # the cloud radius r = radius(theta) (uniaxial tension sigma_inf = 1
+    # along x; plane stress)
+    a, da = _void_radius(r_inner, theta)
+    ar2 = (a / radius) ** 2
+    ar4 = ar2 * ar2
+    c2t, s2t = np.cos(2 * theta), np.sin(2 * theta)
+    s_rr = 0.5 * (1 - ar2) + 0.5 * (1 - 4 * ar2 + 3 * ar4) * c2t
+    s_tt = 0.5 * (1 + ar2) - 0.5 * (1 + 3 * ar4) * c2t
+    s_rt = -0.5 * (1 + 2 * ar2 - 3 * ar4) * s2t
+    vm = np.sqrt(s_rr**2 - s_rr * s_tt + s_tt**2 + 3 * s_rt**2)
+    Y = (vm * (1 + 1.5 * (da / a) ** 2))[..., None].astype(np.float32)
     return X, ext, Y
 
 
 def naca(n=1200, n_shape=120, nx=221, ny=51, seed=0):
     """(coords, X, Y): airfoil shape coords (n, n_shape, 2), C-grid vertices
-    (n, nx, ny, 2), 4-variable flow field (n, nx, ny, 4)
-    (reference: train_naca.py:7-15)."""
+    (n, nx, ny, 2), 4-variable flow field rho, rho*u, rho*v, E
+    (n, nx, ny, 4) (reference: train_naca.py:7-15).
+
+    Operator-learning probe (round 5; the r4 target was a pointwise
+    function of the query C-grid coordinates alone, so naca/naca_tf hit
+    rel-L1 0.003% without using the input airfoil shape at all — VERDICT
+    r4): the field is a transonic-flow-like closed form in (x, y) AND four
+    shape parameters (thickness, camber, two extra shape harmonics a3/a4)
+    that are recoverable only from the 120-point input shape — supersonic
+    pockets terminated by sigmoid shocks on both surfaces, with shock
+    POSITION and STRENGTH moving with camber/thickness asymmetrically (the
+    real dataset is transonic flow with shocks over parameterized
+    airfoils). The C-grid y-extent still scales mildly with thickness
+    (realistic — real C-grids conform to the airfoil; documented leak),
+    but camber/a3/a4 never touch the query mesh, so a pointwise model of
+    the coordinates cannot express the field and shuffling input shapes
+    across samples inflates the error (scripts/surrogate_ablation.py).
+    Closed form in (x, y) -> resolution-consistent / ZSSR-able.
+    r4<->r5 naca accuracy numbers are NOT comparable."""
     rng = np.random.default_rng(seed)
     t = np.linspace(0, 2 * np.pi, n_shape, endpoint=False)
     thick = rng.uniform(0.08, 0.18, (n, 1))
     camber = rng.uniform(-0.04, 0.04, (n, 1))
+    a3 = rng.normal(0, 0.01, (n, 1))
+    a4 = rng.normal(0, 0.006, (n, 1))
     xs = 0.5 * (1 + np.cos(t))[None, :]
-    ys = thick * np.sin(t)[None, :] * np.sqrt(np.clip(xs, 0, 1)) + camber * xs * (1 - xs)
+    ys = (
+        thick * np.sin(t)[None, :] * np.sqrt(np.clip(xs, 0, 1))
+        + (camber + a3 * np.sin(2 * t)[None, :] + a4 * np.sin(3 * t)[None, :])
+        * 4 * xs * (1 - xs)
+    )
     coords = np.stack([xs * np.ones((n, 1)), ys], axis=-1).astype(np.float32)
 
+    # C-grid CONFORMS to the airfoil (like the real numerically-generated
+    # grids): grid lines near y=0 deform by the local camber line and
+    # thickness envelope, decaying into the far field. This is what makes
+    # the TF-family variant learnable at all — its input is the grid
+    # coordinates alone (reference: tensorflow/6_NACA/utils.py:45-52), so
+    # the shape must be recoverable from the GRID GEOMETRY (globally; a
+    # single point's (x, y) still cannot determine the parameters —
+    # SURROGATE_ABLATION.json pointwise oracle).
     u = np.linspace(-1, 2, nx)
     v = np.linspace(0, 1, ny)
     uu, vv = np.meshgrid(u, v, indexing="ij")
     X = np.empty((n, nx, ny, 2), np.float32)
     X[..., 0] = uu[None]
-    X[..., 1] = (vv[None] * (1 + thick[:, :, None])) - 0.5
-    rsq = (X[..., 0] - 0.5) ** 2 + X[..., 1] ** 2
-    base = np.exp(-2 * rsq)
-    Y = np.stack(
-        [1 + 0.2 * base, 0.8 * base, 0.1 * base * X[..., 1], 1 + 0.5 * base],
-        axis=-1,
-    ).astype(np.float32)
+    yb = 1.1 * vv[None] - 0.5  # fixed far-field extent
+    xcg = np.clip(uu[None], 0.0, 1.0)
+    th3, cb3, a33, a43 = (
+        thick[:, :, None], camber[:, :, None], a3[:, :, None], a4[:, :, None]
+    )
+    yt = 2.0 * th3 * np.sqrt(xcg) * (1 - xcg)  # thickness half-envelope
+    yc = (
+        4 * cb3 * xcg * (1 - xcg)
+        + (a33 * np.sin(2 * np.pi * xcg) + a43 * np.sin(3 * np.pi * xcg))
+        * 4 * xcg * (1 - xcg)
+    )
+    s_b = yb / np.sqrt(yb**2 + 0.04)  # smooth sign, wide enough that the
+    # deformation slope stays < 1.1*dv' (no grid-line folding)
+    X[..., 1] = yb + (yc + s_b * yt) * np.exp(-(yb**2) / 0.03)
+    Y = _naca_field(
+        X[..., 0], X[..., 1],
+        thick[:, :, None], camber[:, :, None],
+        a3[:, :, None], a4[:, :, None],
+    )
     return coords, X, Y
+
+
+def _naca_field(x, y, thick, camber, a3, a4):
+    """Transonic-like 4-variable field, closed form in query coords (x, y)
+    and the four shape parameters. Any broadcastable shapes."""
+    xc = np.clip(x, 0.0, 1.0)
+    q = 4 * xc * (1 - xc)  # chordwise forcing
+    env = np.exp(-(y**2) / 0.08)  # near-airfoil weight
+    s_y = y / np.sqrt(y**2 + 0.01)  # smooth sign(y)
+    # smooth perturbation: thickness speeds the flow up symmetrically,
+    # camber (+ harmonics) asymmetrically. Coefficients are sized so the
+    # shape-driven variance is a HEALTHY fraction of the field norm
+    # (input-shuffle bound ~10% rel-L2, SURROGATE_ABLATION.json) — an
+    # accuracy column dominated by a constant background cannot detect
+    # modeling regressions (the r4 failure mode).
+    u1 = (4.0 * thick + 3.0 * a3) * q * env
+    u2 = (9.0 * camber + 4.0 * a4) * q * env * s_y
+    # supersonic pockets terminated by shocks on each surface: position and
+    # strength move with camber/thickness (asymmetrically between surfaces)
+    w = 0.02  # shock half-width (grid dx = 3/220: ~1.5 cells, resolvable)
+    env_up = np.exp(-(((y - 0.06) / 0.12) ** 2)) / (1 + np.exp(-y / 0.04))
+    env_lo = np.exp(-(((y + 0.06) / 0.12) ** 2)) / (1 + np.exp(y / 0.04))
+    x_up = 0.55 + 1.8 * camber + 0.5 * thick + 0.6 * a3
+    x_lo = 0.55 - 1.8 * camber + 0.5 * thick - 0.6 * a3
+    A_up = np.maximum(0.0, 5.0 * thick + 15.0 * camber + 4.0 * a3)
+    A_lo = np.maximum(0.0, 5.0 * thick - 15.0 * camber - 4.0 * a3)
+    pocket_up = 1 / (1 + np.exp(-(x - 0.15) / 0.05)) / (1 + np.exp((x - x_up) / w))
+    pocket_lo = 1 / (1 + np.exp(-(x - 0.15) / 0.05)) / (1 + np.exp((x - x_lo) / w))
+    J = A_up * pocket_up * env_up + A_lo * pocket_lo * env_lo
+    M = 0.8  # freestream Mach-like speed scale
+    uvel = M * (1 + u1 + u2 - 0.5 * J)
+    vvel = (6.0 * camber + 3.0 * a4) * q * env * s_y + 2.0 * thick * q * env * s_y * (1 - 2 * xc)
+    rho = 1 - 0.5 * (u1 + u2) + 0.55 * J
+    p = rho**_GAMMA / _GAMMA
+    E = p / (_GAMMA - 1) + 0.5 * rho * (uvel**2 + vvel**2)
+    return np.stack([rho, rho * uvel, rho * vvel, E], axis=-1).astype(np.float32)
 
 
 def cylinder(n_traj=1100, L=4390, n_small=896, steps=11, seed=0):
     """(trajectories, vertices, vertices_small): trajectories
-    (n_traj, L, 3, steps) on a synthetic 2-D wake-like point cloud
-    (reference: train_cylinder.py:8-16,65-66)."""
+    (n_traj, L, 3, steps) on a synthetic 2-D wake point cloud
+    (reference: train_cylinder.py:8-16,65-66).
+
+    Operator-learning probe (round 5; the r4 target was a single traveling
+    harmonic whose phase is pointwise-recoverable from (u, v) at any one
+    point, so the one-step map was pointwise-computable — VERDICT r4):
+    a von Karman street behind a cylinder at (0.25, 0.2) in the 2.2 x 0.41
+    channel — THREE incommensurate downstream-traveling harmonics with
+    per-trajectory random amplitudes, phases, wavenumber and advection
+    speed (8 latent dofs), a laterally meandering wake envelope that
+    widens downstream, a parabolic channel profile and a potential-flow
+    slowdown at the cylinder. A single point's (u, v, p) cannot determine
+    the 8 latents, so the one-step map requires spatial aggregation — a
+    pointwise model cannot advance the field, a position-attention model
+    can (it is advection). Closed form in (x, y, t) -> rollout eval is
+    exact. Shuffling input frames across trajectories inflates the error
+    by the full pattern variance (scripts/surrogate_ablation.py).
+    r4<->r5 cylinder accuracy numbers are NOT comparable."""
     rng = np.random.default_rng(seed)
     verts = np.stack(
         [rng.uniform(0, 2.2, L), rng.uniform(0, 0.41, L)], axis=-1
@@ -381,13 +518,30 @@ def cylinder(n_traj=1100, L=4390, n_small=896, steps=11, seed=0):
     # latent cloud: subsample
     idx = rng.choice(L, n_small, replace=False)
     verts_small = verts[idx]
-    phase = rng.uniform(0, 2 * np.pi, (n_traj, 1, 1))
-    k = rng.uniform(2, 6, (n_traj, 1, 1))
+    x0, y0, R = 0.25, 0.2, 0.05
+    kappa = rng.uniform(8.0, 12.0, (n_traj, 1, 1))  # base wavenumber
+    speed = rng.uniform(0.08, 0.12, (n_traj, 1, 1))  # advection / frame
+    amp = 0.3 * rng.uniform(0.5, 1.0, (n_traj, 1, 3)) / np.array([1.0, 1.6, 2.4])
+    phase = rng.uniform(0, 2 * np.pi, (n_traj, 1, 3))
+    kmul = np.array([1.0, 1.53, 2.31])  # incommensurate harmonics
+    xv = verts[None, :, 0:1]
+    yv = verts[None, :, 1:2]
+    # stationary structure
+    prof = 4 * yv * (0.41 - yv) / 0.41**2  # parabolic channel profile
+    slow = 1 - 0.8 * np.exp(-((xv - x0) ** 2 + (yv - y0) ** 2) / (4 * R**2))
+    wake_w = 0.05 + 0.07 * np.maximum(xv - x0, 0.0)
+    onset = 1 / (1 + np.exp(-(xv - x0 - 0.1) / 0.05))
     traj = np.empty((n_traj, L, 3, steps), np.float32)
     for t in range(steps):
-        arg = k * verts[None, :, 0:1] - 0.5 * t + phase
-        u = 1.0 + 0.3 * np.sin(arg) * np.exp(-((verts[None, :, 1:2] - 0.2) ** 2) * 30)
-        v = 0.3 * np.cos(arg) * np.exp(-((verts[None, :, 1:2] - 0.2) ** 2) * 30)
-        p = 0.5 * np.sin(arg) * (2.2 - verts[None, :, 0:1]) / 2.2
+        arg = kappa * kmul * (xv - speed * t) + phase  # (n, L, 3)
+        # laterally meandering wake centerline (time-dependent)
+        y_off = 0.03 * np.sin(0.5 * kappa * (xv - speed * t) + phase[..., :1])
+        env = onset * np.exp(-((yv - y0 - y_off) ** 2) / (2 * wake_w**2))
+        su = (amp * np.sin(arg)).sum(-1, keepdims=True)
+        sv = (amp * np.cos(arg)).sum(-1, keepdims=True)
+        sp = (0.6 * amp * np.sin(arg + np.pi / 4)).sum(-1, keepdims=True)
+        u = prof * slow + su * env
+        v = 0.8 * sv * env
+        p = 0.5 * (2.2 - xv) / 2.2 + sp * env
         traj[..., t] = np.concatenate([u, v, p], axis=-1)
     return traj, verts, verts_small

@@ -42,6 +42,66 @@ OUT = os.path.join(
 )
 
 
+# benchmarks whose round-5 surrogates probe operator learning: record the
+# model-level input-shuffle ablation (BASELINE.md surrogate note) — test
+# rel-L2 with true inputs vs inputs shuffled across samples. Large
+# inflation = the trained model actually uses the input function.
+SHUFFLE_BENCHES = ("naca", "elasticity", "cylinder", "naca_tf", "elasticity_tf")
+
+
+def shuffle_metrics(bench: str, problem, state) -> dict:
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = dict(problem.test_data)
+    n = int(data["y"].shape[0])
+    perm = np.roll(np.arange(n), 1)
+    if bench.startswith("naca"):
+        if "mesh_in" in data:
+            # torch family: the input function is the 120-pt shape (x ==
+            # mesh_in); the query C-grid/latent/targets stay. The encoder
+            # thresholds pair (mesh_ltt, mesh_in) — recompute for the
+            # shuffled pairing (setup data, ops/locality)
+            from position_induced_transformer_tpu.ops.locality import (
+                batched_topk_thresholds,
+            )
+
+            shuf = data["x"][jnp.asarray(perm)]
+            data["x"] = shuf
+            data["mesh_in"] = shuf
+            if "thr_down" in data:
+                cfg = problem.config
+                data["thr_down"] = batched_topk_thresholds(
+                    data["mesh_ltt"], shuf, cfg.model.en_loc, cfg.metric
+                )
+        else:
+            # TF family: the input IS the (conforming) grid coordinates;
+            # attention geometry is index-space and unaffected
+            data["x"] = data["x"][jnp.asarray(perm)]
+    elif bench.startswith("elasticity"):
+        # shuffle the 42 rvec channels only: cloud coords (and therefore
+        # thresholds/bands) stay aligned with the targets
+        x = np.asarray(data["x"]).copy()
+        x[:, :, 2:] = x[perm][:, :, 2:]
+        data["x"] = jnp.asarray(x)
+    else:  # cylinder: fixed mesh, shuffle the input frame
+        data["x"] = data["x"][jnp.asarray(perm)]
+    pred_true = runner.predict(problem, state)
+    pred_shuf = runner.predict(problem, state, data=data)
+    y = np.asarray(problem.test_data["y"])
+
+    def rl2(p):
+        axes = tuple(range(1, y.ndim - 1))
+        num = np.sqrt(((np.asarray(p) - y) ** 2).sum(axes))
+        den = np.sqrt((y**2).sum(axes)) + 1e-30
+        return round(float((num / den).mean()), 6)
+
+    return {
+        "true_relL2": rl2(pred_true),
+        "shuffled_inputs_relL2": rl2(pred_shuf),
+    }
+
+
 def run_one(name: str) -> dict:
     bench, _, variant = name.partition(":")
     cfg = configs.get(bench)
@@ -78,6 +138,11 @@ def run_one(name: str) -> dict:
             k: round(v, 6) for k, v in history[-1].items() if k != "epoch"
         },
     }
+    if bench in SHUFFLE_BENCHES and not variant:
+        try:
+            out["shuffle"] = shuffle_metrics(bench, problem, state)
+        except Exception as e:
+            out["shuffle"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if zssr_ckpt is not None:
         from position_induced_transformer_tpu.train import evaluate
 
