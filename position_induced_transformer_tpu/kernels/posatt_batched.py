@@ -143,6 +143,19 @@ def _attention(dsh, keep, s):
     return p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
 
+def _attention_unnorm(dsh, keep, s):
+    """:func:`_attention` with the normalization DEFERRED: returns the
+    masked exponentials ``p`` and the per-row reciprocal denominator
+    ``r`` so a forward kernel can compute ``(p @ v) * r`` — the division
+    then touches a (rows, V) output slice instead of the (rows, band)
+    attention tile. Saves one full-tile VPU pass per head; exactly equal
+    to ``_attention(dsh, keep, s) @ v`` in f32 up to reassociation of
+    the scalar multiply (the denominator floor semantics are identical)."""
+    p = jnp.where(keep, jnp.exp(-dsh * s), 0.0)
+    r = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    return p, r
+
+
 def _make_fwd_kernel(H, D, space_dim, keep_count, L_in, with_thr, band_w):
     """``with_thr``: the per-row locality threshold is a precomputed input
     (per-sample meshes are constant across training, so thresholds are
@@ -1038,9 +1051,12 @@ def _make_tf_coord_fwd_kernel(H, V, space_dim, L_in, with_thr, band_w):
             keep = jnp.logical_and(dist <= thr_ref[0], keep)
         dsh = _shifted_dist(dist)
         for h in range(H):
-            att = _attention(dsh, keep, scale_ref[h, 0])
-            out_ref[0, :, h * V : (h + 1) * V] = jnp.dot(
-                att, v[:, h * V : (h + 1) * V],
+            # deferred normalization: at H=8 heads (elasticity_tf) the
+            # per-head full-tile divide is a material share of the VPU
+            # work this kernel is bound by (ROOFLINE elasticity_tf row)
+            p, r = _attention_unnorm(dsh, keep, scale_ref[h, 0])
+            out_ref[0, :, h * V : (h + 1) * V] = r * jnp.dot(
+                p, v[:, h * V : (h + 1) * V],
                 preferred_element_type=jnp.float32,
             )
 

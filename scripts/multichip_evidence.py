@@ -216,6 +216,158 @@ def pp_pipelined_forward():
     }
 
 
+def dp_elasticity_batched_kernel():
+    """The two round-4 dryrun additions, with HLO accounting (VERDICT r4
+    item 8). (a) PRODUCTION elasticity epoch at data=8 through
+    runner-built pieces (lazy per-batch geometry + setup thresholds +
+    circular band metadata); (b) the fused batched kernel itself —
+    position_attention_batched with thr + circular band, interpret-mode
+    Pallas body on this CPU mesh — batch-sharded over 'data' so the
+    custom_partitioning batch rule (kernels/partitioning.py) does the
+    SPMD split; forward AND backward (the per-sample (B, H) dScale is
+    reduced OUTSIDE the kernel, so its sum over the sharded batch must
+    show up as a collective)."""
+    from position_induced_transformer_tpu.data import synthetic
+    from position_induced_transformer_tpu.data.meshes import angular_sort_perm
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec,
+        band_tile_rows,
+        position_attention_batched,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts,
+        batched_topk_thresholds,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=8, n_model=1, devices=devices)
+
+    # (a) production epoch, loss parity vs single device
+    cfg = dataclasses.replace(configs.ELASTICITY, batch_size=16)
+    kw = dict(epochs=1, ntrain=2 * cfg.batch_size, ntest=8, verbose=False)
+    _, _, h_single = runner.train(cfg, **kw)
+    _, _, h_dp = runner.train(cfg, mesh="data=8", **kw)
+    np.testing.assert_allclose(
+        h_dp[-1]["train_loss"], h_single[-1]["train_loss"], rtol=1e-4
+    )
+
+    # (b) fused kernel under GSPMD: real angle-sorted clouds, setup
+    # thresholds + circular band, interpret-mode kernel body
+    B, L, H, D = 8, 972, 2, 64
+    _, ext, _ = synthetic.elasticity(n=B, L=L)
+    perm = angular_sort_perm(ext)
+    ext = np.take_along_axis(ext, perm[..., None], axis=1)
+    m = jnp.asarray(ext)
+    loc = 0.02
+    thr = batched_topk_thresholds(m, m, loc)
+    band = batched_band_starts(
+        m, m, thr, band_tile_rows(L), circular=True
+    )
+    spec = None if band is None else BandSpec(*band)
+    lmda = jnp.asarray(
+        np.random.default_rng(0).standard_normal((H, 1, 1)), jnp.float32
+    )
+    u = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, L, D)), jnp.float32
+    )
+
+    def loss(lmda, m, u, thr):
+        out = position_attention_batched(
+            m, m, lmda, u, loc, thr, spec, interpret=True
+        )
+        return jnp.sum(out * out)
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 2)))
+    # single-device reference values
+    g_l_1, g_u_1 = jax.block_until_ready(grad(lmda, m, u, thr))
+
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    m_s = jax.device_put(m, shard)
+    u_s = jax.device_put(u, shard)
+    thr_s = jax.device_put(thr, shard)
+    lmda_s = jax.device_put(lmda, repl)
+    lowered = grad.lower(lmda_s, m_s, u_s, thr_s)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    g_l, g_u = jax.block_until_ready(grad(lmda_s, m_s, u_s, thr_s))
+    np.testing.assert_allclose(
+        np.asarray(g_l), np.asarray(g_l_1), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_u), np.asarray(g_u_1), rtol=2e-5, atol=1e-5
+    )
+    # placement proof: the sharded-batch operand is split B/8 per device
+    per_dev_rows = u_s.sharding.shard_shape(u_s.shape)[0]
+    counts = collective_counts(hlo)
+    return {
+        "mesh": dict(mesh.shape),
+        "production_epoch": {
+            "config": "elasticity full width (972-pt clouds, hid 256, "
+                      "bs 16), runner.train(mesh='data=8')",
+            "train_loss_single": round(float(h_single[-1]["train_loss"]), 6),
+            "train_loss_dp": round(float(h_dp[-1]["train_loss"]), 6),
+            "loss_parity_rtol": 1e-4,
+        },
+        "fused_kernel_custom_partitioning": {
+            "config": f"position_attention_batched fwd+bwd, B={B} L={L} "
+                      f"H={H} D={D}, thr + circular band "
+                      f"(width {0 if spec is None else spec.width}), "
+                      "interpret-mode kernel body, batch over P('data')",
+            "collectives": counts,
+            "batch_rows_per_device": per_dev_rows,
+            "grad_parity_vs_single_device": "rtol 2e-5",
+            "dscale_reduction_is_collective": counts["all-reduce"] > 0,
+        },
+    }
+
+
+def sp_zssr_evaluate_path():
+    """The production `evaluate --zssr --mesh data=8` decode path
+    (train/evaluate.py:162-178): darcy problem at the FULL 421^2 query
+    grid, geometry sequence-sharded with PADDED uneven shards
+    (177,241 = 8*22156 arbitrary-remainder rows), jitted task.forward —
+    the exact program evaluate/predict run, lowered for HLO accounting."""
+    mesh = make_mesh(n_data=8, n_model=1, devices=devices)
+    cfg = configs.DARCY
+    problem = benchmarks.setup(
+        cfg, ntrain=8, ntest=4, downsampling=1
+    )
+    optimizer = make_optimizer(cfg.lr, 10)
+    state = runner.init_state(problem, optimizer, seed=0)
+    geom_sharded = sequence_shard_geometry(mesh, problem.geom, pad=True)
+    params = replicate_tree(mesh, state.params)
+    data = replicate_tree(mesh, problem.test_data)
+    batch = jax.tree_util.tree_map(lambda a: a[:4], data)
+    fwd = jax.jit(problem.task.forward)
+    lowered = fwd.lower(params, geom_sharded, batch)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    out = jax.block_until_ready(fwd(params, geom_sharded, batch))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fwd(params, geom_sharded, batch))
+    dt = time.perf_counter() - t0
+    # single-device parity on the same params
+    out1 = jax.block_until_ready(
+        jax.jit(problem.task.forward)(state.params, problem.geom, batch)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out1), rtol=5e-5, atol=1e-5
+    )
+    d = geom_sharded.dist_up
+    return {
+        "mesh": dict(mesh.shape),
+        "config": "evaluate --zssr --mesh data=8 decode program "
+                  "(darcy 421^2, task.forward on sequence-sharded geometry)",
+        "collectives": collective_counts(hlo),
+        "memory": memory_stats(compiled),
+        "forward_seconds_cpu": round(dt, 3),
+        "dist_up_rows_per_device": d.sharding.shard_shape(d.shape)[0],
+        "decode_parity_vs_single_device": "rtol 5e-5",
+        "out_shape": list(out.shape),
+    }
+
+
 def pp_production_training():
     """PRODUCTION pipeline-parallel training at the full reference Sod
     shape (L=1024 -> 256 latent, hid 32, 2 blocks, bs 8 — the reference
@@ -242,19 +394,31 @@ def pp_production_training():
     }
 
 
+CASES = {
+    "dp_tp_train_step": dp_tp_train_step,
+    "sp_zssr_decode": sp_zssr_decode,
+    "pp_pipelined_forward": pp_pipelined_forward,
+    "pp_production_training": pp_production_training,
+    "dp_elasticity_batched_kernel": dp_elasticity_batched_kernel,
+    "sp_zssr_evaluate_path": sp_zssr_evaluate_path,
+}
+
 if __name__ == "__main__":
-    results = {
-        "n_devices": len(devices),
-        "platform": devices[0].platform,
-        "dp_tp_train_step": dp_tp_train_step(),
-        "sp_zssr_decode": sp_zssr_decode(),
-        "pp_pipelined_forward": pp_pipelined_forward(),
-        "pp_production_training": pp_production_training(),
-    }
-    print(json.dumps(results, indent=1))
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "MULTICHIP_EVIDENCE.json",
     )
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    results = {}
+    if os.path.exists(out):
+        try:
+            results = json.load(open(out))
+        except Exception:
+            pass
+    results["n_devices"] = len(devices)
+    results["platform"] = devices[0].platform
+    names = sys.argv[1:] or list(CASES)
+    for name in names:
+        results[name] = CASES[name]()
+        print(json.dumps({name: results[name]}, indent=1), flush=True)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
