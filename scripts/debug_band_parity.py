@@ -30,10 +30,22 @@ Findings (2026-08-19, recorded in BASELINE.md's band-skip paragraph):
    exact by construction from the same mask).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+
 import numpy as np
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# --tpu: run the kernel A/B on the default (TPU) backend with the real
+# Mosaic codegen — the round-5 robust wide-gap thresholds
+# (ops/locality.robust_topk_threshold) must hold band-vs-thr parity at
+# ~1e-7 HERE, where the two kernel shapes' fma contraction can differ
+# (the pre-r5 reading floated to 4.6e-4 on exactly-tied rows).
+ON_TPU = "--tpu" in sys.argv
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import jax.numpy as jnp
@@ -99,14 +111,31 @@ for b in range(B):
 print(f"rows with next-distance within 1e-6 rel of thr (tie-fragile): "
       f"{gap_rows} / {B*Lq}; min rel gap = {min_rel_gap:.3e}")
 
-# --- interpret-mode kernel A/B (shared CPU codegen for dist both sides)
+# --- claim 2b (round 5): the ROBUST threshold's actual safety margin —
+# the closest any distance comes to thr, relative. The wide-gap
+# construction targets >= ~5e-6 (half of rel_gap=1e-5); a kernel's
+# in-VMEM recomputation differs by a few f32 ulps (~1e-7), so kept sets
+# cannot flip wherever this margin holds.
+margin = np.inf
+for b in range(B):
+    rel = np.abs(dist[b] - thrn[b][:, None]) / np.maximum(
+        thrn[b][:, None], 1e-30
+    )
+    margin = min(margin, float(rel.min()))
+print(f"robust-threshold min relative margin to any distance: {margin:.3e}")
+
+# --- kernel A/B: interpret mode on CPU (shared codegen both sides), the
+# real Mosaic kernels on TPU (--tpu; different codegen per kernel shape —
+# the comparison the robust thresholds must win)
+interp = not ON_TPU
 u0 = jnp.asarray(np.random.default_rng(2).random((B, Lk, D)), jnp.float32)
 out_thr = position_attention_batched(
-    mq, mk, lmda0, u0, loc, thr, interpret=True
+    mq, mk, lmda0, u0, loc, thr, interpret=interp
 )
 out_band = position_attention_batched(
-    mq, mk, lmda0, u0, loc, thr, spec, interpret=True
+    mq, mk, lmda0, u0, loc, thr, spec, interpret=interp
 )
 d = np.abs(np.asarray(out_band) - np.asarray(out_thr))
-print(f"interpret-mode band-vs-thr max abs err = {d.max():.3e} "
+mode = "on-chip" if ON_TPU else "interpret-mode"
+print(f"{mode} band-vs-thr max abs err = {d.max():.3e} "
       f"(rows > 1e-5: {(d.max(-1) > 1e-5).sum()})")
