@@ -91,9 +91,11 @@ def shuffle_metrics(bench: str, problem, state) -> dict:
     y = np.asarray(problem.test_data["y"])
 
     def rl2(p):
-        axes = tuple(range(1, y.ndim - 1))
-        num = np.sqrt(((np.asarray(p) - y) ** 2).sum(axes))
-        den = np.sqrt((y**2).sum(axes)) + 1e-30
+        # predictions come out mesh-flattened; targets may be gridded
+        p = np.asarray(p).reshape(y.shape[0], -1, y.shape[-1])
+        yy = y.reshape(y.shape[0], -1, y.shape[-1])
+        num = np.sqrt(((p - yy) ** 2).sum(1))
+        den = np.sqrt((yy**2).sum(1)) + 1e-30
         return round(float((num / den).mean()), 6)
 
     return {
