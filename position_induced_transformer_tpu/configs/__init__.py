@@ -45,6 +45,11 @@ class BenchmarkConfig:
     batch_size: int
     epochs: int
     lr: float = 1e-3
+    warmup_steps: int = 0  # opt-in linear LR warmup before the cosine
+    # decay (0 = the reference schedule exactly). A generic stabilizer
+    # for configs that sit on a stability knife-edge from init, e.g.
+    # vorticity_tf's norm-free 20-step trajectory loss (BASELINE.md);
+    # set via --set warmup_steps=K
     loss_p: int = 2
     eval_batch_size: Optional[int] = None
     rollout_steps: int = 0  # BPTT rollout length during training

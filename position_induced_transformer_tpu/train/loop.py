@@ -97,8 +97,32 @@ def _keras_adam(
     return optax.GradientTransformation(init, update)
 
 
+def make_lr_schedule(
+    lr: float, total_steps: int, eta_min: float = 0.0, warmup_steps: int = 0
+):
+    """Per-step cosine decay (the reference schedule, exactly, when
+    ``warmup_steps == 0``) with an optional linear 0 -> lr warmup head."""
+    cosine = optax.cosine_decay_schedule(
+        init_value=lr, decay_steps=total_steps, alpha=eta_min / lr if lr else 0.0
+    )
+    if not warmup_steps:
+        return cosine
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, lr, warmup_steps),
+            optax.cosine_decay_schedule(
+                init_value=lr,
+                decay_steps=max(total_steps - warmup_steps, 1),
+                alpha=eta_min / lr if lr else 0.0,
+            ),
+        ],
+        [warmup_steps],
+    )
+
+
 def make_optimizer(
-    lr: float, total_steps: int, eta_min: float = 0.0, flavor: str = "adam"
+    lr: float, total_steps: int, eta_min: float = 0.0, flavor: str = "adam",
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
     """Adam + per-step cosine annealing to ``eta_min``
     (reference: train_burgers.py:75-76).
@@ -106,10 +130,13 @@ def make_optimizer(
     ``flavor='keras'`` selects the keras epsilon/bias-correction
     formulation (:func:`_keras_adam`) used by the TF-semantics family
     (reference: tensorflow/*/train.py ``tf.keras.optimizers.Adam(
-    CosineDecay(lr, epochs * (ntrain // batch)))``)."""
-    schedule = optax.cosine_decay_schedule(
-        init_value=lr, decay_steps=total_steps, alpha=eta_min / lr if lr else 0.0
-    )
+    CosineDecay(lr, epochs * (ntrain // batch)))``).
+
+    ``warmup_steps``: opt-in linear 0 -> lr ramp before the cosine decay
+    (which then runs over the remaining steps). 0 reproduces the
+    reference schedule bit-exactly; nonzero is a generic stabilizer for
+    knife-edge configs (configs.BenchmarkConfig.warmup_steps)."""
+    schedule = make_lr_schedule(lr, total_steps, eta_min, warmup_steps)
     if flavor == "keras":
         return _keras_adam(schedule)
     if flavor != "adam":

@@ -138,6 +138,7 @@ def train(
         # TF-family tasks train with the keras Adam formulation so their
         # dynamics match tf.keras.optimizers.Adam (loop._keras_adam)
         flavor="keras" if problem.task.keras_adam else "adam",
+        warmup_steps=getattr(cfg, "warmup_steps", 0),
     )
     state = init_state(problem, optimizer, seed)
 

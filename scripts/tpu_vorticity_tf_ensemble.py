@@ -49,8 +49,16 @@ def main(n_seeds=5, epochs=120):
         except Exception:
             pass
     cfg = configs.get("vorticity_tf")
-    for seed in range(n_seeds):
-        key = str(seed)
+    # extra arm: the round-5 generic stabilizer — seed 0 (the collapsing
+    # seed) with a 500-step (~4-epoch) linear LR warmup, same config
+    # otherwise (configs.BenchmarkConfig.warmup_steps)
+    import dataclasses
+
+    arms = [(str(s), cfg, s) for s in range(n_seeds)]
+    arms.append(
+        ("0_warmup500", dataclasses.replace(cfg, warmup_steps=500), 0)
+    )
+    for key, cfg, seed in arms:
         if key in results and "error" not in results.get(key, {}):
             continue
         t0 = time.time()

@@ -601,3 +601,36 @@ def test_bf16_tf_family_trains_and_tracks_f32():
         np.testing.assert_allclose(
             h2[-1]["train_loss"], h1[-1]["train_loss"], rtol=0.15
         )
+
+
+def test_lr_warmup_schedule_and_training():
+    """warmup_steps: 0 = the reference cosine exactly; K = linear ramp to
+    lr at step K then cosine over the remaining steps (opt-in stabilizer,
+    configs.BenchmarkConfig.warmup_steps)."""
+    import dataclasses
+
+    import numpy as np
+
+    from position_induced_transformer_tpu import configs
+    from position_induced_transformer_tpu.train import runner
+    from position_induced_transformer_tpu.train.loop import make_lr_schedule
+
+    lr, total = 1e-3, 100
+    plain = make_lr_schedule(lr, total)
+    warm = make_lr_schedule(lr, total, warmup_steps=10)
+    assert float(warm(0)) == 0.0
+    assert abs(float(warm(5)) - 0.5 * lr) < 1e-9
+    assert abs(float(warm(10)) - lr) < 1e-9
+    # after warmup: the cosine over the remaining 90 steps
+    assert float(warm(55)) < lr and float(warm(99)) < float(warm(55))
+    # warmup=0 is the reference schedule bit-exactly
+    for t in (0, 1, 50, 99):
+        assert float(make_lr_schedule(lr, total, warmup_steps=0)(t)) == float(
+            plain(t)
+        )
+    # end to end through the runner via the config field
+    cfg = dataclasses.replace(configs.BURGERS, warmup_steps=4)
+    _, _, hist = runner.train(
+        cfg, epochs=2, ntrain=16, ntest=8, verbose=False
+    )
+    assert np.isfinite(hist[-1]["train_loss"])
