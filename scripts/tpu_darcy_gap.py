@@ -14,6 +14,8 @@ synthetic data / seed):
 
 Writes DARCY_GAP.json (merged by arm). Run on the TPU chip:
     python scripts/tpu_darcy_gap.py [arm ...]
+Accuracy conclusions are backend-independent; `--cpu` forces the CPU
+backend so the arms can run during a relay outage.
 """
 
 import dataclasses
@@ -25,6 +27,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
 
 import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -69,6 +75,7 @@ def main(arms):
             _, _, history = runner.train(cfg, verbose=False, sync_every=50)
             results[arm] = {
                 "epochs": len(history),
+                "device": str(jax.devices()[0]),
                 "wall_s": round(time.time() - t0, 1),
                 "final": {
                     k: round(v, 6)
