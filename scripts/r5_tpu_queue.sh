@@ -20,7 +20,7 @@ step sweep       7200 python scripts/tpu_epoch_sweep.py
 # 2. on-chip band-vs-thr parity with the tie-robust thresholds
 step bandparity  2400 python scripts/debug_band_parity.py --tpu
 # 3. kernel rooflines incl. the deferred-norm TF coordinate kernel A/B
-step checks      3600 python scripts/tpu_checks.py "elasticity_tf coords" "elasticity band" "naca decoder band" "elasticity_tf attention"
+step checks      3600 python scripts/tpu_checks.py "elasticity_tf coords" "elasticity_tf floor" "elasticity band" "naca decoder band" "elasticity_tf attention"
 # 4. darcy gap arms (budget/capacity/architecture attribution)
 step darcygap    7200 python scripts/tpu_darcy_gap.py
 # 5. full-budget refresh on the r5 operator-learning surrogates (+shuffle)

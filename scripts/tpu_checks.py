@@ -402,6 +402,88 @@ def check_elasticity_tf_coords(label, rows):
         rows.append(row)
 
 
+def check_tf_coords_floor(label, rows):
+    """Compute-floor accounting for the TF coordinate band kernel.
+
+    ROOFLINE marks the elasticity_tf coords kernel compute-bound, not
+    bandwidth-bound, so 'prove the floor' (VERDICT r4 item 6) needs a
+    COMPUTE accounting: time XLA-optimal standalone ops doing exactly the
+    kernel's per-head work over the banded footprint —
+      (a) the transcendental stream: sum_h exp(scale_h * x) on the
+          (B, L, band_w) tile (one exp per head per element, fused by XLA
+          into a single pass — the best the VPU can do), and
+      (b) the value contraction: the (B*H, L, band_w) @ (B*H, band_w, V)
+          batched matmul (pure MXU).
+    The kernel's achievable floor is ~max(a+b overlap model: VPU and MXU
+    do not overlap within a Mosaic kernel, so a+b) plus the dist build;
+    kernel_time / (a+b) close to 1 proves the kernel is at its floor."""
+    from position_induced_transformer_tpu.data import loaders
+    from position_induced_transformer_tpu.data.meshes import angular_sort_perm
+    from position_induced_transformer_tpu.kernels import (
+        BandSpec, band_tile_rows,
+    )
+    from position_induced_transformer_tpu.ops.locality import (
+        batched_band_starts, batched_halfdist_percentile_thresholds,
+    )
+
+    B, H, V, pct = 10, 8, 64, 2.0
+    _, ext, _, *_ = loaders.elasticity(None, B, 2)
+    perm = angular_sort_perm(ext)
+    c = jnp.asarray(np.take_along_axis(np.asarray(ext), perm[..., None], 1))
+    L = c.shape[1]
+    thr = batched_halfdist_percentile_thresholds(c, pct)
+    band = batched_band_starts(c, c, 2.0 * thr, band_tile_rows(L), circular=True)
+    bw = BandSpec(*band).width if band is not None else L
+
+    def exp_stream(x, sc):
+        sc = sc.reshape(H)
+        acc = jnp.exp(sc[0] * x)
+        for h in range(1, H):
+            acc = acc + jnp.exp(sc[h] * x)
+        return acc
+
+    t_exp, r_exp = timeit_scanned(exp_stream, (B, L, bw), (H, 1, 1), n_iter=64)
+    n_trans = H * B * L * bw
+    rows.append({
+        "case": label, "impl": "vpu_exp_floor",
+        "us": round(t_exp * 1e6, 1) if r_exp else None,
+        "transcendentals": n_trans,
+        "exp_per_s": round(n_trans / t_exp / 1e9, 1) if r_exp else None,
+        "unit": "Gexp/s",
+        "note": "XLA-fused sum_h exp(s_h*x) over the banded tile — the "
+        "kernel's per-head transcendental work at VPU-optimal throughput",
+    })
+    # batched per-head value contraction at the banded footprint:
+    # (B*H, L, bw) @ (B*H, bw, V) — pure MXU work, XLA-scheduled
+    def dot_bh(p, sc):
+        del sc
+        v = jnp.ones((B * H, bw, V), jnp.float32)
+        return jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    t_dot, r_dot = timeit_scanned(dot_bh, (B * H, L, bw), (H, 1, 1), n_iter=64)
+    flops = 2 * B * H * L * bw * V
+    rows.append({
+        "case": label, "impl": "mxu_dot_floor",
+        "us": round(t_dot * 1e6, 1) if r_dot else None,
+        "flops": flops,
+        "pct_mxu_bf16": round(flops / t_dot / MXU_PEAK_BF16 * 100, 1)
+        if r_dot else None,
+        "note": "the kernel's per-head value contraction as one XLA "
+        "batched matmul over the banded footprint",
+    })
+    if r_exp and r_dot:
+        rows.append({
+            "case": label, "impl": "floor_sum",
+            "us": round((t_exp + t_dot) * 1e6, 1),
+            "note": "VPU exp stream + MXU contraction (no intra-kernel "
+            "overlap on Mosaic) — compare tf_coords_band 'us' against "
+            "this to read the kernel's distance-build+mask overhead",
+        })
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     only = [a.lower() for a in sys.argv[1:]]
@@ -435,6 +517,8 @@ if __name__ == "__main__":
         check_elasticity_band("elasticity band", rows)
     if want("elasticity_tf coords"):
         check_elasticity_tf_coords("elasticity_tf coords", rows)
+    if want("elasticity_tf floor"):
+        check_tf_coords_floor("elasticity_tf floor", rows)
     # TF point-cloud attention (pre-built dists, per-head values)
     if want("elasticity_tf attention (8 heads)"):
         check_tf_batched(972, 10, 8, 64, 2.0, "elasticity_tf attention (8 heads)", rows)
