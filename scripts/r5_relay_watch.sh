@@ -1,0 +1,31 @@
+#!/bin/bash
+# Poll the TPU relay; when device discovery + one op succeed within the
+# bound, launch the round-5 run queue exactly once. Safe to re-run: uses a
+# lock file so two watchers can't both start the queue.
+set -u
+cd "$(dirname "$0")/.."
+LOCK=/tmp/r5_queue_started
+PROBE='
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert d[0].platform != "cpu", d
+print("PROBE_OK", float(jnp.ones((8,8)).sum()))
+'
+while true; do
+  if [ -e "$LOCK" ]; then echo "queue already started; watcher exiting"; exit 0; fi
+  out=$(timeout 90 python -c "$PROBE" 2>&1)
+  if echo "$out" | grep -q PROBE_OK; then
+    echo "$(date -u) relay healthy: $out" | tee -a /tmp/r5_watch.log
+    # Timing-sensitive queue steps must not compete with host CPU jobs
+    # (single-CPU host): wait for any marked CPU run to finish first.
+    while [ -e /tmp/r5_cpu_busy ]; do
+      echo "$(date -u) waiting for CPU job to finish" >> /tmp/r5_watch.log
+      sleep 60
+    done
+    touch "$LOCK"
+    bash scripts/r5_tpu_queue.sh
+    exit 0
+  fi
+  echo "$(date -u) relay still down (probe: ${out:0:120})" >> /tmp/r5_watch.log
+  sleep 300
+done
