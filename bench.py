@@ -66,14 +66,17 @@ def _watchdog(timeout_s: float):
     return t
 
 
-def _default_backend_usable(timeout_s: float) -> bool:
+def _default_backend_usable(timeout_s: float, attempts: int = 2) -> bool:
     """Execute one tiny op on the default backend in a SUBPROCESS with a
     hard timeout. TPU-relay device discovery has been observed to hang
     indefinitely (2026-08-17 outage); probing in a child means a hung
     relay cannot take the bench process with it, and the bench can fall
     back to an honestly-labeled CPU measurement instead of recording
     nothing. The timeout accommodates the degraded-relay regime (trivial
-    remote compile observed at ~190 s)."""
+    remote compile observed at ~190 s). The relay also FLAPS on the
+    minute scale (2026-08-20: probe ok at 04:41:35, probe hung seconds
+    later, healthy again by 05:03), so a single failed probe retries
+    once after a pause before condemning the backend."""
     import subprocess
 
     env = dict(os.environ)
@@ -86,14 +89,19 @@ def _default_backend_usable(timeout_s: float) -> bool:
         "x = jnp.ones((4, 4));"
         "print(float((x @ x).sum()))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, env=env,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(30.0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
