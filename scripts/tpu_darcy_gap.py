@@ -11,6 +11,7 @@ synthetic data / seed):
   hid128        30 epochs, hid_dim 128 (2x width)
   blocks8       30 epochs, n_blocks 8 (2x depth)
   epochs500_hid128  the combined arm
+  epochs500_hid256  4x width at the 500-epoch budget (capacity ceiling probe)
 
 Writes DARCY_GAP.json (merged by arm). Run on the TPU chip:
     python scripts/tpu_darcy_gap.py [arm ...]
@@ -50,6 +51,8 @@ def make_cfg(arm: str):
     m = cfg.model
     if "hid128" in arm:
         m = dataclasses.replace(m, hid_dim=128)
+    if "hid256" in arm:
+        m = dataclasses.replace(m, hid_dim=256)
     if "blocks8" in arm:
         m = dataclasses.replace(m, n_blocks=8)
     cfg = dataclasses.replace(cfg, model=m)
