@@ -329,6 +329,12 @@ def main(argv=None):
     p_eval.add_argument(
         "--plots", default=None, help="write prediction figures to this dir"
     )
+    p_eval.add_argument(
+        "--shuffle-ablation", action="store_true",
+        help="also report test rel-L2 with the input functions shuffled "
+        "across samples (operator-learning probe: a model whose error "
+        "does not inflate is ignoring the input function)",
+    )
 
     p_inf = sub.add_parser(
         "infer",
@@ -614,6 +620,7 @@ def main(argv=None):
             plots_dir=args.plots,
             mesh=args.mesh,
             model_variant=args.model_variant,
+            shuffle_ablation=args.shuffle_ablation,
         )
         from position_induced_transformer_tpu.parallel.multihost import (
             is_main,

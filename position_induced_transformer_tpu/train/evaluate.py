@@ -81,6 +81,82 @@ def _checkpoint_normalizers(cfg, restored, setup_kwargs):
     return setup_kwargs
 
 
+def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
+    """Operator-learning probe: test rel-L2 with true inputs vs the input
+    FUNCTIONS shuffled across test samples (targets and geometry fixed).
+
+    A trained model whose error barely moves under the shuffle is not
+    using the input function at all — it is regressing the target from
+    query-local information (coordinates), which the reference's real
+    datasets cannot be solved from (e.g. train_naca.py:7-15: 120-pt
+    airfoil shape -> 4-variable C-grid field). Large inflation is direct
+    evidence the model reads the operator argument; BASELINE.md's
+    surrogate note records the full-budget numbers (3.5-57x on the
+    round-5 surrogates).
+
+    Benchmark-aware shuffling (by config name prefix, falling back to a
+    generic input-frame shuffle for fixed-geometry benchmarks incl.
+    registered user problems):
+
+    - ``naca`` (torch family): the input shape is also the encoder source
+      cloud, so the shuffled pairing recomputes the encoder locality
+      thresholds (the model must still see a self-consistent geometry —
+      otherwise the probe would measure mask corruption, not input use).
+    - ``elasticity``: only the void-radius channels are shuffled; cloud
+      coordinates (and therefore thresholds/bands) stay aligned with the
+      targets.
+    - default: the input frame ``x`` is shuffled across samples.
+
+    Returns per-sample-mean rel-L2 under both pairings (the benchmark
+    metric convention, ops/metrics.py).
+    """
+    from position_induced_transformer_tpu.train import runner
+
+    cfg = problem.config
+    data = dict(problem.test_data)
+    n = int(data["y"].shape[0])
+    perm = np.roll(np.arange(n), 1)
+    if cfg.name.startswith("naca") and "mesh_in" in data:
+        shuf = data["x"][perm]
+        data["x"] = shuf
+        data["mesh_in"] = shuf
+        if "thr_down" in data:
+            from position_induced_transformer_tpu.ops.locality import (
+                batched_topk_thresholds,
+            )
+
+            data["thr_down"] = batched_topk_thresholds(
+                data["mesh_ltt"], shuf, cfg.model.en_loc, cfg.metric
+            )
+    elif (
+        cfg.name.startswith("elasticity")
+        and data["x"].ndim == 3
+        and data["x"].shape[-1] > 2
+    ):
+        x = np.asarray(data["x"]).copy()
+        x[:, :, 2:] = x[perm][:, :, 2:]
+        data["x"] = jax.numpy.asarray(x)
+    else:
+        data["x"] = data["x"][perm]
+    if pred_true is None:
+        pred_true = runner.predict(problem, state)
+    pred_shuf = runner.predict(problem, state, data=data)
+    y = np.asarray(problem.test_data["y"])
+
+    def rl2(p):
+        # predictions come out mesh-flattened; targets may be gridded
+        p = np.asarray(p).reshape(y.shape[0], -1, y.shape[-1])
+        yy = y.reshape(y.shape[0], -1, y.shape[-1])
+        num = np.sqrt(((p - yy) ** 2).sum(1))
+        den = np.sqrt((yy**2).sum(1)) + 1e-30
+        return round(float((num / den).mean()), 6)
+
+    return {
+        "true_relL2": rl2(pred_true),
+        "shuffled_inputs_relL2": rl2(pred_shuf),
+    }
+
+
 def evaluate(
     config: str,
     checkpoint_path: str,
@@ -93,6 +169,7 @@ def evaluate(
     setup_kwargs: Optional[dict] = None,
     mesh=None,
     model_variant: Optional[str] = None,
+    shuffle_ablation: bool = False,
 ) -> dict:
     """``mesh``: a Mesh / spec string ('auto' | 'data=N[,model=M]' |
     'stage=K') / None. With a data mesh, ZSSR decoding is
@@ -178,6 +255,13 @@ def evaluate(
         pred_mesh = None
 
     if cfg.rollout_steps:
+        if shuffle_ablation:
+            raise ValueError(
+                "--shuffle-ablation probes the one-step operator map; "
+                f"{cfg.name!r} evaluates an in-graph rollout (shuffling "
+                "the initial frame would measure trajectory divergence, "
+                "not input use)"
+            )
         return _evaluate_rollout(
             cfg, problem, state, zssr, save_pred, mesh=pred_mesh,
             plots_dir=plots_dir,
@@ -203,6 +287,10 @@ def evaluate(
         true.reshape(n, -1, out_dim), pred.reshape(n, -1, out_dim)
     )
     result["rel_l1_quartiles"] = [float(q25), float(q50), float(q75)]
+    if shuffle_ablation:
+        result["shuffle_ablation"] = input_shuffle_ablation(
+            problem, state, pred_true=pred
+        )
     # capability gate, not a name gate: any benchmark (incl. registered
     # user problems) providing raw test trajectories gets the closed-loop
     # eval rollout

@@ -50,58 +50,15 @@ SHUFFLE_BENCHES = ("naca", "elasticity", "cylinder", "naca_tf", "elasticity_tf")
 
 
 def shuffle_metrics(bench: str, problem, state) -> dict:
-    import jax.numpy as jnp
-    import numpy as np
+    """Delegates to the framework's operator-learning probe
+    (train/evaluate.input_shuffle_ablation, also exposed as
+    ``evaluate --shuffle-ablation``); kept as a named hook so the
+    FULL_BUDGET artifact keys stay stable."""
+    from position_induced_transformer_tpu.train.evaluate import (
+        input_shuffle_ablation,
+    )
 
-    data = dict(problem.test_data)
-    n = int(data["y"].shape[0])
-    perm = np.roll(np.arange(n), 1)
-    if bench.startswith("naca"):
-        if "mesh_in" in data:
-            # torch family: the input function is the 120-pt shape (x ==
-            # mesh_in); the query C-grid/latent/targets stay. The encoder
-            # thresholds pair (mesh_ltt, mesh_in) — recompute for the
-            # shuffled pairing (setup data, ops/locality)
-            from position_induced_transformer_tpu.ops.locality import (
-                batched_topk_thresholds,
-            )
-
-            shuf = data["x"][jnp.asarray(perm)]
-            data["x"] = shuf
-            data["mesh_in"] = shuf
-            if "thr_down" in data:
-                cfg = problem.config
-                data["thr_down"] = batched_topk_thresholds(
-                    data["mesh_ltt"], shuf, cfg.model.en_loc, cfg.metric
-                )
-        else:
-            # TF family: the input IS the (conforming) grid coordinates;
-            # attention geometry is index-space and unaffected
-            data["x"] = data["x"][jnp.asarray(perm)]
-    elif bench.startswith("elasticity"):
-        # shuffle the 42 rvec channels only: cloud coords (and therefore
-        # thresholds/bands) stay aligned with the targets
-        x = np.asarray(data["x"]).copy()
-        x[:, :, 2:] = x[perm][:, :, 2:]
-        data["x"] = jnp.asarray(x)
-    else:  # cylinder: fixed mesh, shuffle the input frame
-        data["x"] = data["x"][jnp.asarray(perm)]
-    pred_true = runner.predict(problem, state)
-    pred_shuf = runner.predict(problem, state, data=data)
-    y = np.asarray(problem.test_data["y"])
-
-    def rl2(p):
-        # predictions come out mesh-flattened; targets may be gridded
-        p = np.asarray(p).reshape(y.shape[0], -1, y.shape[-1])
-        yy = y.reshape(y.shape[0], -1, y.shape[-1])
-        num = np.sqrt(((p - yy) ** 2).sum(1))
-        den = np.sqrt((yy**2).sum(1)) + 1e-30
-        return round(float((num / den).mean()), 6)
-
-    return {
-        "true_relL2": rl2(pred_true),
-        "shuffled_inputs_relL2": rl2(pred_shuf),
-    }
+    return input_shuffle_ablation(problem, state)
 
 
 def run_one(name: str) -> dict:

@@ -507,3 +507,62 @@ def test_evaluate_f32_checkpoint_at_bf16():
         )
         r16 = evaluate.evaluate(cfg16, checkpoint_path=ckpt_path, ntest=8)
     np.testing.assert_allclose(r16["rel_l2"], r32["rel_l2"], rtol=2e-2)
+
+
+def _tiny(cfg, **kw):
+    model = dataclasses.replace(cfg.model, hid_dim=16, n_blocks=2)
+    return dataclasses.replace(cfg, model=model, **kw)
+
+
+def test_evaluate_shuffle_ablation_naca(tmp_path):
+    """`evaluate --shuffle-ablation` on the torch NACA benchmark: the
+    encoder input is also the source cloud, so the shuffled pairing
+    recomputes the encoder thresholds; true_relL2 must agree with the
+    headline rel_l2 (same per-sample-mean convention, reused predictions)."""
+    cfg = _tiny(configs.NACA, grid=(21, 11), latent_grid=(5, 3), batch_size=4)
+    path = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=2, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    res = evaluate.evaluate(
+        cfg, checkpoint_path=path, ntest=8, shuffle_ablation=True
+    )
+    abl = res["shuffle_ablation"]
+    assert set(abl) == {"true_relL2", "shuffled_inputs_relL2"}
+    assert np.isfinite([abl["true_relL2"], abl["shuffled_inputs_relL2"]]).all()
+    assert abl["true_relL2"] > 0 and abl["shuffled_inputs_relL2"] > 0
+    np.testing.assert_allclose(abl["true_relL2"], res["rel_l2"], rtol=1e-3)
+
+
+def test_input_shuffle_ablation_elasticity_keeps_coords(tmp_path):
+    """Elasticity shuffles only the void-radius channels: the probe must
+    perturb predictions (the model reads rvec generically even at random
+    init) while the geometry stays aligned with the targets."""
+    cfg = _tiny(configs.ELASTICITY, batch_size=4)
+    problem, state, _ = runner.train(
+        cfg, epochs=1, ntrain=8, ntest=8, verbose=False
+    )
+    abl = evaluate.input_shuffle_ablation(problem, state)
+    assert np.isfinite([abl["true_relL2"], abl["shuffled_inputs_relL2"]]).all()
+    assert abl["shuffled_inputs_relL2"] != abl["true_relL2"]
+
+
+def test_shuffle_ablation_rejects_rollout_benchmarks(tmp_path):
+    """In-graph-rollout benchmarks evaluate trajectory divergence, not the
+    one-step operator map — the probe refuses them with a clear error."""
+    import pytest
+
+    cfg = dataclasses.replace(
+        configs.VORTICITY,
+        grid=(16, 16), latent_grid=(8, 8),
+        rollout_steps=3, memory=4, batch_size=8,
+        model=dataclasses.replace(configs.VORTICITY.model, hid_dim=16, n_blocks=2),
+    )
+    path = os.path.join(tmp_path, "ckpt")
+    runner.train(
+        cfg, epochs=1, ntrain=16, ntest=8, verbose=False, checkpoint_path=path
+    )
+    with pytest.raises(ValueError, match="shuffle-ablation"):
+        evaluate.evaluate(
+            cfg, checkpoint_path=path, ntest=8, shuffle_ablation=True
+        )
