@@ -374,6 +374,21 @@ def elasticity(n=1200, L=972, seed=0):
     # the cloud radius r = radius(theta) (uniaxial tension sigma_inf = 1
     # along x; plane stress)
     a, da = _void_radius(r_inner, theta)
+    # the void must stay strictly INSIDE the measurement curve: the raw
+    # harmonic profile exceeds radius(theta) on ~2.5e-4 of points at
+    # production scale (tail control radii meeting a dip of the cloud
+    # curve), which would evaluate Kirsch at r < a (unphysical). Clamp the
+    # profile to 0.92*radius — still a continuous function of theta, so
+    # resolution consistency is preserved — and use the matching branch
+    # derivative where the clamp is active
+    dradius = -np.sum(
+        amp[:, None, :] * kk[None, None, :]
+        * np.sin(theta[..., None] * kk[None, None, :]),
+        axis=-1,
+    )
+    cap = 0.92 * radius
+    da = np.where(a < cap, da, 0.92 * dradius)
+    a = np.minimum(a, cap)
     ar2 = (a / radius) ** 2
     ar4 = ar2 * ar2
     c2t, s2t = np.cos(2 * theta), np.sin(2 * theta)

@@ -164,7 +164,16 @@ def _dispatch_posatt(
             # (the per-sample meshes are constant — setups hoist where it
             # pays, ops/locality.batched_topk_thresholds). The robust
             # wide-gap variant keeps this path's kept sets identical to
-            # the setup-precomputed ones on tie-heavy grids.
+            # the setup-precomputed ones on tie-heavy grids. Cost note:
+            # robust needs ORDER STATISTICS around the cut, so it always
+            # pays lax.top_k (a full bitonic sort on TPU) — the old c-pass
+            # masked-min fast path extracts DISTINCT values, which is
+            # exactly the tie-fragile indexing robustness removes, and
+            # recovering multiplicities costs a count reduction per pass
+            # that erases the saving. Accepted: the hot per-sample-mesh
+            # configs take the batched Pallas route above, and the
+            # elasticity live path (L=972) measured +4% epoch time with
+            # the r5 sweep refresh.
             thr = robust_topk_threshold(dist, locality)
     elif mode == "always" and dist.ndim == 2 and on_tpu:
         from position_induced_transformer_tpu.kernels import (

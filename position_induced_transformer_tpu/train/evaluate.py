@@ -115,7 +115,15 @@ def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
     cfg = problem.config
     data = dict(problem.test_data)
     n = int(data["y"].shape[0])
-    perm = np.roll(np.arange(n), 1)
+    # seeded random n-cycle (no fixed points): pairings are uniform across
+    # the test set. A plain roll-by-1 would be wrong for trajectory-major
+    # sample layouts (cylinder: sample i = trajectory k, step t, so i-1 is
+    # usually the SAME trajectory one frame earlier — a stale-but-right
+    # input, the easiest possible wrong pairing); the random cycle makes
+    # same-trajectory pairings a ~T/n rarity instead of the rule
+    order = np.random.default_rng(0).permutation(n)
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.roll(order, 1)
     if cfg.name.startswith("naca") and "mesh_in" in data:
         shuf = data["x"][perm]
         data["x"] = shuf

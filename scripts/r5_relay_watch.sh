@@ -22,6 +22,13 @@ while true; do
       echo "$(date -u) waiting for CPU job to finish" >> /tmp/r5_watch.log
       sleep 60
     done
+    # atomic lock (mkdir): two watchers that both reach this point can
+    # not both start the queue (check-then-touch was a TOCTOU hole across
+    # the unbounded CPU-busy wait above)
+    if ! mkdir "$LOCK.d" 2>/dev/null; then
+      echo "another watcher took the lock; exiting" | tee -a ${LOG:-/dev/null}
+      exit 0
+    fi
     touch "$LOCK"
     bash scripts/r5_tpu_queue.sh
     exit 0

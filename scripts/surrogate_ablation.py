@@ -48,9 +48,10 @@ def rel_l2(pred, y):
     return float((num / den).mean())
 
 
-def ridge_rff(feats_tr, y_tr, feats_te, y_te, n_feat=256, lam=1e-6, seed=0):
-    """Pointwise ridge on random-Fourier features. feats: (N, d) rows are
-    individual points pooled across samples; y: (N, k)."""
+def ridge_rff(feats_tr, y_tr, n_feat=256, lam=1e-6, seed=0):
+    """Pointwise ridge on random-Fourier features -> predict closure.
+    feats: (N, d) rows are individual points pooled across samples;
+    y: (N, k)."""
     rng = np.random.default_rng(seed)
     d = feats_tr.shape[1]
     scale = feats_tr.std(0, keepdims=True) + 1e-9
@@ -67,7 +68,7 @@ def ridge_rff(feats_tr, y_tr, feats_te, y_te, n_feat=256, lam=1e-6, seed=0):
     P = phi(feats_tr)
     A = P.T @ P + lam * P.shape[0] * np.eye(P.shape[1])
     coef = np.linalg.solve(A, P.T @ y_tr)
-    return phi(feats_te) @ coef, lambda f: phi(f) @ coef
+    return lambda f: phi(f) @ coef
 
 
 def eval_naca(n=400, ntr=300):
@@ -79,7 +80,7 @@ def eval_naca(n=400, ntr=300):
     sub = np.random.default_rng(1).choice(f.shape[1], 600, replace=False)
     ftr = f[:ntr][:, sub].reshape(-1, 2)
     ytr = y[:ntr][:, sub].reshape(-1, 4)
-    _, predict = ridge_rff(ftr, ytr, ftr, ytr)
+    predict = ridge_rff(ftr, ytr)
     pred_te = predict(f[ntr:].reshape(-1, 2)).reshape(n - ntr, -1, 4)
     perm = np.roll(np.arange(n - ntr), 1)
     return {
@@ -93,10 +94,7 @@ def eval_elasticity(n=400, ntr=300):
     perm = np.roll(np.arange(n - ntr), 1)
     out = {}
     # coords-only pointwise oracle (the r4 target was ~this)
-    _, predict = ridge_rff(
-        ext[:ntr].reshape(-1, 2), Y[:ntr].reshape(-1, 1),
-        ext[:ntr].reshape(-1, 2), Y[:ntr].reshape(-1, 1),
-    )
+    predict = ridge_rff(ext[:ntr].reshape(-1, 2), Y[:ntr].reshape(-1, 1))
     pred = predict(ext[ntr:].reshape(-1, 2)).reshape(n - ntr, -1, 1)
     out["pointwise_coords_oracle_relL2"] = rel_l2(pred, Y[ntr:])
     # rvec-shuffle bound: the void shape owns the field
@@ -111,9 +109,8 @@ def eval_cylinder(n=200, ntr=150):
     yt = traj[..., 1]
     vb = np.broadcast_to(verts[None], (n,) + verts.shape)
     feats = np.concatenate([vb, xt], axis=-1)  # (n, L, 5)
-    _, predict = ridge_rff(
-        feats[:ntr].reshape(-1, 5), yt[:ntr].reshape(-1, 3),
-        feats[:ntr].reshape(-1, 5), yt[:ntr].reshape(-1, 3),
+    predict = ridge_rff(
+        feats[:ntr].reshape(-1, 5), yt[:ntr].reshape(-1, 3)
     )
     pred = predict(feats[ntr:].reshape(-1, 5)).reshape(n - ntr, -1, 3)
     perm = np.roll(np.arange(n - ntr), 1)

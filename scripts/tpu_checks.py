@@ -391,7 +391,7 @@ def check_elasticity_tf_coords(label, rows):
         cases.append(("tf_coords_band", coords_band))
     base = prebuilt(v0, s0)
     for impl, fn in cases:
-        t, resolved = timeit_scanned(fn, v0.shape, (H, 1, 1), n_iter=64)
+        t, resolved = timeit_scanned(fn, v0.shape, (H, 1, 1), n_iter=128)
         row = roofline_row(label, impl, t, L, L, B, H, V, True, resolved)
         if impl != "tf_prebuilt_dist":
             row["max_abs_err_vs_prebuilt"] = float(
@@ -442,7 +442,7 @@ def check_tf_coords_floor(label, rows):
             acc = acc + jnp.exp(sc[h] * x)
         return acc
 
-    t_exp, r_exp = timeit_scanned(exp_stream, (B, L, bw), (H, 1, 1), n_iter=64)
+    t_exp, r_exp = timeit_scanned(exp_stream, (B, L, bw), (H, 1, 1), n_iter=128)
     n_trans = H * B * L * bw
     rows.append({
         "case": label, "impl": "vpu_exp_floor",
@@ -463,7 +463,7 @@ def check_tf_coords_floor(label, rows):
             preferred_element_type=jnp.float32,
         )
 
-    t_dot, r_dot = timeit_scanned(dot_bh, (B * H, L, bw), (H, 1, 1), n_iter=64)
+    t_dot, r_dot = timeit_scanned(dot_bh, (B * H, L, bw), (H, 1, 1), n_iter=128)
     flops = 2 * B * H * L * bw * V
     rows.append({
         "case": label, "impl": "mxu_dot_floor",
