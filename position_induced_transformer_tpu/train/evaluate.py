@@ -81,6 +81,20 @@ def _checkpoint_normalizers(cfg, restored, setup_kwargs):
     return setup_kwargs
 
 
+def _shuffle_perm(n: int) -> np.ndarray:
+    """Seeded random n-cycle (derangement): pairings are uniform across
+    the test set and deterministic. A plain roll-by-1 would be wrong for
+    trajectory-major sample layouts (cylinder: sample i = trajectory k,
+    step t, so i-1 is usually the SAME trajectory one frame earlier — a
+    stale-but-right input, the easiest possible wrong pairing); the
+    random cycle makes same-trajectory pairings a ~T/n rarity instead of
+    the rule."""
+    order = np.random.default_rng(0).permutation(n)
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.roll(order, 1)
+    return perm
+
+
 def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
     """Operator-learning probe: test rel-L2 with true inputs vs the input
     FUNCTIONS shuffled across test samples (targets and geometry fixed).
@@ -115,15 +129,7 @@ def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
     cfg = problem.config
     data = dict(problem.test_data)
     n = int(data["y"].shape[0])
-    # seeded random n-cycle (no fixed points): pairings are uniform across
-    # the test set. A plain roll-by-1 would be wrong for trajectory-major
-    # sample layouts (cylinder: sample i = trajectory k, step t, so i-1 is
-    # usually the SAME trajectory one frame earlier — a stale-but-right
-    # input, the easiest possible wrong pairing); the random cycle makes
-    # same-trajectory pairings a ~T/n rarity instead of the rule
-    order = np.random.default_rng(0).permutation(n)
-    perm = np.empty(n, dtype=np.int64)
-    perm[order] = np.roll(order, 1)
+    perm = _shuffle_perm(n)
     if cfg.name.startswith("naca") and "mesh_in" in data:
         shuf = data["x"][perm]
         data["x"] = shuf

@@ -566,3 +566,23 @@ def test_shuffle_ablation_rejects_rollout_benchmarks(tmp_path):
         evaluate.evaluate(
             cfg, checkpoint_path=path, ntest=8, shuffle_ablation=True
         )
+
+
+def test_shuffle_perm_is_a_derangement_cycle():
+    """The ablation pairing must never map a sample to itself (identity
+    pairs would dilute the probe) and must be a single cycle, so for
+    trajectory-major layouts (cylinder) same-trajectory pairings are a
+    rarity rather than the roll-by-1 rule; seeded for reproducibility."""
+    for n in (2, 3, 10, 200, 1000):
+        perm = evaluate._shuffle_perm(n)
+        assert sorted(perm) == list(range(n))
+        assert not np.any(perm == np.arange(n))
+        # single n-cycle: following the pairing visits every sample
+        seen, i = set(), 0
+        for _ in range(n):
+            i = perm[i]
+            seen.add(int(i))
+        assert len(seen) == n
+    np.testing.assert_array_equal(
+        evaluate._shuffle_perm(100), evaluate._shuffle_perm(100)
+    )
