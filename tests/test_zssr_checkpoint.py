@@ -267,3 +267,29 @@ def test_restore_from_different_topology_subprocess(tmp_path):
 
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert np.isfinite(out["rel_l2"])
+
+
+def test_resume_with_warmup_ramp_crossing_checkpoint(tmp_path):
+    """LR warmup (configs.BenchmarkConfig.warmup_steps) must compose with
+    elastic recovery: with ntrain=32/bs=8 the 10-step ramp is still active
+    at the epoch-2 checkpoint (step 8), so a resumed run continues the
+    ramp mid-slope from the optimizer state's step count — identical final
+    parameters to the uninterrupted run."""
+    import jax
+
+    cfg = dataclasses.replace(_tiny_darcy(), warmup_steps=10)
+    kw = dict(ntrain=32, ntest=16, verbose=False,
+              setup_kwargs={"downsampling": 40})
+    _, straight, _ = runner.train(cfg, epochs=4, **kw)
+
+    path = os.path.join(tmp_path, "mid_warm")
+    runner.train(cfg, epochs=2, schedule_epochs=4, checkpoint_path=path, **kw)
+    _, resumed, _ = runner.train(cfg, epochs=4, resume_from=path, **kw)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
