@@ -82,8 +82,13 @@ def main():
         res = evaluate.evaluate(
             cfg, checkpoint_path=ckpt,
             ntest=None if args.full else 16, setup_kwargs=setup,
+            # operator-learning probe: error with the input functions
+            # shuffled across samples should inflate well above the true
+            # pairing once the model has learned the operator
+            shuffle_ablation=True,
         )
         print(json.dumps({k: res[k] for k in ("rel_l1", "rel_l2", "rel_max")}))
+        print("shuffle ablation:", json.dumps(res["shuffle_ablation"]))
 
         # 3. zero-shot super-resolution ------------------------------
         # same params, finer mesh: the checkpoint's training-resolution
