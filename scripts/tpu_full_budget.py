@@ -116,24 +116,33 @@ def run_one(name: str) -> dict:
     return out
 
 
-def main(names):
+def _merge_write(name, row):
+    """Re-read OUT at every write and merge one row: a process holding a
+    startup snapshot clobbers any concurrent writer's rows (this bit on
+    2026-08-20 when an outage-stalled queue resumed next to its
+    replacement — the resumed fullbf16 step erased two fresh rows)."""
     results = {}
     if os.path.exists(OUT):
         try:
             results = json.load(open(OUT)).get("results", {})
         except Exception:
             pass
+    results[name] = row
+    with open(OUT, "w") as f:
+        json.dump(
+            {"device": str(jax.devices()[0]), "results": results},
+            f, indent=1,
+        )
+
+
+def main(names):
     for name in names or ALL:
         try:
-            results[name] = run_one(name)
+            row = run_one(name)
         except Exception as e:  # record and continue
-            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
-        print(json.dumps({name: results[name]}), flush=True)
-        with open(OUT, "w") as f:
-            json.dump(
-                {"device": str(jax.devices()[0]), "results": results},
-                f, indent=1,
-            )
+            row = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({name: row}), flush=True)
+        _merge_write(name, row)
 
 
 if __name__ == "__main__":
