@@ -320,6 +320,22 @@ def vorticity(n=1200, s=64, frames=30, seed=0):
     return traj
 
 
+def _clamp_void_inside(a, da, radius, dradius):
+    """Keep the void boundary strictly INSIDE the measurement curve: the
+    raw harmonic profile exceeds radius(theta) on ~2.5e-4 of points at
+    production scale (tail control radii meeting a dip of the cloud
+    curve), which would evaluate Kirsch at r < a (unphysical). Clamp the
+    profile to 0.92*radius — still a continuous function of theta, so
+    resolution consistency is preserved — and use the matching branch
+    derivative where the clamp is active. Factored out of elasticity() so
+    tests can check the generator's ACTUAL clamped profile instead of
+    re-deriving the clamp themselves (tests/test_surrogate_probes.py)."""
+    cap = 0.92 * radius
+    da = np.where(a < cap, da, 0.92 * dradius)
+    a = np.minimum(a, cap)
+    return a, da
+
+
 def _void_radius(r_ctrl, theta, n_harm=6):
     """Smooth void-boundary radius a(theta) and derivative a'(theta) from 42
     control radii via truncated trigonometric interpolation (closed form in
@@ -374,21 +390,12 @@ def elasticity(n=1200, L=972, seed=0):
     # the cloud radius r = radius(theta) (uniaxial tension sigma_inf = 1
     # along x; plane stress)
     a, da = _void_radius(r_inner, theta)
-    # the void must stay strictly INSIDE the measurement curve: the raw
-    # harmonic profile exceeds radius(theta) on ~2.5e-4 of points at
-    # production scale (tail control radii meeting a dip of the cloud
-    # curve), which would evaluate Kirsch at r < a (unphysical). Clamp the
-    # profile to 0.92*radius — still a continuous function of theta, so
-    # resolution consistency is preserved — and use the matching branch
-    # derivative where the clamp is active
     dradius = -np.sum(
         amp[:, None, :] * kk[None, None, :]
         * np.sin(theta[..., None] * kk[None, None, :]),
         axis=-1,
     )
-    cap = 0.92 * radius
-    da = np.where(a < cap, da, 0.92 * dradius)
-    a = np.minimum(a, cap)
+    a, da = _clamp_void_inside(a, da, radius, dradius)
     ar2 = (a / radius) ** 2
     ar4 = ar2 * ar2
     c2t, s2t = np.cos(2 * theta), np.sin(2 * theta)
@@ -414,11 +421,15 @@ def naca(n=1200, n_shape=120, nx=221, ny=51, seed=0):
     pockets terminated by sigmoid shocks on both surfaces, with shock
     POSITION and STRENGTH moving with camber/thickness asymmetrically (the
     real dataset is transonic flow with shocks over parameterized
-    airfoils). The C-grid y-extent still scales mildly with thickness
-    (realistic — real C-grids conform to the airfoil; documented leak),
-    but camber/a3/a4 never touch the query mesh, so a pointwise model of
-    the coordinates cannot express the field and shuffling input shapes
-    across samples inflates the error (scripts/surrogate_ablation.py).
+    airfoils). The C-grid CONFORMS to the airfoil near y=0 (see the grid
+    comment below): ALL FOUR parameters deform the near-field grid lines
+    (realistic — real numerically-generated C-grids encode the shape; the
+    far-field extent is fixed), so the shape is recoverable from the grid
+    GLOBALLY, which is what makes the grid-input TF variant learnable.
+    A POINTWISE model of one query's (x, y) still cannot determine the
+    parameters or express the field (SURROGATE_ABLATION.json pointwise
+    oracle: 21.7% ridge bound), and shuffling input shapes across samples
+    inflates the error (scripts/surrogate_ablation.py).
     Closed form in (x, y) -> resolution-consistent / ZSSR-able.
     r4<->r5 naca accuracy numbers are NOT comparable."""
     rng = np.random.default_rng(seed)

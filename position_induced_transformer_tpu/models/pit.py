@@ -147,6 +147,30 @@ def _dispatch_posatt(
                     position_attention_batched,
                 )
 
+                if locality < 1.0 and thr is None:
+                    # No setup-precomputed thresholds (lazy Geometry from
+                    # a user problem): compute the ROBUST wide-gap
+                    # thresholds here rather than letting the kernel fall
+                    # back to its in-kernel distinct-value masked-min
+                    # extraction — that extraction is exactly the
+                    # tie-fragile mechanism robust_topk_threshold removes,
+                    # and using it only on this path would make the TPU
+                    # kernel's kept sets silently differ from every other
+                    # dispatch path on tie-heavy meshes. Costs a full
+                    # per-step distance + top_k pass; per-sample meshes
+                    # are constant across training, so setups should
+                    # hoist (ops/locality.batched_topk_thresholds) — all
+                    # shipped benchmark setups do.
+                    from position_induced_transformer_tpu.ops.distances import (
+                        pairwise_sq_dist,
+                    )
+                    from position_induced_transformer_tpu.ops.locality import (
+                        robust_topk_threshold,
+                    )
+
+                    thr = robust_topk_threshold(
+                        pairwise_sq_dist(mesh_q, mesh_k), locality
+                    )
                 return position_attention_batched(
                     mesh_q, mesh_k, lmda, inputs.astype(jnp.float32),
                     locality, thr, band,

@@ -89,13 +89,20 @@ def _shuffle_perm(n: int) -> np.ndarray:
     stale-but-right input, the easiest possible wrong pairing); the
     random cycle makes same-trajectory pairings a ~T/n rarity instead of
     the rule."""
+    if n < 2:
+        raise ValueError(
+            "input_shuffle_ablation needs >= 2 test samples: with n=1 the "
+            "only permutation is the identity, so the probe would compare "
+            "the model against its own true pairing and report zero "
+            "inflation regardless of whether the input is used"
+        )
     order = np.random.default_rng(0).permutation(n)
     perm = np.empty(n, dtype=np.int64)
     perm[order] = np.roll(order, 1)
     return perm
 
 
-def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
+def input_shuffle_ablation(problem, state, pred_true=None, mesh=None) -> dict:
     """Operator-learning probe: test rel-L2 with true inputs vs the input
     FUNCTIONS shuffled across test samples (targets and geometry fixed).
 
@@ -153,8 +160,8 @@ def input_shuffle_ablation(problem, state, pred_true=None) -> dict:
     else:
         data["x"] = data["x"][perm]
     if pred_true is None:
-        pred_true = runner.predict(problem, state)
-    pred_shuf = runner.predict(problem, state, data=data)
+        pred_true = runner.predict(problem, state, mesh=mesh)
+    pred_shuf = runner.predict(problem, state, data=data, mesh=mesh)
     y = np.asarray(problem.test_data["y"])
 
     def rl2(p):
@@ -303,7 +310,7 @@ def evaluate(
     result["rel_l1_quartiles"] = [float(q25), float(q50), float(q75)]
     if shuffle_ablation:
         result["shuffle_ablation"] = input_shuffle_ablation(
-            problem, state, pred_true=pred
+            problem, state, pred_true=pred, mesh=pred_mesh
         )
     # capability gate, not a name gate: any benchmark (incl. registered
     # user problems) providing raw test trajectories gets the closed-loop

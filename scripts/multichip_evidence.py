@@ -420,5 +420,9 @@ if __name__ == "__main__":
     for name in names:
         results[name] = CASES[name]()
         print(json.dumps({name: results[name]}, indent=1), flush=True)
-        with open(out, "w") as f:
+        # temp file + atomic replace: a concurrent reader must never see a
+        # truncated JSON (its except-pass merge would restart from {})
+        tmp = out + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(results, f, indent=1)
+        os.replace(tmp, out)

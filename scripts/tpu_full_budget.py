@@ -120,7 +120,11 @@ def _merge_write(name, row):
     """Re-read OUT at every write and merge one row: a process holding a
     startup snapshot clobbers any concurrent writer's rows (this bit on
     2026-08-20 when an outage-stalled queue resumed next to its
-    replacement — the resumed fullbf16 step erased two fresh rows)."""
+    replacement — the resumed fullbf16 step erased two fresh rows).
+
+    Writes go to a temp file + os.replace so a concurrent reader can never
+    observe a truncated JSON (which would make ITS merge start from {} and
+    erase every other row — the same clobber through a different door)."""
     results = {}
     if os.path.exists(OUT):
         try:
@@ -128,11 +132,13 @@ def _merge_write(name, row):
         except Exception:
             pass
     results[name] = row
-    with open(OUT, "w") as f:
+    tmp = OUT + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(
             {"device": str(jax.devices()[0]), "results": results},
             f, indent=1,
         )
+    os.replace(tmp, OUT)
 
 
 def main(names):

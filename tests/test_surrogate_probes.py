@@ -60,8 +60,16 @@ def test_elasticity_void_profile_and_stress_sanity():
     r_ctrl = (X[:, 0, 2:] + 1) / 5.0
     theta = np.arctan2(ext[..., 1] - 0.5, ext[..., 0] - 0.5)
     cloud_r = np.hypot(ext[..., 0] - 0.5, ext[..., 1] - 0.5)
-    a, _ = synthetic._void_radius(r_ctrl, theta)
-    a = np.minimum(a, 0.92 * cloud_r)  # the generator's clamped profile
+    a_raw, da_raw = synthetic._void_radius(r_ctrl, theta)
+    # the clamp must actually be exercised at production scale (else this
+    # test could pass with the clamp deleted just because the raw profile
+    # stayed inside)
+    assert np.any(a_raw >= 0.92 * cloud_r)
+    # the GENERATOR'S clamp helper (the exact code elasticity() runs — not
+    # a re-derivation, so breaking the clamp in synthetic.py fails here)
+    a, _ = synthetic._clamp_void_inside(
+        a_raw, da_raw, cloud_r, np.zeros_like(cloud_r)
+    )
     assert np.all(a > 0.05) and np.all(a < cloud_r)
     # Kirsch is now evaluated strictly outside the void everywhere, so the
     # stress extremes come only from the designed shape-gradient
